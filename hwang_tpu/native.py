@@ -1,0 +1,144 @@
+"""Loader for the native runtime library (libhwang_native.so).
+
+Builds the C++ library on first use (cmake + ninja, cached under
+native/build/) and exposes its C ABI through ctypes.  The native layer holds
+the host-side runtime: the libav-backed software decode backend and fixture
+encoder (native/src/shim_ffmpeg.cpp), and the H.264 entropy decoder that
+feeds the TPU reconstruction kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libhwang_native.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+
+
+def _sources_mtime() -> float:
+    latest = 0.0
+    for root, _, files in os.walk(os.path.join(_NATIVE_DIR, "src")):
+        for f in files:
+            latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+    latest = max(latest, os.path.getmtime(os.path.join(_NATIVE_DIR, "CMakeLists.txt")))
+    return latest
+
+
+def build(force: bool = False) -> str:
+    """Build libhwang_native.so if stale; returns its path."""
+    with _lock:
+        if (
+            not force
+            and os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= _sources_mtime()
+        ):
+            return _LIB_PATH
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        subprocess.run(
+            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
+            cwd=_BUILD_DIR,
+            check=True,
+            capture_output=True,
+        )
+        proc = subprocess.run(
+            ["ninja"], cwd=_BUILD_DIR, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native build failed:\n{proc.stdout}\n{proc.stderr}"
+            )
+        return _LIB_PATH
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+
+    # encoder
+    lib.hw_enc_open.restype = c.c_void_p
+    lib.hw_enc_open.argtypes = [
+        c.c_char_p, c.c_int, c.c_int, c.c_int,  # path, w, h, fps
+        c.c_char_p, c.c_char_p,                 # codec, profile
+        c.c_int, c.c_int, c.c_int, c.c_int,     # gop, bframes, crf, fragmented
+        c.c_char_p, c.c_char_p, c.c_int,        # extra_opts, err, err_cap
+    ]
+    lib.hw_enc_error.restype = c.c_char_p
+    lib.hw_enc_error.argtypes = [c.c_void_p]
+    lib.hw_enc_write_rgb.restype = c.c_int
+    lib.hw_enc_write_rgb.argtypes = [c.c_void_p, u8p]
+    lib.hw_enc_write_yuv.restype = c.c_int
+    lib.hw_enc_write_yuv.argtypes = [c.c_void_p, u8p, u8p, u8p]
+    lib.hw_enc_close.restype = c.c_int
+    lib.hw_enc_close.argtypes = [c.c_void_p]
+
+    # stateful decoder
+    lib.hw_dec_open.restype = c.c_void_p
+    lib.hw_dec_open.argtypes = [
+        c.c_char_p, u8p, c.c_int, c.c_int, c.c_char_p, c.c_int
+    ]
+    lib.hw_dec_error.restype = c.c_char_p
+    lib.hw_dec_error.argtypes = [c.c_void_p]
+    lib.hw_dec_feed.restype = c.c_int
+    lib.hw_dec_feed.argtypes = [c.c_void_p, u8p, c.c_int, c.c_int]
+    lib.hw_dec_frames_buffered.restype = c.c_int
+    lib.hw_dec_frames_buffered.argtypes = [c.c_void_p]
+    lib.hw_dec_frame_dims.restype = c.c_int
+    lib.hw_dec_frame_dims.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int), c.POINTER(c.c_int)
+    ]
+    lib.hw_dec_get_frame.restype = c.c_int
+    lib.hw_dec_get_frame.argtypes = [c.c_void_p, u8p, c.c_int]
+    lib.hw_dec_discard_frame.restype = c.c_int
+    lib.hw_dec_discard_frame.argtypes = [c.c_void_p]
+    lib.hw_dec_flush.restype = c.c_int
+    lib.hw_dec_flush.argtypes = [c.c_void_p]
+    lib.hw_dec_close.restype = None
+    lib.hw_dec_close.argtypes = [c.c_void_p]
+
+    # oracle
+    lib.hw_oracle_open.restype = c.c_void_p
+    lib.hw_oracle_open.argtypes = [c.c_char_p, c.c_int, c.c_char_p, c.c_int]
+    lib.hw_oracle_error.restype = c.c_char_p
+    lib.hw_oracle_error.argtypes = [c.c_void_p]
+    lib.hw_oracle_dims.restype = c.c_int
+    lib.hw_oracle_dims.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int), c.POINTER(c.c_int)
+    ]
+    lib.hw_oracle_next.restype = c.c_int
+    lib.hw_oracle_next.argtypes = [c.c_void_p, u8p, c.c_int]
+    lib.hw_oracle_close.restype = None
+    lib.hw_oracle_close.argtypes = [c.c_void_p]
+
+
+def get_lib() -> ctypes.CDLL:
+    """Build (if needed) and load the native library."""
+    global _lib
+    if _lib is None:
+        path = build()
+        lib = ctypes.CDLL(path)
+        _declare(lib)
+        _lib = lib
+    return _lib
+
+
+def as_u8p(arr):
+    """View bytes / a contiguous numpy uint8 array as (uint8*, owner).
+
+    The caller must keep `owner` referenced for the duration of the native
+    call; the pointer aliases its memory.
+    """
+    import numpy as np
+
+    if isinstance(arr, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(arr, dtype=np.uint8)
+    else:
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr

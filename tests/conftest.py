@@ -1,0 +1,59 @@
+"""Test configuration.
+
+Tests run on CPU with an 8-device virtual mesh so multi-chip sharding
+(shard_map over a clip axis) is exercised without TPU hardware; the driver
+separately compile-checks the TPU path via __graft_entry__.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_h264():
+    """75-frame 128x96 baseline-ish H.264, 3 GOPs of 25."""
+    from hwang_tpu.utils.fixtures import fixture
+
+    return fixture(
+        "small_h264", 75, 128, 96, gop_size=25,
+        extra_opts="keyint=25:min-keyint=25:no-scenecut=1",
+    )
+
+
+@pytest.fixture(scope="session")
+def small_h264_frag():
+    from hwang_tpu.utils.fixtures import fixture
+
+    return fixture(
+        "small_h264_frag", 60, 128, 96, gop_size=20, fragmented=True,
+        extra_opts="keyint=20:min-keyint=20:no-scenecut=1",
+    )
+
+
+@pytest.fixture(scope="session")
+def small_hevc():
+    from hwang_tpu.utils.fixtures import fixture
+
+    return fixture(
+        "small_hevc", 50, 128, 96, codec="libx265", profile="main",
+        gop_size=25, extra_opts="keyint=25:min-keyint=25:scenecut=0",
+    )
+
+
+@pytest.fixture(scope="session")
+def bframes_h264():
+    """H.264 with B-frames (reorder + CABAC, main profile)."""
+    from hwang_tpu.utils.fixtures import fixture
+
+    return fixture(
+        "bframes_h264", 60, 128, 96, profile="main", gop_size=20, b_frames=2,
+        extra_opts="keyint=20:min-keyint=20:no-scenecut=1",
+    )
