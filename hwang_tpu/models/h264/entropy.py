@@ -1,0 +1,247 @@
+"""Python interface to the host H.264 entropy decoder (native/src/h264/).
+
+`decode_gop` runs the sequential entropy decode (NAL/slice/CAVLC) on the
+host CPU and returns dense SoA numpy arrays — one tensor per syntax family,
+shaped [F, M, ...] (F frames, M macroblocks in raster order).  These feed
+the TPU reconstruction pipeline (recon.py / ops/*) where all dense math
+runs.
+
+Array semantics (see native/src/h264/h264_types.h GopOut):
+  frame_type [F]       0=P 2=I (SliceType of the first slice)
+  poc        [F]       picture order count (display order key)
+  ref_map    [F,16]    refIdxL0 -> span frame index (-1 = unused)
+  mb_kind    [F,M]     0=P_SKIP 1=INTER 2=I4x4 3=I16x16 4=IPCM
+  qp         [F,M]     luma QP after mb_qp_delta
+  cbp        [F,M]     coded block pattern (bits0-3 luma 8x8s, 4-5 chroma)
+  i4_modes   [F,M,16]  intra 4x4 pred mode per block (raster in MB)
+  i16_mode   [F,M]     intra 16x16 pred mode
+  chroma_mode[F,M]     intra chroma pred mode
+  mv         [F,M,16,2] L0 motion vectors, quarter-pel, per 4x4 block
+  refidx     [F,M,4]   L0 reference index per 8x8 (-1 = intra)
+  luma_dc    [F,M,16]  I16x16 luma DC coeffs (raster within MB)
+  luma_ac    [F,M,16,16] per-4x4-block coeffs, raster order in block
+  chroma_dc  [F,M,2,4] chroma DC (2x2 per component, raster)
+  chroma_ac  [F,M,2,4,16] chroma AC coeffs
+  nnz        [F,M,24]  CAVLC total_coeff per block (deblock bS input)
+  deblock_idc[F,M]     disable_deblocking_filter_idc of the MB's slice
+  alpha_off / beta_off [F,M] slice deblock offsets (already *2)
+  avail      [F,M]     neighbor availability bits (b0..3 intra LTRL',
+                       b4/b5 left/top same-slice for deblock)
+  ipcm       [F,M,384] raw I_PCM samples
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+
+import numpy as np
+
+from ...native import as_u8p, get_lib
+
+
+class _GopOut(ctypes.Structure):
+    _fields_ = [
+        ("frame_type", ctypes.c_void_p),
+        ("poc", ctypes.c_void_p),
+        ("ref_map", ctypes.c_void_p),
+        ("ref_map_l1", ctypes.c_void_p),
+        ("mb_kind", ctypes.c_void_p),
+        ("qp", ctypes.c_void_p),
+        ("cbp", ctypes.c_void_p),
+        ("i4_modes", ctypes.c_void_p),
+        ("i16_mode", ctypes.c_void_p),
+        ("chroma_mode", ctypes.c_void_p),
+        ("mv", ctypes.c_void_p),
+        ("mv_l1", ctypes.c_void_p),
+        ("refidx", ctypes.c_void_p),
+        ("refidx_l1", ctypes.c_void_p),
+        ("luma_dc", ctypes.c_void_p),
+        ("luma_ac", ctypes.c_void_p),
+        ("chroma_dc", ctypes.c_void_p),
+        ("chroma_ac", ctypes.c_void_p),
+        ("nnz", ctypes.c_void_p),
+        ("deblock_idc", ctypes.c_void_p),
+        ("alpha_off", ctypes.c_void_p),
+        ("beta_off", ctypes.c_void_p),
+        ("ipcm", ctypes.c_void_p),
+        ("intra_pred_avail", ctypes.c_void_p),
+    ]
+
+
+_declared = False
+
+
+def _declare(lib):
+    global _declared
+    if _declared:
+        return
+    c = ctypes
+    lib.hw_h264_open.restype = c.c_void_p
+    lib.hw_h264_open.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int, c.c_char_p, c.c_int
+    ]
+    lib.hw_h264_close.argtypes = [c.c_void_p]
+    lib.hw_h264_error.restype = c.c_char_p
+    lib.hw_h264_error.argtypes = [c.c_void_p]
+    lib.hw_h264_dims.restype = c.c_int
+    lib.hw_h264_dims.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int), c.POINTER(c.c_int),
+        c.POINTER(c.c_int),
+    ]
+    lib.hw_h264_profile.restype = c.c_int
+    lib.hw_h264_profile.argtypes = [c.c_void_p]
+    lib.hw_h264_is_cabac.restype = c.c_int
+    lib.hw_h264_is_cabac.argtypes = [c.c_void_p]
+    lib.hw_h264_decode_gop.restype = c.c_int
+    lib.hw_h264_decode_gop.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
+        c.POINTER(c.c_uint64), c.c_int, c.POINTER(_GopOut),
+    ]
+    _declared = True
+
+
+@dataclasses.dataclass
+class GopTensors:
+    """SoA output of the host entropy decode for one span."""
+
+    n_frames: int
+    mb_width: int
+    mb_height: int
+    crop: tuple  # (left, top, right, bottom) in luma pixels
+    frame_type: np.ndarray
+    poc: np.ndarray
+    ref_map: np.ndarray
+    mb_kind: np.ndarray
+    qp: np.ndarray
+    cbp: np.ndarray
+    i4_modes: np.ndarray
+    i16_mode: np.ndarray
+    chroma_mode: np.ndarray
+    mv: np.ndarray
+    refidx: np.ndarray
+    luma_dc: np.ndarray
+    luma_ac: np.ndarray
+    chroma_dc: np.ndarray
+    chroma_ac: np.ndarray
+    nnz: np.ndarray
+    deblock_idc: np.ndarray
+    alpha_off: np.ndarray
+    beta_off: np.ndarray
+    avail: np.ndarray
+    ipcm: np.ndarray
+
+    @property
+    def n_mbs(self) -> int:
+        return self.mb_width * self.mb_height
+
+
+class H264EntropyDecoder:
+    """Wraps the native entropy decode context for one stream (avcC)."""
+
+    def __init__(self, avcc_extradata: bytes):
+        self._lib = get_lib()
+        _declare(self._lib)
+        err = ctypes.create_string_buffer(512)
+        ptr, owner = as_u8p(avcc_extradata)
+        self._h = self._lib.hw_h264_open(
+            ptr, len(avcc_extradata), err, len(err)
+        )
+        del owner
+        if not self._h:
+            raise ValueError(f"h264 open failed: {err.value.decode()}")
+        mbw = ctypes.c_int()
+        mbh = ctypes.c_int()
+        crop = (ctypes.c_int * 4)()
+        self._lib.hw_h264_dims(self._h, ctypes.byref(mbw), ctypes.byref(mbh), crop)
+        self.mb_width = mbw.value
+        self.mb_height = mbh.value
+        self.crop = tuple(crop)
+        self.profile = self._lib.hw_h264_profile(self._h)
+        self.is_cabac = self._lib.hw_h264_is_cabac(self._h) == 1
+
+    def close(self):
+        if self._h:
+            self._lib.hw_h264_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def decode_gop(
+        self, data: bytes, sample_offsets, sample_sizes
+    ) -> GopTensors:
+        """Entropy-decode the samples of one span into SoA tensors."""
+        F = len(sample_offsets)
+        M = self.mb_width * self.mb_height
+
+        def z(shape, dtype):
+            return np.zeros(shape, dtype)
+
+        t = GopTensors(
+            n_frames=F,
+            mb_width=self.mb_width,
+            mb_height=self.mb_height,
+            crop=self.crop,
+            frame_type=z(F, np.uint8),
+            poc=z(F, np.int32),
+            ref_map=np.full((F, 16), -1, np.int32),
+            mb_kind=z((F, M), np.uint8),
+            qp=z((F, M), np.int8),
+            cbp=z((F, M), np.uint8),
+            i4_modes=z((F, M, 16), np.int8),
+            i16_mode=z((F, M), np.int8),
+            chroma_mode=z((F, M), np.int8),
+            mv=z((F, M, 16, 2), np.int16),
+            refidx=np.full((F, M, 4), -1, np.int8),
+            luma_dc=z((F, M, 16), np.int16),
+            luma_ac=z((F, M, 16, 16), np.int16),
+            chroma_dc=z((F, M, 2, 4), np.int16),
+            chroma_ac=z((F, M, 2, 4, 16), np.int16),
+            nnz=z((F, M, 24), np.uint8),
+            deblock_idc=z((F, M), np.uint8),
+            alpha_off=z((F, M), np.int8),
+            beta_off=z((F, M), np.int8),
+            avail=z((F, M), np.uint8),
+            ipcm=z((F, M, 384), np.uint8),
+        )
+        ref_map_l1 = np.full((F, 16), -1, np.int32)
+        mv_l1 = z((F, M, 16, 2), np.int16)
+        refidx_l1 = np.full((F, M, 4), -1, np.int8)
+
+        def vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        out = _GopOut(
+            frame_type=vp(t.frame_type), poc=vp(t.poc), ref_map=vp(t.ref_map),
+            ref_map_l1=vp(ref_map_l1), mb_kind=vp(t.mb_kind), qp=vp(t.qp),
+            cbp=vp(t.cbp), i4_modes=vp(t.i4_modes), i16_mode=vp(t.i16_mode),
+            chroma_mode=vp(t.chroma_mode), mv=vp(t.mv), mv_l1=vp(mv_l1),
+            refidx=vp(t.refidx), refidx_l1=vp(refidx_l1),
+            luma_dc=vp(t.luma_dc), luma_ac=vp(t.luma_ac),
+            chroma_dc=vp(t.chroma_dc), chroma_ac=vp(t.chroma_ac),
+            nnz=vp(t.nnz), deblock_idc=vp(t.deblock_idc),
+            alpha_off=vp(t.alpha_off), beta_off=vp(t.beta_off),
+            ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
+        )
+
+        dptr, downer = as_u8p(data)
+        offs = np.ascontiguousarray(sample_offsets, np.uint64)
+        sizes = np.ascontiguousarray(sample_sizes, np.uint64)
+        n = self._lib.hw_h264_decode_gop(
+            self._h, dptr,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            F, ctypes.byref(out),
+        )
+        del downer
+        if n < 0:
+            raise ValueError(
+                f"entropy decode failed: {self._lib.hw_h264_error(self._h).decode()}"
+            )
+        if n != F:
+            raise ValueError(f"decoded {n} frames, expected {F}")
+        return t

@@ -1,0 +1,1408 @@
+// H.264 host entropy decoder: NAL/SPS/PPS/slice-header parsing + CAVLC
+// macroblock layer, emitting dense per-macroblock SoA tensors for the TPU
+// reconstruction kernels.
+//
+// This replaces the entropy half of what the reference delegated to
+// FFmpeg's decoder (software_video_decoder.cpp): the inherently sequential
+// bit parsing stays on the host CPU; everything dense (dequant, IDCT,
+// intra prediction, motion compensation, deblocking) is emitted as tensors
+// and runs on the TPU (hwang_tpu/models/h264/).
+//
+// Scope (phase 1): progressive 4:2:0 8-bit, CAVLC, I/P slices, all P
+// partition shapes, multi-ref, P_Skip, ref list reordering, sliding-window
+// and basic MMCO marking.  CABAC + B-slices are staged next.
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <map>
+#include <string>
+#include <vector>
+
+#include "h264_bitreader.h"
+#include "h264_cavlc_tables.h"
+#include "h264_types.h"
+
+#define HW_API extern "C" __attribute__((visibility("default")))
+
+namespace hwh264 {
+namespace {
+
+// ---------------------------------------------------------------------------
+// VLC decode helpers
+// ---------------------------------------------------------------------------
+
+// Decode coeff_token: returns total_coeff<<2 | trailing_ones, or -1.
+int decode_coeff_token(BitReader& br, int nC) {
+  if (nC >= 8) {
+    uint32_t v = br.u(6);
+    if (v == 3) return 0;  // total_coeff 0, trailing_ones 0
+    int total = (v >> 2) + 1;
+    int t1 = v & 3;
+    return (total << 2) | t1;
+  }
+  const Vlc(*tab)[17] = nullptr;
+  int maxc = 16;
+  const Vlc(*ctab)[5] = nullptr;
+  if (nC < 0) {
+    ctab = kCoeffTokenChromaDC;
+    maxc = 4;
+  } else if (nC < 2) {
+    tab = kCoeffToken0;
+  } else if (nC < 4) {
+    tab = kCoeffToken1;
+  } else {
+    tab = kCoeffToken2;
+  }
+  uint32_t peek = br.peek(16);
+  for (int t1 = 0; t1 < 4; t1++) {
+    for (int tc = 0; tc <= maxc; tc++) {
+      Vlc v = ctab ? ctab[t1][tc] : tab[t1][tc];
+      if (v.len == 0) continue;
+      if ((peek >> (16 - v.len)) == v.bits) {
+        br.skip(v.len);
+        return (tc << 2) | t1;
+      }
+    }
+  }
+  return -1;
+}
+
+int decode_vlc_row(BitReader& br, const Vlc* row, int n) {
+  uint32_t peek = br.peek(16);
+  for (int i = 0; i < n; i++) {
+    if (row[i].len == 0) continue;
+    if ((peek >> (16 - row[i].len)) == row[i].bits) {
+      br.skip(row[i].len);
+      return i;
+    }
+  }
+  return -1;
+}
+
+// CAVLC residual block decode (spec 9.2).  Writes coefficients in the
+// block's scan order into coeff[0..max_coeff); returns total_coeff or -1.
+int decode_residual_block(BitReader& br, int nC, int max_coeff,
+                          int16_t* coeff /* scan-order */) {
+  memset(coeff, 0, sizeof(int16_t) * max_coeff);
+  int token = decode_coeff_token(br, nC);
+  if (token < 0 || br.error()) return -1;
+  int total_coeff = token >> 2;
+  int trailing_ones = token & 3;
+  if (total_coeff == 0) return 0;
+  if (total_coeff > max_coeff) return -1;
+
+  int level[16];
+  int suffix_length = (total_coeff > 10 && trailing_ones < 3) ? 1 : 0;
+  for (int i = 0; i < total_coeff; i++) {
+    if (i < trailing_ones) {
+      level[i] = br.u1() ? -1 : 1;
+    } else {
+      // level_prefix
+      int prefix = 0;
+      while (br.u1() == 0) {
+        prefix++;
+        if (prefix > 32 || br.error()) return -1;
+      }
+      int suffix_size = suffix_length;
+      if (prefix == 14 && suffix_length == 0) suffix_size = 4;
+      if (prefix >= 15) suffix_size = prefix - 3;
+      int level_code = (prefix < 15 ? prefix : 15) << suffix_length;
+      if (suffix_size > 0) level_code += br.u(suffix_size);
+      if (prefix >= 15 && suffix_length == 0) level_code += 15;
+      if (prefix >= 16) level_code += (1 << (prefix - 3)) - 4096;
+      if (i == trailing_ones && trailing_ones < 3) level_code += 2;
+      level[i] = (level_code & 1) ? -((level_code + 1) >> 1)
+                                 : ((level_code + 2) >> 1);
+      if (suffix_length == 0) suffix_length = 1;
+      int abs_level = level[i] < 0 ? -level[i] : level[i];
+      if (abs_level > (3 << (suffix_length - 1)) && suffix_length < 6)
+        suffix_length++;
+    }
+  }
+
+  int total_zeros = 0;
+  if (total_coeff < max_coeff) {
+    if (nC < 0) {
+      total_zeros =
+          decode_vlc_row(br, kTotalZerosChromaDC[total_coeff - 1], 4);
+    } else {
+      total_zeros = decode_vlc_row(br, kTotalZeros4x4[total_coeff - 1], 16);
+    }
+    if (total_zeros < 0 || br.error()) return -1;
+  }
+
+  int pos = total_coeff + total_zeros - 1;  // scan index of first (highest
+                                            // frequency) coefficient
+  if (pos >= max_coeff) return -1;
+  int zeros_left = total_zeros;
+  for (int i = 0; i < total_coeff; i++) {
+    coeff[pos] = (int16_t)level[i];
+    if (i == total_coeff - 1) break;
+    int run;
+    if (zeros_left > 0) {
+      int zl = zeros_left > 7 ? 7 : zeros_left;
+      run = decode_vlc_row(br, kRunBefore[zl - 1], 15);
+      if (run < 0 || br.error()) return -1;
+    } else {
+      run = 0;
+    }
+    zeros_left -= run;
+    pos -= run + 1;
+    if (pos < 0) return -1;
+  }
+  return total_coeff;
+}
+
+// ---------------------------------------------------------------------------
+// Parameter set parsing
+// ---------------------------------------------------------------------------
+
+void parse_scaling_list(BitReader& br, uint8_t* list, int size,
+                        const uint8_t* fallback, bool* use_default) {
+  int last = 8, next = 8;
+  const uint8_t* scan = size == 16 ? kZigzag4x4 : kZigzag8x8;
+  *use_default = false;
+  for (int i = 0; i < size; i++) {
+    if (next != 0) {
+      int delta = br.se();
+      next = (last + delta + 256) % 256;
+      if (i == 0 && next == 0) {
+        *use_default = true;
+        return;
+      }
+    }
+    last = next == 0 ? last : next;
+    list[scan[i]] = (uint8_t)last;
+  }
+}
+
+bool parse_sps(BitReader& br, SPS& sps, std::string& err) {
+  sps.profile_idc = br.u(8);
+  br.u(8);  // constraint flags + reserved
+  sps.level_idc = br.u(8);
+  sps.seq_parameter_set_id = br.ue();
+  if (sps.profile_idc == 100 || sps.profile_idc == 110 ||
+      sps.profile_idc == 122 || sps.profile_idc == 244 ||
+      sps.profile_idc == 44 || sps.profile_idc == 83 ||
+      sps.profile_idc == 86 || sps.profile_idc == 118 ||
+      sps.profile_idc == 128) {
+    sps.chroma_format_idc = br.ue();
+    if (sps.chroma_format_idc == 3) br.u1();  // separate_colour_plane
+    sps.bit_depth_luma = br.ue() + 8;
+    sps.bit_depth_chroma = br.ue() + 8;
+    sps.qpprime_y_zero_transform_bypass = br.u1();
+    sps.seq_scaling_matrix_present = br.u1();
+    if (sps.seq_scaling_matrix_present) {
+      err = "seq scaling matrices not supported yet";
+      return false;
+    }
+  }
+  sps.log2_max_frame_num = br.ue() + 4;
+  sps.pic_order_cnt_type = br.ue();
+  if (sps.pic_order_cnt_type == 0) {
+    sps.log2_max_poc_lsb = br.ue() + 4;
+  } else if (sps.pic_order_cnt_type == 1) {
+    sps.delta_pic_order_always_zero = br.u1();
+    sps.offset_for_non_ref_pic = br.se();
+    sps.offset_for_top_to_bottom_field = br.se();
+    int n = br.ue();
+    for (int i = 0; i < n; i++) sps.offset_for_ref_frame.push_back(br.se());
+  }
+  sps.max_num_ref_frames = br.ue();
+  sps.gaps_in_frame_num_allowed = br.u1();
+  sps.pic_width_in_mbs = br.ue() + 1;
+  sps.pic_height_in_map_units = br.ue() + 1;
+  sps.frame_mbs_only = br.u1();
+  if (!sps.frame_mbs_only) {
+    err = "interlaced (frame_mbs_only=0) not supported";
+    return false;
+  }
+  sps.direct_8x8_inference = br.u1();
+  sps.frame_cropping = br.u1();
+  if (sps.frame_cropping) {
+    sps.crop_left = br.ue();
+    sps.crop_right = br.ue();
+    sps.crop_top = br.ue();
+    sps.crop_bottom = br.ue();
+  }
+  // vui ignored
+  if (br.error()) {
+    err = "SPS parse overrun";
+    return false;
+  }
+  if (sps.chroma_format_idc != 1 || sps.bit_depth_luma != 8 ||
+      sps.bit_depth_chroma != 8) {
+    err = "only 4:2:0 8-bit supported";
+    return false;
+  }
+  sps.valid = true;
+  return true;
+}
+
+bool parse_pps(BitReader& br, PPS& pps, std::string& err) {
+  pps.pic_parameter_set_id = br.ue();
+  pps.seq_parameter_set_id = br.ue();
+  pps.entropy_coding_mode = br.u1();
+  pps.bottom_field_pic_order_in_frame_present = br.u1();
+  pps.num_slice_groups = br.ue() + 1;
+  if (pps.num_slice_groups != 1) {
+    err = "slice groups (FMO) not supported";
+    return false;
+  }
+  pps.num_ref_idx_l0_default = br.ue() + 1;
+  pps.num_ref_idx_l1_default = br.ue() + 1;
+  pps.weighted_pred = br.u1();
+  pps.weighted_bipred_idc = br.u(2);
+  pps.pic_init_qp = br.se() + 26;
+  pps.pic_init_qs = br.se() + 26;
+  pps.chroma_qp_index_offset = br.se();
+  pps.deblocking_filter_control_present = br.u1();
+  pps.constrained_intra_pred = br.u1();
+  pps.redundant_pic_cnt_present = br.u1();
+  pps.second_chroma_qp_index_offset = pps.chroma_qp_index_offset;
+  if (br.more_rbsp_data()) {
+    pps.transform_8x8_mode = br.u1();
+    pps.pic_scaling_matrix_present = br.u1();
+    if (pps.pic_scaling_matrix_present) {
+      err = "pic scaling matrices not supported yet";
+      return false;
+    }
+    pps.second_chroma_qp_index_offset = br.se();
+  }
+  if (br.error()) {
+    err = "PPS parse overrun";
+    return false;
+  }
+  pps.valid = true;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder context
+// ---------------------------------------------------------------------------
+
+struct MbState {
+  uint8_t kind = MB_P_SKIP;
+  uint8_t intra = 0;
+  uint8_t is_i4x4 = 0;
+  uint8_t nnz[24];       // CAVLC contexts: 16 luma + 4 Cb + 4 Cr
+  int8_t i4_modes[16];   // raster order
+  int16_t mv[16][2];     // L0, per 4x4 raster
+  int8_t refidx[4];      // L0, per 8x8
+  int16_t mv1[16][2];    // L1
+  int8_t refidx1[4];
+  int slice_id = -1;
+  int8_t qp = 0;
+  uint8_t transform8x8 = 0;
+};
+
+struct RefPic {
+  int span_index = -1;   // frame index within the current decode span
+  int frame_num = 0;
+  int pic_num = 0;       // derived each slice
+  int poc = 0;
+  bool long_term = false;
+  int long_term_idx = 0;
+};
+
+struct Ctx {
+  std::map<int, SPS> sps_map;
+  std::map<int, PPS> pps_map;
+  SPS sps;  // active
+  PPS pps;  // active
+  bool have_active = false;
+  int nal_length_size = 4;
+
+  // current picture state
+  std::vector<MbState> mbs;
+  int mb_width = 0, mb_height = 0, n_mbs = 0;
+  int cur_slice_id = 0;
+  int qp_prev = 26;
+
+  // DPB (short-term refs, decode order, most recent first)
+  std::vector<RefPic> dpb;
+  int prev_frame_num = 0;
+  int prev_poc_msb = 0, prev_poc_lsb = 0;
+  int frame_num_offset = 0;
+
+  std::string err;
+  bool trace = false;
+};
+
+inline int mb_x(const Ctx& c, int mb) { return mb % c.mb_width; }
+inline int mb_y(const Ctx& c, int mb) { return mb / c.mb_width; }
+
+// Neighbor MB address or -1 (picture bounds + slice bounds).
+int nb_mb(const Ctx& c, int mb, int dx, int dy, bool same_slice = true) {
+  int x = mb_x(c, mb) + dx;
+  int y = mb_y(c, mb) + dy;
+  if (x < 0 || x >= c.mb_width || y < 0 || y >= c.mb_height) return -1;
+  int n = y * c.mb_width + x;
+  if (n >= mb) return -1;  // not yet decoded (raster order)
+  if (same_slice && c.mbs[n].slice_id != c.mbs[mb].slice_id) return -1;
+  return n;
+}
+
+// CAVLC nC for luma 4x4 block `blk` (raster 0..15) of MB `mb`.
+int luma_nc(const Ctx& c, int mb, int blk) {
+  int bx = blk & 3, by = blk >> 2;
+  int nA = -1, nB = -1;
+  // left
+  if (bx > 0) {
+    nA = c.mbs[mb].nnz[by * 4 + bx - 1];
+  } else {
+    int n = nb_mb(c, mb, -1, 0);
+    if (n >= 0) nA = c.mbs[n].nnz[by * 4 + 3];
+  }
+  // top
+  if (by > 0) {
+    nB = c.mbs[mb].nnz[(by - 1) * 4 + bx];
+  } else {
+    int n = nb_mb(c, mb, 0, -1);
+    if (n >= 0) nB = c.mbs[n].nnz[3 * 4 + bx];
+  }
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+// CAVLC nC for chroma AC block (comp 0/1, blk 0..3 in 2x2 raster).
+int chroma_nc(const Ctx& c, int mb, int comp, int blk) {
+  int bx = blk & 1, by = blk >> 1;
+  int base = 16 + comp * 4;
+  int nA = -1, nB = -1;
+  if (bx > 0) {
+    nA = c.mbs[mb].nnz[base + by * 2];
+  } else {
+    int n = nb_mb(c, mb, -1, 0);
+    if (n >= 0) nA = c.mbs[n].nnz[base + by * 2 + 1];
+  }
+  if (by > 0) {
+    nB = c.mbs[mb].nnz[base + bx];
+  } else {
+    int n = nb_mb(c, mb, 0, -1);
+    if (n >= 0) nB = c.mbs[n].nnz[base + 2 + bx];
+  }
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+// Intra 4x4 mode prediction (spec 8.3.1.1).
+int predict_intra4x4_mode(const Ctx& c, int mb, int blk) {
+  int bx = blk & 3, by = blk >> 2;
+  int modeA = -1, modeB = -1;
+  // left block
+  {
+    int n = mb, b = -1;
+    if (bx > 0) {
+      b = by * 4 + bx - 1;
+    } else {
+      n = nb_mb(c, mb, -1, 0);
+      if (n >= 0) b = by * 4 + 3;
+    }
+    if (n >= 0 && b >= 0) {
+      const MbState& m = c.mbs[n];
+      modeA = m.is_i4x4 ? m.i4_modes[b] : 2;  // non-I4x4 neighbor counts DC
+      if (c.pps.constrained_intra_pred && !m.intra) modeA = -1;
+    }
+  }
+  // top block
+  {
+    int n = mb, b = -1;
+    if (by > 0) {
+      b = (by - 1) * 4 + bx;
+    } else {
+      n = nb_mb(c, mb, 0, -1);
+      if (n >= 0) b = 3 * 4 + bx;
+    }
+    if (n >= 0 && b >= 0) {
+      const MbState& m = c.mbs[n];
+      modeB = m.is_i4x4 ? m.i4_modes[b] : 2;
+      if (c.pps.constrained_intra_pred && !m.intra) modeB = -1;
+    }
+  }
+  if (modeA < 0 || modeB < 0) return 2;  // DC
+  return modeA < modeB ? modeA : modeB;
+}
+
+
+// Neighbor availability bits for the device recon:
+// bit0..3: intra-pred availability of left/top/topright/topleft
+// (slice-bounded; constrained_intra_pred-aware), bit4/5: left/top MB in
+// same slice (for deblock disable_idc==2).
+uint8_t avail_bits(const Ctx& c, int mb) {
+  uint8_t bits = 0;
+  struct { int dx, dy; } nbs[4] = {{-1, 0}, {0, -1}, {1, -1}, {-1, -1}};
+  for (int i = 0; i < 4; i++) {
+    int n = nb_mb(c, mb, nbs[i].dx, nbs[i].dy);
+    if (n >= 0 && (!c.pps.constrained_intra_pred || c.mbs[n].intra))
+      bits |= (1 << i);
+  }
+  if (nb_mb(c, mb, -1, 0) >= 0) bits |= (1 << 4);
+  if (nb_mb(c, mb, 0, -1) >= 0) bits |= (1 << 5);
+  return bits;
+}
+
+// ---------------------------------------------------------------------------
+// Motion vector prediction (spec 8.4.1.3)
+// ---------------------------------------------------------------------------
+
+struct NbMv {
+  bool avail = false;
+  int16_t mv[2] = {0, 0};
+  int8_t ref = -1;
+};
+
+// Fetch the MV/ref of the 4x4 block at (x4,y4) in units of 4x4 blocks from
+// MB-grid origin of `mb`; dx4,dy4 may reach into neighbor MBs.
+NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4) {
+  NbMv r;
+  int dmbx = 0, dmby = 0;
+  while (x4 < 0) { x4 += 4; dmbx--; }
+  while (x4 > 3) { x4 -= 4; dmbx++; }
+  while (y4 < 0) { y4 += 4; dmby--; }
+  while (y4 > 3) { y4 -= 4; dmby++; }
+  int n = (dmbx == 0 && dmby == 0) ? mb : nb_mb(c, mb, dmbx, dmby);
+  if (n < 0) return r;
+  const MbState& m = c.mbs[n];
+  if (m.intra) {
+    r.avail = true;  // available but intra: ref=-1, mv=0 (spec: not "available
+                     // for prediction" — treated as ref -1 mv 0)
+    return r;
+  }
+  r.avail = true;
+  r.mv[0] = m.mv[y4 * 4 + x4][0];
+  r.mv[1] = m.mv[y4 * 4 + x4][1];
+  r.ref = m.refidx[(y4 >> 1) * 2 + (x4 >> 1)];
+  return r;
+}
+
+// Median MV predictor for a partition at 4x4 coords (x4,y4), size
+// (w4,h4) in 4x4 units, with target ref index.
+void predict_mv(const Ctx& c, int mb, int x4, int y4, int w4, int h4, int ref,
+                int16_t out[2]) {
+  NbMv A = fetch_mv(c, mb, x4 - 1, y4);            // left
+  NbMv B = fetch_mv(c, mb, x4, y4 - 1);            // top
+  NbMv C = fetch_mv(c, mb, x4 + w4, y4 - 1);       // top-right
+  if (!C.avail) C = fetch_mv(c, mb, x4 - 1, y4 - 1);  // fall back to top-left
+
+  // Special directional rules (8.4.1.3.1)
+  if (w4 == 4 && h4 == 2) {  // 16x8
+    if (y4 == 0 && B.avail && B.ref == ref) {
+      out[0] = B.mv[0]; out[1] = B.mv[1];
+      return;
+    }
+    if (y4 == 2 && A.avail && A.ref == ref) {
+      out[0] = A.mv[0]; out[1] = A.mv[1];
+      return;
+    }
+  } else if (w4 == 2 && h4 == 4) {  // 8x16
+    if (x4 == 0 && A.avail && A.ref == ref) {
+      out[0] = A.mv[0]; out[1] = A.mv[1];
+      return;
+    }
+    if (x4 == 2 && C.avail && C.ref == ref) {
+      out[0] = C.mv[0]; out[1] = C.mv[1];
+      return;
+    }
+  }
+
+  int match = 0;
+  const NbMv* only = nullptr;
+  for (const NbMv* p : {&A, &B, &C}) {
+    if (p->avail && p->ref == ref) {
+      match++;
+      only = p;
+    }
+  }
+  if (match == 1) {
+    out[0] = only->mv[0];
+    out[1] = only->mv[1];
+    return;
+  }
+  // If B and C are unavailable and A is available -> mvp = mvA
+  if (!B.avail && !C.avail && A.avail) {
+    out[0] = A.mv[0];
+    out[1] = A.mv[1];
+    return;
+  }
+  for (int k = 0; k < 2; k++) {
+    int a = A.mv[k], b = B.mv[k], cc = C.mv[k];
+    int mx = std::max(a, std::max(b, cc));
+    int mn = std::min(a, std::min(b, cc));
+    out[k] = (int16_t)(a + b + cc - mx - mn);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Slice + MB decode
+// ---------------------------------------------------------------------------
+
+struct SliceCtx {
+  SliceHeader sh;
+  std::vector<RefPic> list0;  // resolved reference list for this slice
+};
+
+struct FrameOutView {
+  // pointers into GopOut for the current frame (mb-indexed)
+  GopOut* g = nullptr;
+  int f = 0;
+  int n_mbs = 0;
+  uint8_t* mb_kind(int mb) { return g->mb_kind + (size_t)f * n_mbs + mb; }
+};
+
+static const uint8_t kChromaQpMap[22] = {29, 30, 31, 32, 32, 33, 34, 34,
+                                         35, 35, 36, 36, 37, 37, 37, 38,
+                                         38, 38, 39, 39, 39, 39};
+
+bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
+                     GopOut* out, int fidx) {
+  const size_t base = (size_t)fidx * c.n_mbs + mb;
+  MbState& M = c.mbs[mb];
+  M.slice_id = c.cur_slice_id;
+  memset(M.nnz, 0, sizeof(M.nnz));
+  memset(M.mv, 0, sizeof(M.mv));
+  memset(M.mv1, 0, sizeof(M.mv1));
+  memset(M.refidx, -1, sizeof(M.refidx));
+  memset(M.refidx1, -1, sizeof(M.refidx1));
+  M.intra = 0;
+  M.is_i4x4 = 0;
+
+  bool is_p = sc.sh.slice_type == SLICE_P;
+  int raw_type = br.ue();
+  if (br.error()) {
+    c.err = "mb_type overrun";
+    return false;
+  }
+  int mb_type = raw_type;
+  if (is_p) {
+    if (mb_type >= 5) {
+      mb_type -= 5;  // intra types in P slice
+    } else {
+      mb_type += 100;  // tag inter types as 100+x
+    }
+  }
+
+  int16_t scan_buf[16];
+  int num_ref = sc.sh.num_ref_idx_l0_active;
+
+  // ----- inter MBs (P) -----
+  if (mb_type >= 100) {
+    int pt = mb_type - 100;  // 0:16x16 1:16x8 2:8x16 3:8x8 4:8x8ref0
+    M.kind = MB_INTER;
+    int nparts;
+    int pw4, ph4;  // partition size in 4x4 units
+    switch (pt) {
+      case 0: nparts = 1; pw4 = 4; ph4 = 4; break;
+      case 1: nparts = 2; pw4 = 4; ph4 = 2; break;
+      case 2: nparts = 2; pw4 = 2; ph4 = 4; break;
+      default: nparts = 4; pw4 = 2; ph4 = 2; break;
+    }
+    int sub_type[4] = {0, 0, 0, 0};  // for 8x8: 0:8x8 1:8x4 2:4x8 3:4x4
+    if (pt == 3 || pt == 4) {
+      for (int i = 0; i < 4; i++) {
+        sub_type[i] = br.ue();
+        if (sub_type[i] > 3 || br.error()) {
+          c.err = "bad sub_mb_type";
+          return false;
+        }
+      }
+    }
+    // ref indices
+    int refs[4] = {0, 0, 0, 0};
+    bool ref0_only = (pt == 4);
+    if (!ref0_only && num_ref > 1) {
+      for (int i = 0; i < nparts; i++) {
+        refs[i] = br.te(num_ref - 1);
+        if ((int)refs[i] >= num_ref || br.error()) {
+          c.err = "bad ref_idx";
+          return false;
+        }
+      }
+    }
+    // assign refidx per 8x8 before MV prediction (prediction uses refs)
+    if (pt == 0) {
+      for (int i = 0; i < 4; i++) M.refidx[i] = (int8_t)refs[0];
+    } else if (pt == 1) {  // 16x8: parts (top, bottom)
+      M.refidx[0] = M.refidx[1] = (int8_t)refs[0];
+      M.refidx[2] = M.refidx[3] = (int8_t)refs[1];
+    } else if (pt == 2) {  // 8x16: parts (left, right)
+      M.refidx[0] = M.refidx[2] = (int8_t)refs[0];
+      M.refidx[1] = M.refidx[3] = (int8_t)refs[1];
+    } else {
+      for (int i = 0; i < 4; i++) M.refidx[i] = (int8_t)refs[i];
+    }
+    // mvd + MV reconstruction, partition by partition in decode order
+    auto set_mv_block = [&](int x4, int y4, int w4, int h4, int ref) {
+      int16_t mvp[2];
+      predict_mv(c, mb, x4, y4, w4, h4, ref, mvp);
+      int mvd_x = br.se();
+      int mvd_y = br.se();
+      int16_t vx = (int16_t)(mvp[0] + mvd_x);
+      int16_t vy = (int16_t)(mvp[1] + mvd_y);
+      for (int yy = y4; yy < y4 + h4; yy++)
+        for (int xx = x4; xx < x4 + w4; xx++) {
+          M.mv[yy * 4 + xx][0] = vx;
+          M.mv[yy * 4 + xx][1] = vy;
+        }
+    };
+    if (pt == 0) {
+      set_mv_block(0, 0, 4, 4, refs[0]);
+    } else if (pt == 1) {
+      set_mv_block(0, 0, 4, 2, refs[0]);
+      set_mv_block(0, 2, 4, 2, refs[1]);
+    } else if (pt == 2) {
+      set_mv_block(0, 0, 2, 4, refs[0]);
+      set_mv_block(2, 0, 2, 4, refs[1]);
+    } else {
+      for (int i = 0; i < 4; i++) {
+        int bx = (i & 1) * 2, by = (i >> 1) * 2;
+        switch (sub_type[i]) {
+          case 0: set_mv_block(bx, by, 2, 2, refs[i]); break;
+          case 1:
+            set_mv_block(bx, by, 2, 1, refs[i]);
+            set_mv_block(bx, by + 1, 2, 1, refs[i]);
+            break;
+          case 2:
+            set_mv_block(bx, by, 1, 2, refs[i]);
+            set_mv_block(bx + 1, by, 1, 2, refs[i]);
+            break;
+          case 3:
+            for (int j = 0; j < 4; j++)
+              set_mv_block(bx + (j & 1), by + (j >> 1), 1, 1, refs[i]);
+            break;
+        }
+      }
+    }
+    if (br.error()) {
+      c.err = "mvd overrun";
+      return false;
+    }
+  } else if (mb_type == 0) {
+    // ----- I_4x4 -----
+    M.kind = MB_I4x4;
+    M.intra = 1;
+    M.is_i4x4 = 1;
+    for (int blk = 0; blk < 16; blk++) {
+      // decode order is the standard 4x4 block order (zigzag of 8x8 quads);
+      // we iterate in that order but store raster.
+      static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+                                             8, 9, 12, 13, 10, 11, 14, 15};
+      int rblk = dec2raster[blk];
+      int pred = predict_intra4x4_mode(c, mb, rblk);
+      int mode;
+      if (br.u1()) {
+        mode = pred;
+      } else {
+        int rem = br.u(3);
+        mode = rem < pred ? rem : rem + 1;
+      }
+      M.i4_modes[rblk] = (int8_t)mode;
+    }
+    int cm = br.ue();
+    if (cm > 3 || br.error()) {
+      c.err = "bad chroma mode";
+      return false;
+    }
+    out->chroma_mode[base] = (int8_t)cm;
+  } else if (mb_type <= 24) {
+    // ----- I_16x16 -----
+    M.kind = MB_I16x16;
+    M.intra = 1;
+    int t = mb_type - 1;
+    out->i16_mode[base] = (int8_t)(t % 4);
+    int cbp_chroma = (t / 4) % 3;
+    int cbp_luma = (t / 12) ? 15 : 0;
+    out->cbp[base] = (uint8_t)(cbp_luma | (cbp_chroma << 4));
+    int cm = br.ue();
+    if (cm > 3 || br.error()) {
+      c.err = "bad chroma mode (i16)";
+      return false;
+    }
+    out->chroma_mode[base] = (int8_t)cm;
+  } else if (mb_type == 25) {
+    // ----- I_PCM -----
+    M.kind = MB_IPCM;
+    M.intra = 1;
+    br.byte_align();
+    uint8_t* dst = out->ipcm + base * 384;
+    for (int i = 0; i < 384; i++) dst[i] = (uint8_t)br.u(8);
+    if (br.error()) {
+      c.err = "ipcm overrun";
+      return false;
+    }
+    for (int i = 0; i < 24; i++) M.nnz[i] = 16;
+    M.qp = (int8_t)c.qp_prev;
+    out->mb_kind[base] = M.kind;
+    out->qp[base] = M.qp;
+    memcpy(out->nnz + base * 24, M.nnz, 24);
+    return true;
+  } else {
+    c.err = "invalid mb_type " + std::to_string(raw_type);
+    return false;
+  }
+
+  // ----- coded_block_pattern -----
+  int cbp;
+  if (M.kind == MB_I16x16) {
+    cbp = out->cbp[base];
+  } else {
+    int code = br.ue();
+    if (code > 47 || br.error()) {
+      c.err = "bad cbp code";
+      return false;
+    }
+    cbp = kCbpTable[code][M.intra ? 0 : 1];
+    out->cbp[base] = (uint8_t)cbp;
+  }
+  int cbp_luma = cbp & 15;
+  int cbp_chroma = (cbp >> 4) & 3;
+
+  // ----- mb_qp_delta -----
+  if (cbp != 0 || M.kind == MB_I16x16) {
+    int delta = br.se();
+    if (delta < -26 || delta > 25 || br.error()) {
+      c.err = "bad mb_qp_delta";
+      return false;
+    }
+    c.qp_prev = (c.qp_prev + delta + 52) % 52;
+  }
+  M.qp = (int8_t)c.qp_prev;
+
+  // ----- residuals (CAVLC) -----
+  if (M.kind == MB_I16x16) {
+    // luma DC: 16 coeffs, nC from block 0 context
+    int nc = luma_nc(c, mb, 0);
+    int tc = decode_residual_block(br, nc, 16, scan_buf);
+    if (tc < 0) {
+      c.err = "luma DC residual error";
+      return false;
+    }
+    int16_t* dst = out->luma_dc + base * 16;
+    for (int i = 0; i < 16; i++) dst[kZigzag4x4[i]] = scan_buf[i];
+  }
+  // luma AC / 4x4 blocks, in standard decode order over 8x8 quads
+  static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+                                         8, 9, 12, 13, 10, 11, 14, 15};
+  for (int b8 = 0; b8 < 4; b8++) {
+    if (!(cbp_luma & (1 << b8))) continue;
+    for (int b4 = 0; b4 < 4; b4++) {
+      int rblk = dec2raster[b8 * 4 + b4];
+      int nc = luma_nc(c, mb, rblk);
+      int max_coeff = 16, start = 0;
+      if (M.kind == MB_I16x16) {
+        max_coeff = 15;
+        start = 1;
+      }
+      int tc = decode_residual_block(br, nc, max_coeff, scan_buf);
+      if (tc < 0) {
+        c.err = "luma AC residual error";
+        return false;
+      }
+      M.nnz[rblk] = (uint8_t)tc;
+      int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
+      for (int i = 0; i < max_coeff; i++)
+        dst[kZigzag4x4[i + start]] = scan_buf[i];
+    }
+  }
+  // chroma DC (2x2 per component) when any chroma coded
+  if (cbp_chroma) {
+    for (int comp = 0; comp < 2; comp++) {
+      int tc = decode_residual_block(br, -1, 4, scan_buf);
+      if (tc < 0) {
+        c.err = "chroma DC residual error";
+        return false;
+      }
+      int16_t* dst = out->chroma_dc + (base * 2 + comp) * 4;
+      for (int i = 0; i < 4; i++) dst[i] = scan_buf[i];  // scan == raster
+    }
+  }
+  // chroma AC
+  if (cbp_chroma == 2) {
+    for (int comp = 0; comp < 2; comp++) {
+      for (int blk = 0; blk < 4; blk++) {
+        int nc = chroma_nc(c, mb, comp, blk);
+        int tc = decode_residual_block(br, nc, 15, scan_buf);
+        if (tc < 0) {
+          c.err = "chroma AC residual error";
+          return false;
+        }
+        M.nnz[16 + comp * 4 + blk] = (uint8_t)tc;
+        int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
+        for (int i = 0; i < 15; i++) dst[kZigzag4x4[i + 1]] = scan_buf[i];
+      }
+    }
+  }
+
+  out->mb_kind[base] = M.kind;
+  out->qp[base] = M.qp;
+  memcpy(out->nnz + base * 24, M.nnz, 24);
+  if (M.kind == MB_I4x4)
+    memcpy(out->i4_modes + base * 16, M.i4_modes, 16);
+  if (!M.intra) {
+    memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
+    memcpy(out->refidx + base * 4, M.refidx, 4);
+  }
+  return true;
+}
+
+// P_Skip MV derivation (spec 8.4.1.1).
+void derive_pskip(Ctx& c, int mb, GopOut* out, int fidx) {
+  const size_t base = (size_t)fidx * c.n_mbs + mb;
+  MbState& M = c.mbs[mb];
+  M.slice_id = c.cur_slice_id;
+  M.kind = MB_P_SKIP;
+  M.intra = 0;
+  M.is_i4x4 = 0;
+  memset(M.nnz, 0, sizeof(M.nnz));
+  for (int i = 0; i < 4; i++) M.refidx[i] = 0;
+  NbMv A = fetch_mv(c, mb, -1, 0);
+  NbMv B = fetch_mv(c, mb, 0, -1);
+  int16_t v[2] = {0, 0};
+  bool zero = !A.avail || !B.avail ||
+              (A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
+              (B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
+  if (!zero) predict_mv(c, mb, 0, 0, 4, 4, 0, v);
+  for (int i = 0; i < 16; i++) {
+    M.mv[i][0] = v[0];
+    M.mv[i][1] = v[1];
+  }
+  M.qp = (int8_t)c.qp_prev;
+  out->mb_kind[base] = MB_P_SKIP;
+  out->qp[base] = M.qp;
+  memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
+  memcpy(out->refidx + base * 4, M.refidx, 4);
+  memset(out->nnz + base * 24, 0, 24);
+}
+
+// ---------------------------------------------------------------------------
+// Slice header + reference list machinery
+// ---------------------------------------------------------------------------
+
+bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
+                        SliceHeader& sh) {
+  sh.is_idr = idr;
+  sh.nal_ref_idc = nal_ref_idc;
+  sh.first_mb_in_slice = br.ue();
+  int st = br.ue();
+  if (st > 9) {
+    c.err = "bad slice_type";
+    return false;
+  }
+  sh.slice_type = st % 5;
+  sh.pic_parameter_set_id = br.ue();
+  auto pit = c.pps_map.find(sh.pic_parameter_set_id);
+  if (pit == c.pps_map.end()) {
+    c.err = "unknown PPS id";
+    return false;
+  }
+  c.pps = pit->second;
+  auto sit = c.sps_map.find(c.pps.seq_parameter_set_id);
+  if (sit == c.sps_map.end()) {
+    c.err = "unknown SPS id";
+    return false;
+  }
+  c.sps = sit->second;
+  c.have_active = true;
+
+  if (sh.slice_type == SLICE_B && c.pps.entropy_coding_mode == false) {
+    // fallthrough; B handled by caller capability checks
+  }
+  sh.frame_num = br.u(c.sps.log2_max_frame_num);
+  if (idr) sh.idr_pic_id = br.ue();
+  if (c.sps.pic_order_cnt_type == 0) {
+    sh.pic_order_cnt_lsb = br.u(c.sps.log2_max_poc_lsb);
+    if (c.pps.bottom_field_pic_order_in_frame_present)
+      sh.delta_pic_order_cnt_bottom = br.se();
+  } else if (c.sps.pic_order_cnt_type == 1 &&
+             !c.sps.delta_pic_order_always_zero) {
+    sh.delta_pic_order_cnt[0] = br.se();
+    if (c.pps.bottom_field_pic_order_in_frame_present)
+      sh.delta_pic_order_cnt[1] = br.se();
+  }
+  if (c.pps.redundant_pic_cnt_present) br.ue();
+  if (sh.slice_type == SLICE_B) br.u1();  // direct_spatial_mv_pred
+  sh.num_ref_idx_l0_active = c.pps.num_ref_idx_l0_default;
+  sh.num_ref_idx_l1_active = c.pps.num_ref_idx_l1_default;
+  if (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP ||
+      sh.slice_type == SLICE_B) {
+    if (br.u1()) {  // num_ref_idx_active_override
+      sh.num_ref_idx_l0_active = br.ue() + 1;
+      if (sh.slice_type == SLICE_B) sh.num_ref_idx_l1_active = br.ue() + 1;
+    }
+    // ref_pic_list_modification (l0)
+    if (br.u1()) {
+      while (true) {
+        int idc = br.ue();
+        if (idc == 3) break;
+        if (idc > 3 || br.error()) {
+          c.err = "bad ref list modification";
+          return false;
+        }
+        sh.ref_list_mod_l0.push_back({idc, br.ue()});
+      }
+    }
+    if (sh.slice_type == SLICE_B && br.u1()) {
+      while (true) {
+        int idc = br.ue();
+        if (idc == 3) break;
+        if (idc > 3 || br.error()) {
+          c.err = "bad ref list modification l1";
+          return false;
+        }
+        sh.ref_list_mod_l1.push_back({idc, br.ue()});
+      }
+    }
+  }
+  if ((c.pps.weighted_pred &&
+       (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP)) ||
+      (c.pps.weighted_bipred_idc == 1 && sh.slice_type == SLICE_B)) {
+    c.err = "weighted prediction tables not supported (encode with weightp=0)";
+    return false;
+  }
+  if (nal_ref_idc != 0) {
+    if (idr) {
+      sh.no_output_of_prior_pics = br.u1();
+      sh.long_term_reference_flag = br.u1();
+      if (sh.long_term_reference_flag) {
+        c.err = "long-term references not supported";
+        return false;
+      }
+    } else {
+      sh.adaptive_ref_pic_marking = br.u1();
+      if (sh.adaptive_ref_pic_marking) {
+        while (true) {
+          int op = br.ue();
+          if (op == 0) break;
+          uint32_t v1 = 0, v2 = 0;
+          if (op == 1 || op == 3) v1 = br.ue();
+          if (op == 2) v1 = br.ue();
+          if (op == 3 || op == 6) v2 = br.ue();
+          if (op == 4) v1 = br.ue();
+          if (op > 6 || br.error()) {
+            c.err = "bad MMCO op";
+            return false;
+          }
+          if (op != 1) {
+            c.err = "MMCO op " + std::to_string(op) + " not supported";
+            return false;
+          }
+          sh.mmco_ops.push_back({op, {v1, v2}});
+        }
+      }
+    }
+  }
+  if (c.pps.entropy_coding_mode && sh.slice_type != SLICE_I)
+    sh.cabac_init_idc = br.ue();
+  sh.slice_qp = c.pps.pic_init_qp + br.se();
+  if (sh.slice_type == SLICE_SP || sh.slice_type == SLICE_SI) {
+    c.err = "SP/SI slices not supported";
+    return false;
+  }
+  if (c.pps.deblocking_filter_control_present) {
+    sh.disable_deblocking_filter_idc = br.ue();
+    if (sh.disable_deblocking_filter_idc != 1) {
+      sh.slice_alpha_c0_offset = br.se() * 2;
+      sh.slice_beta_offset = br.se() * 2;
+    }
+  }
+  if (br.error()) {
+    c.err = "slice header overrun";
+    return false;
+  }
+  return true;
+}
+
+// Build reference list L0 for a P slice (spec 8.2.4.2.1 + 8.2.4.3).
+bool build_ref_list_p(Ctx& c, SliceHeader& sh, std::vector<RefPic>& list0) {
+  // derive pic_num for each short-term ref
+  int max_frame_num = 1 << c.sps.log2_max_frame_num;
+  for (auto& r : c.dpb) {
+    r.pic_num = r.frame_num > sh.frame_num ? r.frame_num - max_frame_num
+                                           : r.frame_num;
+  }
+  // initial list: descending pic_num
+  list0 = c.dpb;
+  std::sort(list0.begin(), list0.end(),
+            [](const RefPic& a, const RefPic& b) { return a.pic_num > b.pic_num; });
+  // apply modifications
+  if (!sh.ref_list_mod_l0.empty()) {
+    int pic_num_pred = sh.frame_num;
+    size_t refIdx = 0;
+    std::vector<RefPic> l = list0;
+    if ((int)l.size() < sh.num_ref_idx_l0_active) l.resize(sh.num_ref_idx_l0_active);
+    for (auto& [idc, val] : sh.ref_list_mod_l0) {
+      if (idc == 0 || idc == 1) {
+        int abs_diff = (int)val + 1;
+        int pred = pic_num_pred;
+        int pic_num = idc == 0 ? pred - abs_diff : pred + abs_diff;
+        if (pic_num < 0) pic_num += max_frame_num;
+        if (pic_num >= max_frame_num) pic_num -= max_frame_num;
+        if (pic_num > sh.frame_num) pic_num -= max_frame_num;
+        pic_num_pred = pic_num;
+        // find the ref with this pic_num
+        RefPic target;
+        bool found = false;
+        for (auto& r : c.dpb)
+          if (r.pic_num == pic_num) {
+            target = r;
+            found = true;
+          }
+        if (!found) {
+          c.err = "ref list modification: pic_num not in DPB";
+          return false;
+        }
+        // shift and insert (8.2.4.3.1)
+        for (size_t i = l.size() - 1; i > refIdx; i--) l[i] = l[i - 1];
+        l[refIdx++] = target;
+        // remove duplicates beyond
+        size_t nIdx = refIdx;
+        for (size_t i = refIdx; i < l.size(); i++) {
+          if (l[i].pic_num != pic_num || l[i].long_term) l[nIdx++] = l[i];
+        }
+        l.resize(std::max(nIdx, (size_t)sh.num_ref_idx_l0_active));
+      } else {
+        c.err = "long-term ref list modification not supported";
+        return false;
+      }
+    }
+    list0 = l;
+  }
+  if ((int)list0.size() < sh.num_ref_idx_l0_active) {
+    c.err = "DPB underflow: fewer refs than num_ref_idx_l0_active";
+    return false;
+  }
+  list0.resize(sh.num_ref_idx_l0_active);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Top-level context + GOP decode
+// ---------------------------------------------------------------------------
+
+bool parse_avcc(Ctx& c, const uint8_t* data, int len) {
+  if (len < 7 || data[0] != 1) {
+    c.err = "bad avcC record";
+    return false;
+  }
+  c.nal_length_size = (data[4] & 3) + 1;
+  int pos = 5;
+  int n_sps = data[pos++] & 0x1F;
+  for (int i = 0; i < n_sps; i++) {
+    if (pos + 2 > len) return false;
+    int l = (data[pos] << 8) | data[pos + 1];
+    pos += 2;
+    if (pos + l > len) return false;
+    auto rbsp = strip_ep(data + pos + 1, l - 1);  // skip NAL header byte
+    BitReader br(rbsp.data(), rbsp.size());
+    SPS sps;
+    if (!parse_sps(br, sps, c.err)) return false;
+    c.sps_map[sps.seq_parameter_set_id] = sps;
+    pos += l;
+  }
+  if (pos >= len) return n_sps > 0;
+  int n_pps = data[pos++];
+  for (int i = 0; i < n_pps; i++) {
+    if (pos + 2 > len) return false;
+    int l = (data[pos] << 8) | data[pos + 1];
+    pos += 2;
+    if (pos + l > len) return false;
+    auto rbsp = strip_ep(data + pos + 1, l - 1);
+    BitReader br(rbsp.data(), rbsp.size());
+    PPS pps;
+    if (!parse_pps(br, pps, c.err)) return false;
+    c.pps_map[pps.pic_parameter_set_id] = pps;
+    pos += l;
+  }
+  if (!c.sps_map.empty()) {
+    c.sps = c.sps_map.begin()->second;
+    c.have_active = true;
+    c.mb_width = c.sps.width_mbs();
+    c.mb_height = c.sps.height_mbs();
+    c.n_mbs = c.mb_width * c.mb_height;
+  }
+  return !c.sps_map.empty();
+}
+
+int poc_of_frame(Ctx& c, const SliceHeader& sh) {
+  // pic_order_cnt_type 0 (spec 8.2.1.1), frames only
+  if (c.sps.pic_order_cnt_type == 2) return 2 * sh.frame_num;
+  if (c.sps.pic_order_cnt_type == 1) {
+    // simplified: x264 rarely uses type 1; fall back to frame_num order
+    return 2 * sh.frame_num;
+  }
+  int max_lsb = 1 << c.sps.log2_max_poc_lsb;
+  if (sh.is_idr) {
+    c.prev_poc_msb = 0;
+    c.prev_poc_lsb = 0;
+  }
+  int poc_msb;
+  if (sh.pic_order_cnt_lsb < c.prev_poc_lsb &&
+      (c.prev_poc_lsb - sh.pic_order_cnt_lsb) >= max_lsb / 2) {
+    poc_msb = c.prev_poc_msb + max_lsb;
+  } else if (sh.pic_order_cnt_lsb > c.prev_poc_lsb &&
+             (sh.pic_order_cnt_lsb - c.prev_poc_lsb) > max_lsb / 2) {
+    poc_msb = c.prev_poc_msb - max_lsb;
+  } else {
+    poc_msb = c.prev_poc_msb;
+  }
+  if (sh.nal_ref_idc != 0) {
+    c.prev_poc_msb = poc_msb;
+    c.prev_poc_lsb = sh.pic_order_cnt_lsb;
+  }
+  return poc_msb + sh.pic_order_cnt_lsb;
+}
+
+bool decode_slice_data(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
+                       int fidx) {
+  c.qp_prev = sc.sh.slice_qp;
+  int mb = sc.sh.first_mb_in_slice;
+  bool is_p = sc.sh.slice_type == SLICE_P;
+  const size_t fbase = (size_t)fidx * c.n_mbs;
+
+  while (mb < c.n_mbs) {
+    if (is_p) {
+      int skip_run = br.ue();
+      if (br.error()) {
+        c.err = "skip_run overrun";
+        return false;
+      }
+      for (int s = 0; s < skip_run; s++) {
+        if (mb >= c.n_mbs) {
+          c.err = "skip_run past end of picture";
+          return false;
+        }
+        c.mbs[mb].slice_id = c.cur_slice_id;
+        derive_pskip(c, mb, out, fidx);
+        out->intra_pred_avail[fbase + mb] = avail_bits(c, mb);
+        // deblock metadata for skipped MBs too
+        out->deblock_idc[fbase + mb] = (uint8_t)sc.sh.disable_deblocking_filter_idc;
+        out->alpha_off[fbase + mb] = (int8_t)sc.sh.slice_alpha_c0_offset;
+        out->beta_off[fbase + mb] = (int8_t)sc.sh.slice_beta_offset;
+        mb++;
+      }
+      if (!br.more_rbsp_data()) break;
+      if (mb >= c.n_mbs) break;
+    }
+    if (!decode_mb_cavlc(c, br, sc, mb, out, fidx)) return false;
+    out->deblock_idc[fbase + mb] = (uint8_t)sc.sh.disable_deblocking_filter_idc;
+    out->alpha_off[fbase + mb] = (int8_t)sc.sh.slice_alpha_c0_offset;
+    out->beta_off[fbase + mb] = (int8_t)sc.sh.slice_beta_offset;
+    out->intra_pred_avail[fbase + mb] = avail_bits(c, mb);
+    mb++;
+    if (!is_p && !br.more_rbsp_data()) break;
+  }
+  return true;
+}
+
+}  // namespace
+
+struct PublicCtx {
+  Ctx c;
+  char errbuf[512] = {0};
+};
+
+}  // namespace hwh264
+
+using namespace hwh264;
+
+HW_API void* hw_h264_open(const uint8_t* avcc, int len, char* err,
+                          int err_cap) {
+  auto* p = new PublicCtx();
+  p->c.trace = getenv("HWANG_H264_TRACE") != nullptr;
+  if (!parse_avcc(p->c, avcc, len)) {
+    snprintf(err, err_cap, "avcC parse failed: %s", p->c.err.c_str());
+    delete p;
+    return nullptr;
+  }
+  return p;
+}
+
+HW_API void hw_h264_close(void* h) { delete static_cast<PublicCtx*>(h); }
+
+HW_API const char* hw_h264_error(void* h) {
+  return static_cast<PublicCtx*>(h)->errbuf;
+}
+
+HW_API int hw_h264_dims(void* h, int* mbw, int* mbh, int* crop) {
+  auto* p = static_cast<PublicCtx*>(h);
+  if (!p->c.have_active) return -1;
+  *mbw = p->c.mb_width;
+  *mbh = p->c.mb_height;
+  crop[0] = p->c.sps.crop_left * 2;
+  crop[1] = p->c.sps.crop_top * 2;
+  crop[2] = p->c.sps.crop_right * 2;
+  crop[3] = p->c.sps.crop_bottom * 2;
+  return 0;
+}
+
+HW_API int hw_h264_profile(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  return p->c.have_active ? p->c.sps.profile_idc : -1;
+}
+
+HW_API int hw_h264_chroma_qp_offset(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  if (p->c.pps_map.empty()) return 0;
+  return p->c.pps_map.begin()->second.chroma_qp_index_offset;
+}
+
+HW_API int hw_h264_is_cabac(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  if (p->c.pps_map.empty()) return -1;
+  return p->c.pps_map.begin()->second.entropy_coding_mode ? 1 : 0;
+}
+
+// Decode `n_samples` AVCC-framed access units into the SoA output.
+// `offsets`/`sizes` locate each sample inside `data`.  The first sample must
+// be an IDR.  Returns number of frames decoded, or -1 on error.
+HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
+                              const uint64_t* offsets, const uint64_t* sizes,
+                              int n_samples, GopOut* out) {
+  auto* p = static_cast<PublicCtx*>(h);
+  Ctx& c = p->c;
+  c.err.clear();
+  if (!c.have_active) {
+    snprintf(p->errbuf, sizeof(p->errbuf), "no SPS");
+    return -1;
+  }
+  c.dpb.clear();
+  c.prev_frame_num = -1;
+  c.prev_poc_msb = c.prev_poc_lsb = 0;
+  c.mbs.assign(c.n_mbs, MbState());
+
+  int fidx = 0;
+  for (int s = 0; s < n_samples; s++) {
+    const uint8_t* sample = data + offsets[s];
+    size_t size = sizes[s];
+    size_t pos = 0;
+    bool got_slice = false;
+    c.cur_slice_id = 0;
+    SliceHeader first_sh;
+
+    while (pos + c.nal_length_size <= size) {
+      uint64_t nal_len = 0;
+      for (int i = 0; i < c.nal_length_size; i++)
+        nal_len = (nal_len << 8) | sample[pos + i];
+      pos += c.nal_length_size;
+      if (nal_len == 0 || pos + nal_len > size) {
+        snprintf(p->errbuf, sizeof(p->errbuf),
+                 "bad NAL length %llu at sample %d",
+                 (unsigned long long)nal_len, s);
+        return -1;
+      }
+      int nal_ref_idc = (sample[pos] >> 5) & 3;
+      int nal_type = sample[pos] & 0x1F;
+      if (nal_type == 7 || nal_type == 8) {
+        auto rbsp = strip_ep(sample + pos + 1, nal_len - 1);
+        BitReader br(rbsp.data(), rbsp.size());
+        if (nal_type == 7) {
+          SPS sps;
+          if (!parse_sps(br, sps, c.err)) {
+            snprintf(p->errbuf, sizeof(p->errbuf), "SPS: %s", c.err.c_str());
+            return -1;
+          }
+          c.sps_map[sps.seq_parameter_set_id] = sps;
+        } else {
+          PPS pps;
+          if (!parse_pps(br, pps, c.err)) {
+            snprintf(p->errbuf, sizeof(p->errbuf), "PPS: %s", c.err.c_str());
+            return -1;
+          }
+          c.pps_map[pps.pic_parameter_set_id] = pps;
+        }
+      } else if (nal_type == 1 || nal_type == 5) {
+        auto rbsp = strip_ep(sample + pos + 1, nal_len - 1);
+        BitReader br(rbsp.data(), rbsp.size());
+        SliceCtx sc;
+        if (!parse_slice_header(c, br, nal_ref_idc, nal_type == 5, sc.sh)) {
+          snprintf(p->errbuf, sizeof(p->errbuf), "slice header (frame %d): %s",
+                   fidx, c.err.c_str());
+          return -1;
+        }
+        if (c.pps.entropy_coding_mode) {
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "CABAC streams not supported by the host entropy decoder yet");
+          return -1;
+        }
+        if (sc.sh.slice_type == SLICE_B) {
+          snprintf(p->errbuf, sizeof(p->errbuf), "B slices not supported yet");
+          return -1;
+        }
+        if (fidx == 0 && !sc.sh.is_idr) {
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "decode span must start at an IDR frame");
+          return -1;
+        }
+        if (!got_slice) {
+          // first slice of this access unit: frame-level bookkeeping
+          if (sc.sh.is_idr) c.dpb.clear();
+          out->frame_type[fidx] = (uint8_t)sc.sh.slice_type;
+          out->poc[fidx] = poc_of_frame(c, sc.sh);
+          first_sh = sc.sh;
+          got_slice = true;
+        }
+        c.cur_slice_id++;
+        for (int i = 0; i < 16; i++) out->ref_map[fidx * 16 + i] = -1;
+        if (sc.sh.slice_type == SLICE_P) {
+          if (!build_ref_list_p(c, sc.sh, sc.list0)) {
+            snprintf(p->errbuf, sizeof(p->errbuf), "ref list: %s",
+                     c.err.c_str());
+            return -1;
+          }
+          for (size_t i = 0; i < sc.list0.size() && i < 16; i++)
+            out->ref_map[fidx * 16 + i] = sc.list0[i].span_index;
+        }
+        if (!decode_slice_data(c, br, sc, out, fidx)) {
+          snprintf(p->errbuf, sizeof(p->errbuf), "slice data (frame %d): %s",
+                   fidx, c.err.c_str());
+          return -1;
+        }
+      }
+      pos += nal_len;
+    }
+
+    if (got_slice) {
+      // reference marking: sliding window (+ basic MMCO 1 already rejected
+      // at parse if unsupported)
+      if (first_sh.nal_ref_idc != 0) {
+        RefPic r;
+        r.span_index = fidx;
+        r.frame_num = first_sh.frame_num;
+        r.poc = out->poc[fidx];
+        c.dpb.insert(c.dpb.begin(), r);
+        int max_refs = c.sps.max_num_ref_frames > 0 ? c.sps.max_num_ref_frames : 1;
+        if ((int)c.dpb.size() > max_refs) c.dpb.resize(max_refs);
+      }
+      fidx++;
+      // reset per-picture MB state
+      c.mbs.assign(c.n_mbs, MbState());
+    }
+  }
+  return fidx;
+}
+
+// Table self-check hook (used by tests).
+HW_API int hw_h264_check_tables(void) {
+  // prefix-freeness of coeff_token tables
+  for (int t = 0; t < 3; t++) {
+    const Vlc(*tab)[17] =
+        t == 0 ? kCoeffToken0 : t == 1 ? kCoeffToken1 : kCoeffToken2;
+    std::vector<Vlc> v;
+    for (int to = 0; to < 4; to++)
+      for (int tc = 0; tc <= 16; tc++)
+        if (tab[to][tc].len) v.push_back(tab[to][tc]);
+    for (size_t i = 0; i < v.size(); i++)
+      for (size_t j = i + 1; j < v.size(); j++) {
+        int l = v[i].len < v[j].len ? v[i].len : v[j].len;
+        if ((v[i].bits >> (v[i].len - l)) == (v[j].bits >> (v[j].len - l)))
+          return -1;
+      }
+  }
+  return 0;
+}

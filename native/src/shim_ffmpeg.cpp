@@ -206,6 +206,7 @@ HW_API int hw_enc_write_rgb(void *handle, const uint8_t *rgb) {
   sws_scale(e->sws, src, src_stride, 0, e->height, e->yuv->data,
             e->yuv->linesize);
   e->yuv->pts = e->next_pts++;
+  e->yuv->pkt_duration = 1;
   return enc_write_packets(e, false);
 }
 
@@ -222,6 +223,7 @@ HW_API int hw_enc_write_yuv(void *handle, const uint8_t *y, const uint8_t *u,
     memcpy(e->yuv->data[2] + r * e->yuv->linesize[2], v + r * (w / 2), w / 2);
   }
   e->yuv->pts = e->next_pts++;
+  e->yuv->pkt_duration = 1;
   return enc_write_packets(e, false);
 }
 
@@ -461,7 +463,10 @@ struct HwOracle {
 HW_API void *hw_oracle_open(const char *path, int n_threads, char *err,
                             int err_cap) {
   auto *o = new HwOracle();
-  int ret = avformat_open_input(&o->fmt, path, nullptr, nullptr);
+  AVDictionary *demux_opts = nullptr;
+  av_dict_set(&demux_opts, "ignore_editlist", "1", 0);
+  int ret = avformat_open_input(&o->fmt, path, nullptr, &demux_opts);
+  av_dict_free(&demux_opts);
   if (ret < 0) {
     set_err(err, err_cap, "open_input: %s", av_errstr(ret).c_str());
     delete o;
@@ -535,6 +540,7 @@ HW_API int hw_oracle_next(void *handle, uint8_t *out, int fmt) {
         return -1;
       }
       if (o->pkt->stream_index == o->stream_index) {
+        o->pkt->flags &= ~AV_PKT_FLAG_DISCARD;
         ret = avcodec_send_packet(o->ctx, o->pkt);
         av_packet_unref(o->pkt);
         if (ret < 0) {

@@ -7,12 +7,18 @@ separately compile-checks the TPU path via __graft_entry__.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The TPU-VM image force-registers the axon TPU backend in sitecustomize
+# (jax is already imported by the time conftest runs), so selecting the
+# virtual CPU mesh needs a config update, not just JAX_PLATFORMS.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

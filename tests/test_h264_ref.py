@@ -1,0 +1,122 @@
+"""Host entropy decoder + numpy reference reconstruction vs libavcodec.
+
+These tests validate the full TPU-path front-end (CAVLC entropy decode)
+and the spec-faithful reconstruction model bit-exactly against the
+independent libavformat+libavcodec oracle on real x264 streams.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from hwang_tpu import index_video
+from hwang_tpu.models.h264.entropy import H264EntropyDecoder
+from hwang_tpu.models.h264.ref_recon import reconstruct_gop
+from hwang_tpu.native import get_lib
+from hwang_tpu.utils.fixtures import encode_video, oracle_decode_all, synth_frame
+
+
+def chroma_qp_offset(dec):
+    lib = get_lib()
+    lib.hw_h264_chroma_qp_offset.restype = ctypes.c_int
+    lib.hw_h264_chroma_qp_offset.argtypes = [ctypes.c_void_p]
+    return lib.hw_h264_chroma_qp_offset(dec._h)
+
+
+def decode_ours(path):
+    idx = index_video(path)
+    dec = H264EntropyDecoder(idx.metadata_bytes)
+    t = dec.decode_gop(
+        open(path, "rb").read(), idx.sample_offsets, idx.sample_sizes
+    )
+    return reconstruct_gop(t, chroma_qp_offset=chroma_qp_offset(dec))
+
+
+def assert_exact(path):
+    ours = decode_ours(path)
+    oracle = oracle_decode_all(path, fmt="yuv")
+    assert len(ours) == len(oracle)
+    for f, (a, b) in enumerate(zip(ours, oracle)):
+        for plane, (x, y) in enumerate(zip(a, b)):
+            d = np.abs(x.astype(int) - y.astype(int))
+            assert d.max() == 0, (
+                f"frame {f} plane {plane}: maxdiff {d.max()} "
+                f"ndiff {(d > 0).sum()}"
+            )
+
+
+def _mk(tmp_path, name, n, w, h, **kw):
+    p = str(tmp_path / f"{name}.mp4")
+    kw.setdefault("profile", "baseline")
+    encode_video(p, n, w, h, **kw)
+    return p
+
+
+def test_iframes_noisy(tmp_path):
+    p = _mk(tmp_path, "i", 5, 64, 64, gop_size=1, crf=23,
+            extra_opts="keyint=1:min-keyint=1:no-scenecut=1")
+    assert_exact(p)
+
+
+def test_iframes_odd_size(tmp_path):
+    p = _mk(tmp_path, "iodd", 3, 80, 48, gop_size=1, crf=28,
+            extra_opts="keyint=1:min-keyint=1:no-scenecut=1")
+    assert_exact(p)
+
+
+def test_pframes_motion(tmp_path):
+    p = _mk(tmp_path, "p", 8, 96, 64, gop_size=8, crf=24,
+            extra_opts="keyint=8:min-keyint=8:no-scenecut=1:ref=1")
+    assert_exact(p)
+
+
+def test_pframes_multiref(tmp_path):
+    p = _mk(tmp_path, "pref3", 8, 64, 64, gop_size=8, crf=24,
+            extra_opts="keyint=8:min-keyint=8:no-scenecut=1:ref=3")
+    assert_exact(p)
+
+
+def test_qp_ladder(tmp_path):
+    for crf in (18, 30, 38):
+        p = _mk(tmp_path, f"crf{crf}", 4, 64, 64, gop_size=4, crf=crf,
+                extra_opts="keyint=4:min-keyint=4:no-scenecut=1:ref=1")
+        assert_exact(p)
+
+
+def test_multiple_gops_as_spans(tmp_path):
+    """Each GOP decodes independently as its own span."""
+    p = _mk(tmp_path, "spans", 12, 64, 64, gop_size=4, crf=25,
+            extra_opts="keyint=4:min-keyint=4:no-scenecut=1:ref=1")
+    idx = index_video(p)
+    dec = H264EntropyDecoder(idx.metadata_bytes)
+    data = open(p, "rb").read()
+    oracle = oracle_decode_all(p, fmt="yuv")
+    cqo = chroma_qp_offset(dec)
+    for start in (0, 4, 8):
+        t = dec.decode_gop(
+            data, idx.sample_offsets[start : start + 4],
+            idx.sample_sizes[start : start + 4],
+        )
+        frames = reconstruct_gop(t, chroma_qp_offset=cqo)
+        for f in range(4):
+            for x, y in zip(frames[f], oracle[start + f]):
+                assert np.array_equal(x, y)
+
+
+def test_non_idr_span_start_rejected(tmp_path):
+    p = _mk(tmp_path, "nonidr", 8, 64, 64, gop_size=8, crf=25,
+            extra_opts="keyint=8:min-keyint=8:no-scenecut=1:ref=1")
+    idx = index_video(p)
+    dec = H264EntropyDecoder(idx.metadata_bytes)
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError, match="IDR"):
+        dec.decode_gop(data, idx.sample_offsets[3:5], idx.sample_sizes[3:5])
+
+
+def test_cabac_stream_rejected(tmp_path):
+    p = _mk(tmp_path, "cabac", 2, 64, 64, profile="main", gop_size=2, crf=25,
+            extra_opts="keyint=2:min-keyint=2:no-scenecut=1")
+    idx = index_video(p)
+    dec = H264EntropyDecoder(idx.metadata_bytes)
+    assert dec.is_cabac
