@@ -101,12 +101,15 @@ def luma_dc_transform(dc: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
 
 
 def chroma_dc_transform(dc: jnp.ndarray, qpc: jnp.ndarray) -> jnp.ndarray:
-    """Chroma DC: [..., 4] (2x2 raster) + [...] qpc -> [..., 2, 2]."""
+    """Chroma DC: [..., 4] (2x2 raster) + qpc broadcastable over the
+    leading dims -> [..., 2, 2]."""
     c = dc.astype(jnp.int32).reshape(dc.shape[:-1] + (2, 2))
     F = jnp.asarray(np.array([[1, 1], [1, -1]], np.int32))
     t = jnp.einsum("ij,...jk,kl->...il", F, c, F)
-    v = jnp.asarray(_V_TABLE)[qpc.astype(jnp.int32) % 6, 0][..., None, None]
-    qp6 = (qpc.astype(jnp.int32) // 6)[..., None, None]
+    extra = t.ndim - qpc.ndim
+    shape = qpc.shape + (1,) * extra
+    v = jnp.asarray(_V_TABLE)[qpc.astype(jnp.int32) % 6, 0].reshape(shape)
+    qp6 = (qpc.astype(jnp.int32) // 6).reshape(shape)
     return ((t * v) << qp6) >> 1
 
 
