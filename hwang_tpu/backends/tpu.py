@@ -1,0 +1,173 @@
+"""TPU decode backend: host entropy decode + on-device reconstruction.
+
+Replaces the reference's FFmpeg/NVDEC backends behind the same
+VideoDecoderInterface contract (video_decoder_interface.h:30-49).  Where
+those fed one packet at a time into a hardware pipeline, the TPU path is
+span-granular: fed samples are buffered; end-of-span (empty feed / flush)
+triggers one batched decode — sequential CAVLC on the host emitting SoA
+tensors, then `models/h264/recon.decode_gop` reconstructs every frame of
+the span on-device.
+
+The per-sample interface exists for DecoderAutomata parity; the
+high-performance path for batched multi-clip workloads is
+`TpuSpanDecoder.decode_span` / `pipeline.decode_clips`, which keeps
+frames device-resident (HBM) for the fused YUV->RGB/resize epilogue.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+from ..common import HwangError
+from .interface import FrameInfo, VideoDecoderInterface, codec_name_for_format
+
+# frame-count padding buckets: spans compile per bucket, not per length
+_F_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in _F_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+class TpuSpanDecoder:
+    """Span-level H.264 decoder for one stream geometry (one avcC)."""
+
+    def __init__(self, extradata: bytes, n_refs: int = 4):
+        from ..models.h264.entropy import H264EntropyDecoder
+
+        self.entropy = H264EntropyDecoder(extradata)
+        if self.entropy.is_cabac:
+            raise HwangError(
+                "TPU decode path supports CAVLC streams only (so far); "
+                "encode with profile=baseline or cabac=0, or use the "
+                "SOFTWARE backend"
+            )
+        self.n_refs = n_refs
+        self.mb_width = self.entropy.mb_width
+        self.mb_height = self.entropy.mb_height
+        self.crop = self.entropy.crop  # (left, top, right, bottom)
+
+    @property
+    def display_size(self) -> tuple[int, int]:
+        l, t, r, b = self.crop
+        return (
+            self.mb_width * 16 - l - r,
+            self.mb_height * 16 - t - b,
+        )
+
+    def decode_span(self, data, sample_offsets, sample_sizes):
+        """Decode one span; returns device YUV arrays (coded size):
+        (Y [F,H,W], U, V, n_frames)."""
+        from ..models.h264.recon_batched import (
+            decode_gop_batched,
+            stack_tensors,
+        )
+
+        t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
+        g = stack_tensors([t], _bucket(t.n_frames))
+        Ys, Us, Vs = decode_gop_batched(
+            g, self.mb_width, self.mb_height,
+            self.entropy.chroma_qp_offset, n_refs=self.n_refs,
+        )
+        return Ys[0], Us[0], Vs[0], t.n_frames
+
+
+class TpuVideoDecoder(VideoDecoderInterface):
+    """DecoderAutomata-compatible wrapper around TpuSpanDecoder."""
+
+    def __init__(self, output_format: str = "rgb", n_refs: int = 4):
+        if output_format not in ("rgb", "yuv420"):
+            raise ValueError(f"bad output_format {output_format}")
+        self._output_format = output_format
+        self._n_refs = n_refs
+        self._span: TpuSpanDecoder | None = None
+        self._pending: list[bytes] = []
+        self._queue: collections.deque[np.ndarray] = collections.deque()
+
+    def configure(self, info: FrameInfo, extradata: bytes) -> None:
+        codec = codec_name_for_format(info.format)
+        if codec != "h264":
+            raise HwangError(
+                f"TPU decode path supports H.264 only (got {codec}); use "
+                "the SOFTWARE backend for HEVC"
+            )
+        self._span = TpuSpanDecoder(extradata, n_refs=self._n_refs)
+        self._pending.clear()
+        self._queue.clear()
+
+    def feed(self, data: bytes, keyframe: bool) -> None:
+        if self._span is None:
+            raise HwangError("decoder not configured")
+        if data:
+            self._pending.append(bytes(data))
+        else:
+            self._decode_pending()
+
+    def flush(self) -> None:
+        if self._pending:
+            self._decode_pending()
+
+    def decoded_frames_buffered(self) -> int:
+        return len(self._queue)
+
+    def get_frame(self) -> np.ndarray:
+        if not self._queue:
+            raise HwangError("get_frame with no buffered frame")
+        return self._queue.popleft()
+
+    def discard_frame(self) -> None:
+        if not self._queue:
+            raise HwangError("discard_frame with no buffered frame")
+        self._queue.popleft()
+
+    def close(self) -> None:
+        self._pending.clear()
+        self._queue.clear()
+
+    # ------------------------------------------------------------------
+    def _decode_pending(self) -> None:
+        import jax.numpy as jnp
+
+        from ..ops.yuv import yuv420_to_rgb
+
+        if not self._pending:
+            return
+        span = self._span
+        sizes = np.array([len(s) for s in self._pending], np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.uint64)
+        blob = b"".join(self._pending)
+        self._pending.clear()
+
+        Ys, Us, Vs, n = span.decode_span(blob, offsets, sizes)
+        left, top, right, bottom = span.crop
+        W = span.mb_width * 16 - left - right
+        H = span.mb_height * 16 - top - bottom
+        if self._output_format == "rgb":
+            rgb = yuv420_to_rgb(Ys, Us, Vs)
+            rgb = rgb[:, top : top + H, left : left + W, :]
+            host = np.asarray(rgb[:n])
+            for f in range(n):
+                self._queue.append(host[f])
+        else:
+            # packed planar YUV at coded size cropped: emit Y then U,V
+            # (crop chroma at half res)
+            y = np.asarray(Ys[:n, top : top + H, left : left + W])
+            u = np.asarray(
+                Us[:n, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            )
+            v = np.asarray(
+                Vs[:n, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            )
+            for f in range(n):
+                self._queue.append(
+                    np.concatenate(
+                        [y[f].reshape(-1), u[f].reshape(-1), v[f].reshape(-1)]
+                    )
+                )

@@ -86,6 +86,10 @@ class Decoder:
         spans: list[EncodedData] = []
         kf_set = set(int(k) for k in vi.keyframe_indices)
         for (start, end), valid in intervals:
+            # Trim the span at the last requested frame: samples after it
+            # are never consumed (the reference's feeder also never reaches
+            # them — the retriever stops and the watermark blocks).
+            end = min(end, max(valid) + 1)
             start_off = int(vi.sample_offsets[start])
             last = end - 1
             end_off = int(vi.sample_offsets[last]) + int(vi.sample_sizes[last])

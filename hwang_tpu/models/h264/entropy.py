@@ -98,6 +98,8 @@ def _declare(lib):
         c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
         c.POINTER(c.c_uint64), c.c_int, c.POINTER(_GopOut),
     ]
+    lib.hw_h264_chroma_qp_offset.restype = c.c_int
+    lib.hw_h264_chroma_qp_offset.argtypes = [c.c_void_p]
     _declared = True
 
 
@@ -159,6 +161,7 @@ class H264EntropyDecoder:
         self.crop = tuple(crop)
         self.profile = self._lib.hw_h264_profile(self._h)
         self.is_cabac = self._lib.hw_h264_is_cabac(self._h) == 1
+        self.chroma_qp_offset = self._lib.hw_h264_chroma_qp_offset(self._h)
 
     def close(self):
         if self._h:

@@ -353,12 +353,10 @@ def _intra_stage(Y, U, V, fr, mb_w, mb_h, luma_res_blocks, luma_res_i16,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs")
-)
-def decode_gop(g: GopArrays, mb_w: int, mb_h: int, chroma_qp_offset: int,
-               n_refs: int = 4):
-    """Decode all frames of a span.  Returns (Y [F,H,W], U, V) uint8."""
+def decode_gop_core(g: GopArrays, mb_w: int, mb_h: int,
+                    chroma_qp_offset: int, n_refs: int = 4):
+    """Decode all frames of a span (unjitted core; vmap-able over a clip
+    batch).  Returns (Y [F,H,W], U, V) uint8."""
     F = g.mb_kind.shape[0]
     M = mb_w * mb_h
     H, W = mb_h * 16, mb_w * 16
@@ -453,3 +451,9 @@ def decode_gop(g: GopArrays, mb_w: int, mb_h: int, chroma_qp_offset: int,
         jnp.arange(F),
     )
     return Ys, Us, Vs
+
+
+decode_gop = jax.jit(
+    decode_gop_core,
+    static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs"),
+)

@@ -1,0 +1,527 @@
+"""Batched TPU H.264 GOP reconstruction — the production decode path.
+
+Same algorithm as recon.py but with the clip batch as a native leading
+dimension and tile-carried wavefront steps:
+
+  - every wavefront step gathers ONE bordered tile per active MB (per
+    clip), runs the full intra block sequence / deblock edge sequence on
+    in-register tiles with STATIC offsets, and scatters once — ~6 memory
+    ops per step instead of ~70, with B x diagonal-width MBs of work per
+    op (the VPU stays busy and the sequential-step overhead is amortized
+    across the whole clip batch);
+  - no jax.vmap: vmap-of-scan of this program miscompiles on the TPU
+    runtime (worker crash, empirically bisected), and the hand-batched
+    form is faster anyway.
+
+Bit-exactness contract unchanged: output == ref_recon == libavcodec
+(tests/test_jax_recon.py::test_batched_*).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import intra as ops_intra
+from ...ops import mc as ops_mc
+from ...ops.deblock import filter_lines_chroma, filter_lines_luma
+from ...ops.transforms import chroma_qp_from_luma
+from ...ops.transforms_batched import chroma_residual_b, luma_residual_b
+from ...ops.wavefront import schedule
+from .recon import GopArrays, _DEC_ORDER, _BTR_STATIC
+
+_MARGIN = ops_mc._MARGIN
+
+
+def stack_tensors(tensors, pad_frames: int) -> GopArrays:
+    """Stack a list of entropy.GopTensors into a batched GopArrays with a
+    leading clip axis, padding the frame axis to `pad_frames`."""
+    fields = {}
+    names = [f for f in GopArrays._fields if f != "n_valid_frames"]
+    casts = {}
+    for name in names:
+        arrs = []
+        for t in tensors:
+            a = getattr(t, "avail" if name == "avail" else name)
+            F = a.shape[0]
+            if pad_frames != F:
+                a = np.pad(a, [(0, pad_frames - F)] + [(0, 0)] * (a.ndim - 1))
+            arrs.append(a.astype(np.int32))
+        fields[name] = jnp.asarray(np.stack(arrs))
+    fields["n_valid_frames"] = jnp.asarray(
+        np.array([t.n_frames for t in tensors], np.int32)
+    )
+    return GopArrays(**fields)
+
+
+# ---------------------------------------------------------------------------
+# Inter stage (batched)
+# ---------------------------------------------------------------------------
+
+
+def _assemble_b(blocks, mb_w, mb_h, s):
+    """[B, M, s, s] -> [B, mb_h*s, mb_w*s]."""
+    B = blocks.shape[0]
+    return (
+        blocks.reshape(B, mb_h, mb_w, s, s)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, mb_h * s, mb_w * s)
+    )
+
+
+def _rep2(a, n):
+    return jnp.repeat(jnp.repeat(a, n, axis=-2), n, axis=-1)
+
+
+def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
+    B, M = fr["mb_kind"].shape
+    H, W = mb_h * 16, mb_w * 16
+    planes_y, ring_u, ring_v, ring_ids = ring
+
+    refidx = fr["refidx"]                                     # [B, M, 4]
+    span_ref = jnp.take_along_axis(
+        fr["ref_map"], jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
+    ).reshape(B, M, 4)
+    slot8 = jnp.argmax(
+        ring_ids[None, None, None, :] == span_ref[..., None], axis=-1
+    )
+
+    mv = fr["mv"]
+    mvx_blk = _assemble_b(mv[..., 0].reshape(B, M, 4, 4), mb_w, mb_h, 4)
+    mvy_blk = _assemble_b(mv[..., 1].reshape(B, M, 4, 4), mb_w, mb_h, 4)
+    slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
+
+    pred_y = ops_mc.luma_mc_gather_b(
+        planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
+    )
+    pred_u = ops_mc.chroma_mc_gather_b(
+        ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
+    )
+    pred_v = ops_mc.chroma_mc_gather_b(
+        ring_v, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
+    )
+
+    Y = jnp.clip(pred_y + _assemble_b(luma_res, mb_w, mb_h, 16), 0, 255)
+    U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
+    V = jnp.clip(pred_v + _assemble_b(chroma_res[:, :, 1], mb_w, mb_h, 8), 0, 255)
+
+    kind = fr["mb_kind"]
+    ipcm = fr["ipcm"]
+    is_pcm = kind == 4
+    ipcm_y = _assemble_b(ipcm[..., :256].reshape(B, M, 16, 16), mb_w, mb_h, 16)
+    ipcm_u = _assemble_b(ipcm[..., 256:320].reshape(B, M, 8, 8), mb_w, mb_h, 8)
+    ipcm_v = _assemble_b(ipcm[..., 320:].reshape(B, M, 8, 8), mb_w, mb_h, 8)
+    pcm_y = _rep2(is_pcm.reshape(B, mb_h, mb_w), 16)
+    pcm_c = _rep2(is_pcm.reshape(B, mb_h, mb_w), 8)
+    Y = jnp.where(pcm_y, ipcm_y, Y)
+    U = jnp.where(pcm_c, ipcm_u, U)
+    V = jnp.where(pcm_c, ipcm_v, V)
+    return Y, U, V
+
+
+# ---------------------------------------------------------------------------
+# Intra stage (batched, tile-carried wavefront)
+# ---------------------------------------------------------------------------
+
+
+def _intra_stage_b(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
+                   chroma_res):
+    B, M = fr["mb_kind"].shape
+    H, W = mb_h * 16, mb_w * 16
+    Hc, Wc = H // 2, W // 2
+    step_mbs, step_valid = schedule(mb_w, mb_h)
+    A = step_mbs.shape[1]
+    step_mbs = jnp.asarray(step_mbs)
+    step_valid = jnp.asarray(step_valid)
+
+    yf = jnp.concatenate([Y.reshape(-1), jnp.zeros(256, jnp.int32)])
+    uf = jnp.concatenate([U.reshape(-1), jnp.zeros(64, jnp.int32)])
+    vf = jnp.concatenate([V.reshape(-1), jnp.zeros(64, jnp.int32)])
+    y_scr = B * H * W
+    c_scr = B * Hc * Wc
+    boff_y = (jnp.arange(B) * (H * W))[:, None]          # [B, 1]
+    boff_c = (jnp.arange(B) * (Hc * Wc))[:, None]
+
+    kind_all = fr["mb_kind"]
+    avail_all = fr["avail"]
+    i4_all = fr["i4_modes"]
+    i16_all = fr["i16_mode"]
+    cm_all = fr["chroma_mode"]
+
+    def step(carry, inp):
+        mbs, valid = inp                     # [A]
+        kind = kind_all[:, mbs]              # [B, A]
+        av = avail_all[:, mbs]
+        have_l = (av & 1) == 1
+        have_t = (av & 2) == 2
+        have_tr = (av & 4) == 4
+        have_tl = (av & 8) == 8
+        mx = ((mbs % mb_w) * 16)[None, :]    # [1, A]
+        my = ((mbs // mb_w) * 16)[None, :]
+        is_i4 = kind == 2
+        is_i16 = kind == 3
+        w_any = valid[None, :] & (is_i4 | is_i16)
+        # Skip the whole step when no MB of this diagonal is intra (the
+        # common case on P frames) — lax.cond executes only one branch.
+        return (
+            jax.lax.cond(jnp.any(w_any), _step_body, lambda c, *_: c,
+                         carry, mbs, valid, kind, av, have_l, have_t,
+                         have_tr, have_tl, mx, my, is_i4, is_i16, w_any),
+            None,
+        )
+
+    def _step_body(carry, mbs, valid, kind, av, have_l, have_t, have_tr,
+                   have_tl, mx, my, is_i4, is_i16, w_any):
+        yf, uf, vf = carry
+
+        # ---- gather luma borders: top strip [B, A, 21], left col [B, A, 16]
+        tx = (mx - 1)[..., None] + jnp.arange(21)[None, None, :]
+        ty = jnp.maximum(my - 1, 0)
+        tidx = boff_y[..., None] + ty[..., None] * W + jnp.clip(tx, 0, W - 1)
+        tidx = jnp.where(w_any[..., None], tidx, y_scr)
+        top_strip = yf[tidx]                                  # [B, A, 21]
+        ly = my[..., None] + jnp.arange(16)[None, None, :]
+        lx = jnp.maximum(mx - 1, 0)
+        lidx = boff_y[..., None] + ly * W + lx[..., None]
+        lidx = jnp.where(w_any[..., None], lidx, y_scr)
+        left_col = yf[lidx]                                   # [B, A, 16]
+
+        flat = lambda a: a.reshape((B * A,) + a.shape[2:])
+
+        # ---- I16 prediction from borders
+        pred16 = ops_intra.predict_i16(
+            flat(i16_all[:, mbs]), flat(left_col),
+            flat(top_strip[..., 1:17]), flat(top_strip[..., 0]),
+            flat(have_l), flat(have_t),
+        ).reshape(B, A, 16, 16)
+        res16 = luma_res16[:, mbs]                            # [B, A, 16, 16]
+        mb16 = jnp.clip(pred16 + res16, 0, 255)
+
+        # ---- I4x4: carried tile [B, A, 17, 21]
+        T = jnp.zeros((B, A, 17, 21), jnp.int32)
+        T = T.at[:, :, 0, :].set(top_strip)
+        T = T.at[:, :, 1:, 0].set(left_col)
+        blocks_res = luma_blocks[:, mbs]                      # [B, A, 16, 4, 4]
+        modes4 = i4_all[:, mbs]                               # [B, A, 16]
+        for db in _DEC_ORDER:
+            x4, y4 = db & 3, db >> 2
+            r0, c0 = 4 * y4, 4 * x4   # tile coords of the block's top/left
+            left = T[:, :, r0 + 1 : r0 + 5, c0]
+            top = T[:, :, r0, c0 + 1 : c0 + 5]
+            tl = T[:, :, r0, c0]
+            trr = T[:, :, r0, c0 + 5 : c0 + 9]
+            bl = (x4 > 0) | have_l
+            bt = (y4 > 0) | have_t
+            if y4 == 0:
+                btr = ((x4 < 3) & have_t) | ((x4 == 3) & have_tr)
+            else:
+                btr = jnp.broadcast_to(
+                    jnp.asarray(bool(_BTR_STATIC[db])), bl.shape
+                )
+            tr_eff = jnp.where(
+                btr[..., None], trr,
+                jnp.where(bt[..., None], top[..., 3:4], 0),
+            )
+            pred = ops_intra.predict_i4x4(
+                flat(modes4[..., db]), flat(left), flat(top), flat(tl),
+                flat(tr_eff), flat(bl), flat(bt),
+            ).reshape(B, A, 4, 4)
+            blk = jnp.clip(pred + blocks_res[:, :, db], 0, 255)
+            T = jax.lax.dynamic_update_slice(
+                T, blk, (0, 0, r0 + 1, c0 + 1)
+            )
+
+        mbpix = jnp.where(is_i4[..., None, None], T[:, :, 1:, 1:17], mb16)
+
+        # ---- scatter luma
+        yy = my[..., None, None] + jnp.arange(16)[None, None, :, None]
+        xx = mx[..., None, None] + jnp.arange(16)[None, None, None, :]
+        sidx = boff_y[..., None, None] + yy * W + xx
+        sidx = jnp.where(w_any[..., None, None], sidx, y_scr)
+        yf = yf.at[sidx].set(jnp.where(w_any[..., None, None], mbpix, yf[sidx]))
+
+        # ---- chroma prediction (no intra-MB sequencing)
+        cx = mx // 2
+        cy = my // 2
+        cres = chroma_res[:, mbs]                             # [B, A, 2, 8, 8]
+        cmode = cm_all[:, mbs]
+        for plane in range(2):
+            buf = uf if plane == 0 else vf
+            ctx = (cx - 1)[..., None] + jnp.arange(9)[None, None, :]
+            cty = jnp.maximum(cy - 1, 0)
+            cidx = boff_c[..., None] + cty[..., None] * Wc + jnp.clip(ctx, 0, Wc - 1)
+            cidx = jnp.where(w_any[..., None], cidx, c_scr)
+            tstrip = buf[cidx]                                # [B, A, 9]
+            lyc = cy[..., None] + jnp.arange(8)[None, None, :]
+            lxc = jnp.maximum(cx - 1, 0)
+            lcidx = boff_c[..., None] + lyc * Wc + lxc[..., None]
+            lcidx = jnp.where(w_any[..., None], lcidx, c_scr)
+            lcol = buf[lcidx]
+            predc = ops_intra.predict_chroma(
+                flat(cmode), flat(lcol), flat(tstrip[..., 1:]),
+                flat(tstrip[..., 0]), flat(have_l), flat(have_t),
+            ).reshape(B, A, 8, 8)
+            mbc = jnp.clip(predc + cres[:, :, plane], 0, 255)
+            cyy = cy[..., None, None] + jnp.arange(8)[None, None, :, None]
+            cxx = cx[..., None, None] + jnp.arange(8)[None, None, None, :]
+            scidx = boff_c[..., None, None] + cyy * Wc + cxx
+            scidx = jnp.where(w_any[..., None, None], scidx, c_scr)
+            if plane == 0:
+                uf = uf.at[scidx].set(
+                    jnp.where(w_any[..., None, None], mbc, uf[scidx])
+                )
+            else:
+                vf = vf.at[scidx].set(
+                    jnp.where(w_any[..., None, None], mbc, vf[scidx])
+                )
+        return (yf, uf, vf)
+
+    (yf, uf, vf), _ = jax.lax.scan(step, (yf, uf, vf), (step_mbs, step_valid))
+    return (
+        yf[: B * H * W].reshape(B, H, W),
+        uf[: B * Hc * Wc].reshape(B, Hc, Wc),
+        vf[: B * Hc * Wc].reshape(B, Hc, Wc),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deblock (batched, tile-carried wavefront)
+# ---------------------------------------------------------------------------
+
+
+def _deblock_b(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset):
+    """Exact per-MB-order deblock on [B, H, W] planes."""
+    from ...ops.deblock import mb_edge_params_b
+
+    B, H, W = Y.shape
+    Hc, Wc = H // 2, W // 2
+    params = mb_edge_params_b(meta, mb_w, mb_h, chroma_qp_offset)
+    step_mbs, step_valid = schedule(mb_w, mb_h)
+    A = step_mbs.shape[1]
+    step_mbs = jnp.asarray(step_mbs)
+    step_valid = jnp.asarray(step_valid)
+
+    # padded work buffers: image origin at (4,4) luma / (2,2) chroma so the
+    # tile gathers at MB (0, *) stay in range
+    Hp, Wp = H + 4, W + 4
+    Hcp, Wcp = Hc + 2, Wc + 2
+    yb = jnp.zeros((B, Hp, Wp), jnp.int32).at[:, 4:, 4:].set(Y)
+    ub = jnp.zeros((B, Hcp, Wcp), jnp.int32).at[:, 2:, 2:].set(U)
+    vb = jnp.zeros((B, Hcp, Wcp), jnp.int32).at[:, 2:, 2:].set(V)
+    yf = jnp.concatenate([yb.reshape(-1), jnp.zeros(512, jnp.int32)])
+    cf = jnp.concatenate(
+        [jnp.stack([ub, vb], axis=1).reshape(-1), jnp.zeros(512, jnp.int32)]
+    )
+    y_scr = B * Hp * Wp
+    c_scr = B * 2 * Hcp * Wcp
+    boff_y = (jnp.arange(B) * (Hp * Wp))[:, None]
+    boff_c = (jnp.arange(B) * (2 * Hcp * Wcp))[:, None]
+
+    def step(carry, inp):
+        yf, cf = carry
+        mbs, valid = inp
+        mx = ((mbs % mb_w) * 16)[None, :]   # padded coords == my (origin 4)
+        my = ((mbs // mb_w) * 16)[None, :]
+        v = valid[None, :]
+
+        # ---- luma tile [B, A, 20, 20] at padded (my, mx)
+        yy = my[..., None, None] + jnp.arange(20)[None, None, :, None]
+        xx = mx[..., None, None] + jnp.arange(20)[None, None, None, :]
+        idx = boff_y[..., None, None] + yy * Wp + xx
+        idx = jnp.where(v[..., None, None], idx, y_scr)
+        T = yf[idx]
+        bs_v = params["bs_v"][:, mbs]       # [B, A, 4, 4]
+        tc_v = params["tc0_v"][:, mbs]
+        ab_v = params["ab_v"][:, mbs]       # [B, A, 4, 2]
+        for e in range(4):
+            col = 4 + 4 * e
+            win = T[:, :, 4:20, col - 4 : col + 4]       # [B, A, 16, 8]
+            p = win[..., :4][..., ::-1]
+            q = win[..., 4:]
+            bs = jnp.repeat(bs_v[:, :, e], 4, axis=-1)
+            tc0 = jnp.repeat(tc_v[:, :, e], 4, axis=-1)
+            alpha = ab_v[:, :, e, 0:1]
+            beta = ab_v[:, :, e, 1:2]
+            np_, nq = filter_lines_luma(p, q, bs, alpha, beta, tc0)
+            out = jnp.concatenate([np_[..., ::-1], nq], axis=-1)
+            T = jax.lax.dynamic_update_slice(T, out, (0, 0, 4, col - 4))
+        bs_h = params["bs_h"][:, mbs]
+        tc_h = params["tc0_h"][:, mbs]
+        ab_h = params["ab_h"][:, mbs]
+        for e in range(4):
+            row = 4 + 4 * e
+            win = T[:, :, row - 4 : row + 4, 4:20].transpose(0, 1, 3, 2)
+            p = win[..., :4][..., ::-1]
+            q = win[..., 4:]
+            bs = jnp.repeat(bs_h[:, :, e], 4, axis=-1)
+            tc0 = jnp.repeat(tc_h[:, :, e], 4, axis=-1)
+            alpha = ab_h[:, :, e, 0:1]
+            beta = ab_h[:, :, e, 1:2]
+            np_, nq = filter_lines_luma(p, q, bs, alpha, beta, tc0)
+            out = jnp.concatenate(
+                [np_[..., ::-1], nq], axis=-1
+            ).transpose(0, 1, 3, 2)
+            T = jax.lax.dynamic_update_slice(T, out, (0, 0, row - 4, 4))
+        yf = yf.at[idx].set(jnp.where(v[..., None, None], T, yf[idx]))
+
+        # ---- chroma tiles [B, A, 2, 10, 10] at padded (cy, cx), origin 2
+        cx = mx // 2
+        cy = my // 2
+        cyy = cy[..., None, None] + jnp.arange(10)[None, None, :, None]
+        cxx = cx[..., None, None] + jnp.arange(10)[None, None, None, :]
+        cidx = (
+            boff_c[..., None, None, None]
+            + jnp.arange(2)[None, None, :, None, None] * (Hcp * Wcp)
+            + cyy[:, :, None] * Wcp + cxx[:, :, None]
+        )
+        cidx = jnp.where(v[..., None, None, None], cidx, c_scr)
+        C = cf[cidx]                                   # [B, A, 2, 10, 10]
+        bs_cv = params["bs_cv"][:, mbs]                # [B, A, 2, 8]
+        tc_cv = params["tc0_cv"][:, mbs]
+        ab_cv = params["ab_cv"][:, mbs]
+        for e in range(2):
+            col = 2 + 4 * e
+            win = C[:, :, :, 2:10, col - 2 : col + 2]
+            p = win[..., :2][..., ::-1]
+            q = win[..., 2:]
+            bs = bs_cv[:, :, None, e]
+            tc0 = tc_cv[:, :, None, e]
+            alpha = ab_cv[:, :, None, e, 0:1]
+            beta = ab_cv[:, :, None, e, 1:2]
+            np_, nq = filter_lines_chroma(p, q, bs, alpha, beta, tc0)
+            out = jnp.concatenate([np_[..., ::-1], nq], axis=-1)
+            C = jax.lax.dynamic_update_slice(C, out, (0, 0, 0, 2, col - 2))
+        bs_ch = params["bs_ch"][:, mbs]
+        tc_ch = params["tc0_ch"][:, mbs]
+        ab_ch = params["ab_ch"][:, mbs]
+        for e in range(2):
+            row = 2 + 4 * e
+            win = C[:, :, :, row - 2 : row + 2, 2:10].transpose(0, 1, 2, 4, 3)
+            p = win[..., :2][..., ::-1]
+            q = win[..., 2:]
+            bs = bs_ch[:, :, None, e]
+            tc0 = tc_ch[:, :, None, e]
+            alpha = ab_ch[:, :, None, e, 0:1]
+            beta = ab_ch[:, :, None, e, 1:2]
+            np_, nq = filter_lines_chroma(p, q, bs, alpha, beta, tc0)
+            out = jnp.concatenate(
+                [np_[..., ::-1], nq], axis=-1
+            ).transpose(0, 1, 2, 4, 3)
+            C = jax.lax.dynamic_update_slice(C, out, (0, 0, 0, row - 2, 2))
+        cf = cf.at[cidx].set(jnp.where(v[..., None, None, None], C, cf[cidx]))
+        return (yf, cf), None
+
+    (yf, cf), _ = jax.lax.scan(step, (yf, cf), (step_mbs, step_valid))
+    yb = yf[: B * Hp * Wp].reshape(B, Hp, Wp)
+    cb = cf[: B * 2 * Hcp * Wcp].reshape(B, 2, Hcp, Wcp)
+    return yb[:, 4:, 4:], cb[:, 0, 2:, 2:], cb[:, 1, 2:, 2:]
+
+
+# ---------------------------------------------------------------------------
+# GOP decode (batched)
+# ---------------------------------------------------------------------------
+
+
+def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
+                            chroma_qp_offset: int, n_refs: int = 4):
+    """Decode a batch of spans: every array has leading [B, F, ...].
+    Returns (Y [B,F,H,W], U, V) uint8."""
+    B, F, M = g.mb_kind.shape
+    H, W = mb_h * 16, mb_w * 16
+    Hc, Wc = H // 2, W // 2
+    R = n_refs
+    m = _MARGIN
+
+    ring_y0 = jnp.zeros((B, R, 4, H + 2 * m, W + 2 * m), jnp.uint8)
+    ring_u0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
+    ring_v0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
+    ring_ids0 = jnp.full((R,), -1, jnp.int32)
+
+    def frame_step(carry, f):
+        ring_y, ring_u, ring_v, ring_ids, pos = carry
+        fr = {
+            "mb_kind": g.mb_kind[:, f],
+            "qp": g.qp[:, f],
+            "i4_modes": g.i4_modes[:, f],
+            "i16_mode": g.i16_mode[:, f],
+            "chroma_mode": g.chroma_mode[:, f],
+            "mv": g.mv[:, f],
+            "refidx": g.refidx[:, f],
+            "ref_map": g.ref_map[:, f],
+            "ipcm": g.ipcm[:, f],
+            "avail": g.avail[:, f],
+        }
+        qp = fr["qp"]
+        qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
+        is_i16 = fr["mb_kind"] == 3
+
+        luma_res16, luma_blocks = luma_residual_b(
+            g.luma_ac[:, f], g.luma_dc[:, f], qp, is_i16
+        )
+        chroma_res = chroma_residual_b(g.chroma_ac[:, f], g.chroma_dc[:, f], qpc)
+
+        Y, U, V = _inter_stage_b(
+            fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
+            luma_res16, chroma_res,
+        )
+        Y, U, V = _intra_stage_b(
+            Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
+        )
+        refidx = fr["refidx"]
+        span_ref = jnp.where(
+            refidx >= 0,
+            jnp.take_along_axis(
+                fr["ref_map"], jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
+            ).reshape(B, M, 4),
+            -1,
+        )
+        meta = {
+            "qp": qp,
+            "kind": fr["mb_kind"],
+            "idc": g.deblock_idc[:, f],
+            "a_off": g.alpha_off[:, f],
+            "b_off": g.beta_off[:, f],
+            "avail": fr["avail"],
+            "nnz": g.nnz[:, f],
+            "mv": fr["mv"],
+            "ref": span_ref,
+        }
+        Y, U, V = _deblock_b(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset)
+        Y = Y.astype(jnp.uint8)
+        U = U.astype(jnp.uint8)
+        V = V.astype(jnp.uint8)
+
+        planes = ops_mc.luma_halfpel_planes_b(Y)        # [B, 4, Hp, Wp]
+        pu = ops_mc.pad_plane_b(U)
+        pv = ops_mc.pad_plane_b(V)
+        ring_y = jax.lax.dynamic_update_slice(
+            ring_y, planes[:, None], (0, pos, 0, 0, 0)
+        )
+        ring_u = jax.lax.dynamic_update_slice(ring_u, pu[:, None], (0, pos, 0, 0))
+        ring_v = jax.lax.dynamic_update_slice(ring_v, pv[:, None], (0, pos, 0, 0))
+        ring_ids = jax.lax.dynamic_update_slice(
+            ring_ids, f[None].astype(jnp.int32), (pos,)
+        )
+        pos = (pos + 1) % R
+        return (ring_y, ring_u, ring_v, ring_ids, pos), (Y, U, V)
+
+    _, (Ys, Us, Vs) = jax.lax.scan(
+        frame_step,
+        (ring_y0, ring_u0, ring_v0, ring_ids0, jnp.asarray(0, jnp.int32)),
+        jnp.arange(F),
+    )
+    # scan stacks on axis 0 (frames): -> [B, F, H, W]
+    return (
+        Ys.transpose(1, 0, 2, 3),
+        Us.transpose(1, 0, 2, 3),
+        Vs.transpose(1, 0, 2, 3),
+    )
+
+
+decode_gop_batched = jax.jit(
+    decode_gop_batched_core,
+    static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs"),
+)

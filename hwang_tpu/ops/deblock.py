@@ -443,3 +443,173 @@ def deblock_frame(Y, U, V, meta, mb_w: int, mb_h: int,
         uf[: Hc * Wc].reshape(Hc, Wc),
         vf[: Hc * Wc].reshape(Hc, Wc),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched (leading clip dim) edge parameters
+# ---------------------------------------------------------------------------
+
+
+def _bs_between_b(meta, mb_q, mb_p, blk_q, blk_p, is_mb_edge):
+    """Batched boundary strength: meta arrays have leading [B]; the index
+    arrays are shared across the batch."""
+    kind = meta["kind"]                           # [B, M]
+    intra_q = kind[:, mb_q] >= 2                  # [B, ...]
+    intra_p = kind[:, mb_p] >= 2
+    nnz_q = meta["nnz"][:, mb_q, blk_q]
+    nnz_p = meta["nnz"][:, mb_p, blk_p]
+    blk8_q = (blk_q // 8) * 2 + (blk_q % 4) // 2
+    blk8_p = (blk_p // 8) * 2 + (blk_p % 4) // 2
+    ref_q = meta["ref"][:, mb_q, blk8_q]
+    ref_p = meta["ref"][:, mb_p, blk8_p]
+    mv_q = meta["mv"][:, mb_q, blk_q]             # [B, ..., 2]
+    mv_p = meta["mv"][:, mb_p, blk_p]
+    mv_far = (
+        (jnp.abs(mv_q[..., 0] - mv_p[..., 0]) >= 4)
+        | (jnp.abs(mv_q[..., 1] - mv_p[..., 1]) >= 4)
+    )
+    return jnp.where(
+        intra_q | intra_p,
+        jnp.where(is_mb_edge[None], 4, 3),
+        jnp.where(
+            (nnz_q > 0) | (nnz_p > 0),
+            2,
+            jnp.where((ref_q != ref_p) | mv_far, 1, 0),
+        ),
+    )
+
+
+def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
+    """Batched mb_edge_params: meta arrays have a leading clip dim [B, M].
+
+    Returns the same dict shape as mb_edge_params with [B, M, ...] arrays.
+    """
+    B, M = meta["qp"].shape
+    m = np.arange(M)
+    col = m % mb_w
+    row = m // mb_w
+    qp = meta["qp"].astype(jnp.int32)
+    idc = meta["idc"]
+    a_off = meta["a_off"].astype(jnp.int32)
+    b_off = meta["b_off"].astype(jnp.int32)
+    avail = meta["avail"]
+
+    left = np.maximum(m - 1, 0)
+    top = np.maximum(m - mb_w, 0)
+    has_left = jnp.asarray(col > 0)
+    has_top = jnp.asarray(row > 0)
+    left_ok = has_left[None] & (
+        (idc != 2) | (((avail >> 4) & 1) == 1)
+    )
+    top_ok = has_top[None] & ((idc != 2) | (((avail >> 5) & 1) == 1))
+    enabled = idc != 1
+
+    e = np.arange(4)
+    sg = np.arange(4)
+    ALPHA = jnp.asarray(_ALPHA)
+    BETA = jnp.asarray(_BETA)
+    TC0 = jnp.asarray(_tc0_table())
+
+    # ---- vertical luma
+    mb_p_v = np.where(e[None, :] == 0, left[:, None], m[:, None])     # [M,4]
+    blk_q_v = sg[None, None, :] * 4 + e[None, :, None]                # [1,4,4]
+    blk_p_v = sg[None, None, :] * 4 + np.where(e == 0, 3, e - 1)[None, :, None]
+    bs_v = _bs_between_b(
+        meta,
+        jnp.asarray(np.broadcast_to(m[:, None, None], (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(mb_p_v[:, :, None], (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(blk_q_v, (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(blk_p_v, (M, 4, 4))),
+        jnp.asarray((e == 0)[None, :, None]),
+    )                                                                 # [B,M,4,4]
+    gate_v = (enabled[:, :, None] & (jnp.asarray(e[None, None, :] != 0)
+                                     | left_ok[:, :, None]))
+    bs_v = jnp.where(gate_v[..., None], bs_v, 0)
+    qp_p_v = jnp.where(jnp.asarray(e[None, None, :] == 0),
+                       qp[:, left][:, :, None], qp[:, :, None])
+    qp_avg_v = (qp[:, :, None] + qp_p_v + 1) >> 1                     # [B,M,4]
+    idx_a_v = jnp.clip(qp_avg_v + a_off[:, :, None], 0, 51)
+    idx_b_v = jnp.clip(qp_avg_v + b_off[:, :, None], 0, 51)
+    ab_v = jnp.stack([ALPHA[idx_a_v], BETA[idx_b_v]], -1)
+    tc0_v = TC0[idx_a_v[..., None], jnp.clip(bs_v, 1, 3) - 1]
+
+    # ---- horizontal luma
+    mb_p_h = np.where(e[None, :] == 0, top[:, None], m[:, None])
+    blk_q_h = e[None, :, None] * 4 + sg[None, None, :]
+    blk_p_h = np.where(e == 0, 3, e - 1)[None, :, None] * 4 + sg[None, None, :]
+    bs_h = _bs_between_b(
+        meta,
+        jnp.asarray(np.broadcast_to(m[:, None, None], (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(mb_p_h[:, :, None], (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(blk_q_h, (M, 4, 4))),
+        jnp.asarray(np.broadcast_to(blk_p_h, (M, 4, 4))),
+        jnp.asarray((e == 0)[None, :, None]),
+    )
+    gate_h = (enabled[:, :, None] & (jnp.asarray(e[None, None, :] != 0)
+                                     | top_ok[:, :, None]))
+    bs_h = jnp.where(gate_h[..., None], bs_h, 0)
+    qp_p_h = jnp.where(jnp.asarray(e[None, None, :] == 0),
+                       qp[:, top][:, :, None], qp[:, :, None])
+    qp_avg_h = (qp[:, :, None] + qp_p_h + 1) >> 1
+    idx_a_h = jnp.clip(qp_avg_h + a_off[:, :, None], 0, 51)
+    idx_b_h = jnp.clip(qp_avg_h + b_off[:, :, None], 0, 51)
+    ab_h = jnp.stack([ALPHA[idx_a_h], BETA[idx_b_h]], -1)
+    tc0_h = TC0[idx_a_h[..., None], jnp.clip(bs_h, 1, 3) - 1]
+
+    # ---- chroma
+    ce = np.arange(2)
+    k = np.arange(8)
+    qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
+
+    mb_p_cv = np.where(ce[None, :] == 0, left[:, None], m[:, None])
+    blk_q_cv = (k[None, None, :] // 2) * 4 + (2 * ce)[None, :, None]
+    blk_p_cv = (k[None, None, :] // 2) * 4 + np.where(ce == 0, 3, 2 * ce - 1)[None, :, None]
+    bs_cv = _bs_between_b(
+        meta,
+        jnp.asarray(np.broadcast_to(m[:, None, None], (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(mb_p_cv[:, :, None], (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(blk_q_cv, (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(blk_p_cv, (M, 2, 8))),
+        jnp.asarray((ce == 0)[None, :, None]),
+    )
+    gate_cv = (enabled[:, :, None] & (jnp.asarray(ce[None, None, :] != 0)
+                                      | left_ok[:, :, None]))
+    bs_cv = jnp.where(gate_cv[..., None], bs_cv, 0)
+    qpc_p_cv = jnp.where(jnp.asarray(ce[None, None, :] == 0),
+                         qpc[:, left][:, :, None], qpc[:, :, None])
+    qpc_avg_cv = (qpc[:, :, None] + qpc_p_cv + 1) >> 1
+    idx_a_cv = jnp.clip(qpc_avg_cv + a_off[:, :, None], 0, 51)
+    idx_b_cv = jnp.clip(qpc_avg_cv + b_off[:, :, None], 0, 51)
+    ab_cv = jnp.stack([ALPHA[idx_a_cv], BETA[idx_b_cv]], -1)
+    tc0_cv = TC0[idx_a_cv[..., None], jnp.clip(bs_cv, 1, 3) - 1]
+
+    mb_p_ch = np.where(ce[None, :] == 0, top[:, None], m[:, None])
+    blk_q_ch = (2 * ce)[None, :, None] * 4 + (k[None, None, :] // 2)
+    blk_p_ch = np.where(ce == 0, 3, 2 * ce - 1)[None, :, None] * 4 + (
+        k[None, None, :] // 2
+    )
+    bs_ch = _bs_between_b(
+        meta,
+        jnp.asarray(np.broadcast_to(m[:, None, None], (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(mb_p_ch[:, :, None], (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(blk_q_ch, (M, 2, 8))),
+        jnp.asarray(np.broadcast_to(blk_p_ch, (M, 2, 8))),
+        jnp.asarray((ce == 0)[None, :, None]),
+    )
+    gate_ch = (enabled[:, :, None] & (jnp.asarray(ce[None, None, :] != 0)
+                                      | top_ok[:, :, None]))
+    bs_ch = jnp.where(gate_ch[..., None], bs_ch, 0)
+    qpc_p_ch = jnp.where(jnp.asarray(ce[None, None, :] == 0),
+                         qpc[:, top][:, :, None], qpc[:, :, None])
+    qpc_avg_ch = (qpc[:, :, None] + qpc_p_ch + 1) >> 1
+    idx_a_ch = jnp.clip(qpc_avg_ch + a_off[:, :, None], 0, 51)
+    idx_b_ch = jnp.clip(qpc_avg_ch + b_off[:, :, None], 0, 51)
+    ab_ch = jnp.stack([ALPHA[idx_a_ch], BETA[idx_b_ch]], -1)
+    tc0_ch = TC0[idx_a_ch[..., None], jnp.clip(bs_ch, 1, 3) - 1]
+
+    return dict(
+        bs_v=bs_v, tc0_v=tc0_v, ab_v=ab_v,
+        bs_h=bs_h, tc0_h=tc0_h, ab_h=ab_h,
+        bs_cv=bs_cv, tc0_cv=tc0_cv, ab_cv=ab_cv,
+        bs_ch=bs_ch, tc0_ch=tc0_ch, ab_ch=ab_ch,
+    )

@@ -161,3 +161,99 @@ def chroma_mc_gather(
         (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bs
         + (8 - fx) * fy * C + fx * fy * D + 32
     ) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Batched (leading clip dim) variants
+# ---------------------------------------------------------------------------
+
+
+def luma_halfpel_planes_b(ref: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] uint8 -> [B, 4, H+2m, W+2m] uint8 (G, B, H, J planes)."""
+    m = _MARGIN
+    ext = m + 3
+    B, H, W = ref.shape
+    R = jnp.pad(
+        ref.astype(jnp.int32), ((0, 0), (ext, ext), (ext, ext)), mode="edge"
+    )
+
+    def tap6_x(a):
+        return (a[..., 0:-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+                + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+    def tap6_y(a):
+        return (a[..., 0:-5, :] - 5 * a[..., 1:-4, :] + 20 * a[..., 2:-3, :]
+                + 20 * a[..., 3:-2, :] - 5 * a[..., 4:-1, :] + a[..., 5:, :])
+
+    T1 = tap6_x(R)
+    Bp = jnp.clip((T1 + 16) >> 5, 0, 255)
+    T2 = tap6_y(R)
+    Hh = jnp.clip((T2 + 16) >> 5, 0, 255)
+    J = jnp.clip((tap6_y(T1) + 512) >> 10, 0, 255)
+
+    G = R[:, ext - m : ext - m + H + 2 * m, ext - m : ext - m + W + 2 * m]
+    Bc = Bp[:, ext - m : ext - m + H + 2 * m,
+            ext - 2 - m : ext - 2 - m + W + 2 * m]
+    Hc = Hh[:, ext - 2 - m : ext - 2 - m + H + 2 * m,
+            ext - m : ext - m + W + 2 * m]
+    Jc = J[:, ext - 2 - m : ext - 2 - m + H + 2 * m,
+           ext - 2 - m : ext - 2 - m + W + 2 * m]
+    return jnp.stack([G, Bc, Hc, Jc], axis=1).astype(jnp.uint8)
+
+
+def pad_plane_b(plane: jnp.ndarray, margin: int = _MARGIN) -> jnp.ndarray:
+    """[B, H, W] -> [B, H+2m, W+2m] edge pad."""
+    return jnp.pad(
+        plane, ((0, 0), (margin, margin), (margin, margin)), mode="edge"
+    )
+
+
+def luma_mc_gather_b(planes, ref_slot, mvx, mvy):
+    """planes [B, R, 4, Hp, Wp] uint8; ref_slot/mvx/mvy [B, H, W] int32
+    -> [B, H, W] int32 prediction."""
+    B, R, P, Hp, Wp = planes.shape
+    _, H, W = mvx.shape
+    m = _MARGIN
+    ys = jnp.arange(H)[None, :, None] + (mvy >> 2)
+    xs = jnp.arange(W)[None, None, :] + (mvx >> 2)
+    frac = (mvy & 3) * 4 + (mvx & 3)
+    lut = jnp.asarray(_POS_LUT)[frac]  # [B, H, W, 6]
+    flat = planes.reshape(B * R * P * Hp * Wp)
+    boff = (jnp.arange(B) * R)[:, None, None]
+
+    def fetch(p, dy, dx):
+        yy = jnp.clip(ys + dy + m, 0, Hp - 1)
+        xx = jnp.clip(xs + dx + m, 0, Wp - 1)
+        idx = (((boff + ref_slot) * P + p) * Hp + yy) * Wp + xx
+        return flat[idx].astype(jnp.int32)
+
+    a = fetch(lut[..., 0], lut[..., 1], lut[..., 2])
+    b = fetch(lut[..., 3], lut[..., 4], lut[..., 5])
+    return (a + b + 1) >> 1
+
+
+def chroma_mc_gather_b(refs, ref_slot, mvx, mvy):
+    """refs [B, R, Hp, Wp] uint8; maps [B, Hc, Wc] -> [B, Hc, Wc] int32."""
+    B, R, Hp, Wp = refs.shape
+    _, Hc, Wc = mvx.shape
+    m = _MARGIN
+    ys = jnp.arange(Hc)[None, :, None] + (mvy >> 3)
+    xs = jnp.arange(Wc)[None, None, :] + (mvx >> 3)
+    fx = (mvx & 7).astype(jnp.int32)
+    fy = (mvy & 7).astype(jnp.int32)
+    flat = refs.reshape(B * R * Hp * Wp)
+    boff = (jnp.arange(B) * R)[:, None, None]
+
+    def fetch(dy, dx):
+        yy = jnp.clip(ys + dy + m, 0, Hp - 1)
+        xx = jnp.clip(xs + dx + m, 0, Wp - 1)
+        return flat[((boff + ref_slot) * Hp + yy) * Wp + xx].astype(jnp.int32)
+
+    A = fetch(0, 0)
+    Bs = fetch(0, 1)
+    C = fetch(1, 0)
+    D = fetch(1, 1)
+    return (
+        (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bs
+        + (8 - fx) * fy * C + fx * fy * D + 32
+    ) >> 6

@@ -1,0 +1,208 @@
+"""Batched multi-clip decode pipeline: the ML-dataloader front door.
+
+Config-4 workload (BASELINE.md): decode N clips x K frames each to
+model-ready RGB tensors in HBM, with the fused YUV->RGB (+resize)
+epilogue on-device and the clip batch sharded across chips.
+
+Stages:
+  1. span planning per clip (slice_into_video_intervals)
+  2. host entropy decode of every (clip, span) — thread pool; the C
+     entropy decoder runs GIL-free under ctypes
+  3. bucketed batched device decode (vmap over clips, shard_map-equivalent
+     sharding over the mesh via NamedSharding on the batch axis)
+  4. frame selection + fused epilogue; output stays device-resident
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .backends.tpu import TpuSpanDecoder, _bucket
+from .common import HwangError
+from .intervals import slice_into_video_intervals
+from .mp4_index import index_video
+from .video_index import VideoIndex
+
+
+@dataclasses.dataclass
+class _SpanJob:
+    clip: int
+    start: int                 # absolute first sample of span
+    data: bytes
+    offsets: np.ndarray
+    sizes: np.ndarray
+    valid: list[int]           # absolute requested frames in this span
+
+
+class ClipBatchDecoder:
+    """Decodes sparse frame sets from many same-geometry H.264 clips.
+
+    All clips must share coded geometry (equal SPS dims) — the normal case
+    for dataset pipelines.  Output: uint8 RGB [total_frames, H, W, 3] (or
+    resized), device-resident jax arrays unless to_host=True.
+    """
+
+    def __init__(self, paths: Sequence[str], n_refs: int = 4,
+                 io_threads: int = 8):
+        self.paths = list(paths)
+        self.indexes: list[VideoIndex] = [index_video(p) for p in paths]
+        ex0 = self.indexes[0].metadata_bytes
+        self.span_decoder = TpuSpanDecoder(ex0, n_refs=n_refs)
+        for i, idx in enumerate(self.indexes[1:], 1):
+            d = TpuSpanDecoder(idx.metadata_bytes, n_refs=n_refs)
+            if (d.mb_width, d.mb_height) != (
+                self.span_decoder.mb_width, self.span_decoder.mb_height
+            ):
+                raise HwangError(
+                    f"clip {i} geometry differs; batch clips of equal size"
+                )
+        self.n_refs = n_refs
+        self._pool = concurrent.futures.ThreadPoolExecutor(io_threads)
+
+    # ------------------------------------------------------------------
+    def _plan(self, rows_per_clip) -> list[_SpanJob]:
+        jobs = []
+        for c, (path, vi, rows) in enumerate(
+            zip(self.paths, self.indexes, rows_per_clip)
+        ):
+            rows = sorted(set(int(r) for r in rows))
+            intervals = slice_into_video_intervals(vi, rows)
+            with open(path, "rb") as f:
+                for (start, end), valid in intervals:
+                    end = min(end, max(valid) + 1)  # trim unused tail
+                    off0 = int(vi.sample_offsets[start])
+                    last = end - 1
+                    off1 = int(vi.sample_offsets[last]) + int(
+                        vi.sample_sizes[last]
+                    )
+                    f.seek(off0)
+                    data = f.read(off1 - off0)
+                    offs = (
+                        vi.sample_offsets[start:end].astype(np.uint64)
+                        - np.uint64(off0)
+                    )
+                    jobs.append(
+                        _SpanJob(
+                            clip=c, start=start, data=data, offsets=offs,
+                            sizes=vi.sample_sizes[start:end].astype(np.uint64),
+                            valid=list(valid),
+                        )
+                    )
+        return jobs
+
+    def decode(
+        self,
+        rows_per_clip: Sequence[Sequence[int]],
+        out_size: Optional[tuple[int, int]] = None,  # (height, width)
+        output: str = "rgb",
+        mesh=None,
+        to_host: bool = False,
+    ):
+        """Decode the requested frames of every clip.
+
+        Returns (frames, index) where frames is [N, H, W, 3] uint8 (N =
+        total requested frames across clips, clip-major order) and index
+        is a list of (clip, frame_number) describing each row.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .models.h264.recon_batched import (
+            decode_gop_batched,
+            stack_tensors,
+        )
+        from .ops.yuv import resize_bilinear_rgb, yuv420_to_rgb
+        from .parallel.sharding import shard_batch
+
+        jobs = self._plan(rows_per_clip)
+
+        # The native entropy context is stateful (per-picture MB state,
+        # DPB) — one context per worker thread.
+        import threading
+
+        from .models.h264.entropy import H264EntropyDecoder
+
+        extradata = self.indexes[0].metadata_bytes
+        tls = threading.local()
+
+        def host_decode(job: _SpanJob):
+            dec = getattr(tls, "dec", None)
+            if dec is None:
+                dec = tls.dec = H264EntropyDecoder(extradata)
+            return dec.decode_gop(job.data, job.offsets, job.sizes)
+
+        tensors = list(self._pool.map(host_decode, jobs))
+
+        # bucket spans by padded frame count so each bucket is one batched
+        # device call
+        buckets: dict[int, list[int]] = {}
+        for i, t in enumerate(tensors):
+            buckets.setdefault(_bucket(t.n_frames), []).append(i)
+
+        mb_w = self.span_decoder.mb_width
+        mb_h = self.span_decoder.mb_height
+        cqo = self.span_decoder.entropy.chroma_qp_offset
+        left, top, right, bottom = self.span_decoder.crop
+        W = mb_w * 16 - left - right
+        H = mb_h * 16 - top - bottom
+
+        out_frames = []
+        index = []
+        for fpad, idxs in buckets.items():
+            batch = stack_tensors([tensors[i] for i in idxs], fpad)
+            if mesh is not None:
+                per = mesh.devices.size
+                pad_b = (-len(idxs)) % per
+                if pad_b:
+                    batch = jax.tree.map(
+                        lambda a: jnp.concatenate(
+                            [a] + [a[-1:]] * pad_b, axis=0
+                        ),
+                        batch,
+                    )
+                batch = shard_batch(batch, mesh)
+            Ys, Us, Vs = decode_gop_batched(batch, mb_w, mb_h, cqo,
+                                            self.n_refs)
+            # fused selection: one gather for all requested frames of this
+            # bucket, then one epilogue over the stack
+            sel_b, sel_f = [], []
+            for k, i in enumerate(idxs):
+                for row in jobs[i].valid:
+                    sel_b.append(k)
+                    sel_f.append(row - jobs[i].start)
+                    index.append((jobs[i].clip, row))
+            sb = jnp.asarray(sel_b)
+            sf = jnp.asarray(sel_f)
+            y = Ys[sb, sf, top : top + H, left : left + W]
+            u = Us[sb, sf, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            v = Vs[sb, sf, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            if output == "rgb":
+                frames = yuv420_to_rgb(y, u, v)
+                if out_size is not None:
+                    frames = jax.vmap(
+                        lambda fr: resize_bilinear_rgb(fr, out_size[0],
+                                                       out_size[1])
+                    )(frames)
+                out_frames.append(frames)
+            else:
+                N = y.shape[0]
+                out_frames.append(
+                    jnp.concatenate(
+                        [y.reshape(N, -1), u.reshape(N, -1),
+                         v.reshape(N, -1)], axis=1
+                    )
+                )
+        import jax.numpy as jnp  # noqa: F811
+        stacked = jnp.concatenate(out_frames) if len(out_frames) > 1 else out_frames[0]
+        if to_host:
+            stacked = np.asarray(stacked)
+        return stacked, index
+
+    def close(self):
+        self._pool.shutdown(wait=False)

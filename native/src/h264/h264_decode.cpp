@@ -576,7 +576,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   bool is_p = sc.sh.slice_type == SLICE_P;
   int raw_type = br.ue();
   if (br.error()) {
-    c.err = "mb_type overrun";
+    c.err = "mb_type overrun at mb " + std::to_string(mb);
     return false;
   }
   int mb_type = raw_type;
@@ -706,7 +706,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
     }
     int cm = br.ue();
     if (cm > 3 || br.error()) {
-      c.err = "bad chroma mode";
+      c.err = "bad chroma mode at mb " + std::to_string(mb);
       return false;
     }
     out->chroma_mode[base] = (int8_t)cm;
@@ -721,7 +721,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
     out->cbp[base] = (uint8_t)(cbp_luma | (cbp_chroma << 4));
     int cm = br.ue();
     if (cm > 3 || br.error()) {
-      c.err = "bad chroma mode (i16)";
+      c.err = "bad chroma mode (i16) at mb " + std::to_string(mb) + " cm " + std::to_string(cm);
       return false;
     }
     out->chroma_mode[base] = (int8_t)cm;
@@ -754,7 +754,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   } else {
     int code = br.ue();
     if (code > 47 || br.error()) {
-      c.err = "bad cbp code";
+      c.err = "bad cbp code at mb " + std::to_string(mb);
       return false;
     }
     cbp = kCbpTable[code][M.intra ? 0 : 1];
@@ -801,7 +801,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
       }
       int tc = decode_residual_block(br, nc, max_coeff, scan_buf);
       if (tc < 0) {
-        c.err = "luma AC residual error";
+        c.err = "luma AC residual error at mb " + std::to_string(mb);
         return false;
       }
       M.nnz[rblk] = (uint8_t)tc;

@@ -74,3 +74,23 @@ def test_jax_deblock_matches_reference(decoded):
     assert np.array_equal(np.asarray(gy), db[f][0].astype(np.int64))
     assert np.array_equal(np.asarray(gu), db[f][1].astype(np.int64))
     assert np.array_equal(np.asarray(gv), db[f][2].astype(np.int64))
+
+
+def test_batched_decode_bit_exact(decoded):
+    """Natively-batched decoder (the production path) vs libavcodec."""
+    from hwang_tpu.models.h264.recon_batched import (
+        decode_gop_batched,
+        stack_tensors,
+    )
+
+    p, t, cqo = decoded
+    oracle = oracle_decode_all(p, fmt="yuv")
+    g = stack_tensors([t, t], pad_frames=8)  # B=2, same clip twice
+    Ys, Us, Vs = decode_gop_batched(g, t.mb_width, t.mb_height, cqo, 2)
+    Ys, Us, Vs = np.asarray(Ys), np.asarray(Us), np.asarray(Vs)
+    for b in range(2):
+        for f in range(t.n_frames):
+            oy, ou, ov = oracle[f]
+            assert np.array_equal(Ys[b, f], oy), f"clip {b} frame {f} Y"
+            assert np.array_equal(Us[b, f], ou), f"clip {b} frame {f} U"
+            assert np.array_equal(Vs[b, f], ov), f"clip {b} frame {f} V"
