@@ -63,14 +63,12 @@ class TpuSpanDecoder:
     def decode_span(self, data, sample_offsets, sample_sizes):
         """Decode one span; returns device YUV arrays (coded size):
         (Y [F,H,W], U, V, n_frames)."""
-        from ..models.h264.recon_batched import (
-            decode_gop_batched,
-            stack_tensors,
-        )
+        from ..models.h264.packed import pack_gop_batch
+        from ..models.h264.recon_batched import decode_gop_packed
 
         t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
-        g = stack_tensors([t], _bucket(t.n_frames))
-        Ys, Us, Vs = decode_gop_batched(
+        g = pack_gop_batch([t], _bucket(t.n_frames))
+        Ys, Us, Vs = decode_gop_packed(
             g, self.mb_width, self.mb_height,
             self.entropy.chroma_qp_offset, n_refs=self.n_refs,
         )

@@ -63,8 +63,14 @@ def slice_into_video_intervals(
     intervals: list[tuple[int, int]] = []
     valids: list[list[int]] = []
 
-    start_kf = 0  # index into kp of the span's starting keyframe
-    end_kf = 1  # index into kp of the current GOP's end boundary
+    # Start at the GOP containing the FIRST requested row.  (The reference
+    # instead always starts its cursor at keyframe 0, so a first request
+    # inside a later byte-adjacent GOP silently extends the span back to
+    # frame 0 and decodes every preceding GOP — an inefficiency we fix.)
+    import bisect
+
+    start_kf = bisect.bisect_right(kp, rows[0]) - 1
+    end_kf = start_kf + 1
     cur_valid: list[int] = []
 
     for row in rows:

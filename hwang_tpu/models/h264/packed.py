@@ -1,0 +1,159 @@
+"""Packed host->device transport for entropy-decoder output.
+
+The SoA tensors are hugely redundant next to the bitstream they came from
+(dense int32 coefficients are ~400x the H.264 payload).  Uploading them
+naively costs both fixed per-transfer latency (dozens of arrays) and
+bandwidth.  This module packs a whole clip batch into THREE host buffers:
+
+  u8    [B, F, M, U8_STRIDE]   all small per-MB syntax (kinds, modes,
+                               availability, nnz, refidx, qp, offsets)
+  i16   [B, F, M, 32] + header per-frame fields  (motion vectors, ref_map)
+  coeff sparse stream: values int16 [K], flat positions int32/int64 [K]
+        into a unified [B, F, M, 26, 16] coefficient tensor
+        (blocks 0-15 luma AC, 16-23 chroma AC, 24 luma DC, 25 chroma DC)
+
+and unpacks on-device into the GopArrays the reconstruction consumes —
+one scatter rebuilds the dense coefficients.  Typical transfer volume
+drops from ~1 KB/MB (dense int16) to ~120 B/MB + 6-8 B per nonzero
+coefficient, i.e. a few x the compressed bitstream size.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .recon import GopArrays
+
+# u8 layout offsets (per MB)
+_U8_FIELDS = [
+    ("mb_kind", 1, 0),
+    ("qp", 1, 0),
+    ("i16_mode", 1, 1),      # stored +1
+    ("chroma_mode", 1, 1),
+    ("deblock_idc", 1, 0),
+    ("avail", 1, 0),
+    ("alpha_off", 1, 128),   # stored +128
+    ("beta_off", 1, 128),
+    ("i4_modes", 16, 1),
+    ("refidx", 4, 1),
+    ("nnz", 24, 0),
+]
+U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 52
+
+
+class PackedBatch(NamedTuple):
+    u8: jnp.ndarray        # [B, F, M, U8_STRIDE] uint8
+    mv: jnp.ndarray        # [B, F, M, 32] int16
+    hdr: jnp.ndarray       # [B, F, 17] int16 (frame_type + ref_map)
+    coeff_val: jnp.ndarray  # [K] int16
+    coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
+    ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
+
+
+_COEFF_BLOCKS = 26
+
+
+def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
+    """Pack entropy.GopTensors list (one per clip) for one upload."""
+    B = len(tensors)
+    F = pad_frames
+    M = tensors[0].mb_width * tensors[0].mb_height
+
+    u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
+    mv = np.zeros((B, F, M, 32), np.int16)
+    hdr = np.zeros((B, F, 17), np.int16)
+    coeff = np.zeros((B, F, M, _COEFF_BLOCKS, 16), np.int16)
+    any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
+    ipcm = (
+        np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
+    )
+
+    for b, t in enumerate(tensors):
+        n = t.n_frames
+        off = 0
+        for name, width, bias in _U8_FIELDS:
+            a = getattr(t, name).astype(np.int16) + bias
+            u8[b, :n, :, off : off + width] = a.reshape(n, M, width)
+            off += width
+        mv[b, :n] = t.mv.reshape(n, M, 32)
+        hdr[b, :n, 0] = t.frame_type
+        hdr[b, :n, 1:] = np.clip(t.ref_map, -1, 32766)
+        coeff[b, :n, :, :16] = t.luma_ac
+        coeff[b, :n, :, 16:24] = t.chroma_ac.reshape(n, M, 8, 16)
+        coeff[b, :n, :, 24] = t.luma_dc
+        coeff[b, :n, :, 25, :8] = t.chroma_dc.reshape(n, M, 8)
+        if any_ipcm:
+            ipcm[b, :n] = t.ipcm
+
+    flat = coeff.reshape(-1)
+    pos = np.flatnonzero(flat)
+    vals = flat[pos]
+    # pad the sparse stream to a bucket; padding scatters into the scratch
+    # slot (index = total)
+    total = flat.size
+    k = len(pos)
+    kpad = max(1024, 1 << int(np.ceil(np.log2(max(k, 1)))))
+    pos_dtype = np.int32 if total < 2**31 else np.int64
+    pos_p = np.full(kpad, total, pos_dtype)
+    val_p = np.zeros(kpad, np.int16)
+    pos_p[:k] = pos.astype(pos_dtype)
+    val_p[:k] = vals
+
+    return PackedBatch(
+        u8=jnp.asarray(u8),
+        mv=jnp.asarray(mv),
+        hdr=jnp.asarray(hdr),
+        coeff_val=jnp.asarray(val_p),
+        coeff_pos=jnp.asarray(pos_p),
+        ipcm=jnp.asarray(ipcm) if any_ipcm else None,
+    )
+
+
+def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
+    """Device-side unpack into GopArrays (runs inside the decode jit)."""
+    B, F, M, _ = p.u8.shape
+    u = p.u8.astype(jnp.int32)
+    off = 0
+    fields = {}
+    for name, width, bias in _U8_FIELDS:
+        a = u[..., off : off + width] - bias
+        fields[name] = a[..., 0] if width == 1 else a
+        off += width
+
+    dense = jnp.zeros(B * F * M * _COEFF_BLOCKS * 16 + 1, jnp.int16)
+    dense = dense.at[p.coeff_pos].set(p.coeff_val)
+    coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16).astype(jnp.int32)
+
+    mv32 = p.mv.astype(jnp.int32).reshape(B, F, M, 16, 2)
+    hdr = p.hdr.astype(jnp.int32)
+    ipcm = (
+        p.ipcm.astype(jnp.int32)
+        if p.ipcm is not None
+        else jnp.zeros((B, F, M, 384), jnp.int32)
+    )
+    return GopArrays(
+        frame_type=hdr[..., 0],
+        ref_map=hdr[..., 1:],
+        mb_kind=fields["mb_kind"],
+        qp=fields["qp"],
+        i4_modes=fields["i4_modes"],
+        i16_mode=fields["i16_mode"],
+        chroma_mode=fields["chroma_mode"],
+        mv=mv32,
+        refidx=fields["refidx"],
+        luma_dc=coeff[:, :, :, 24],
+        luma_ac=coeff[:, :, :, :16],
+        chroma_dc=coeff[:, :, :, 25, :8].reshape(B, F, M, 2, 4),
+        chroma_ac=coeff[:, :, :, 16:24].reshape(B, F, M, 2, 4, 16),
+        nnz=fields["nnz"],
+        deblock_idc=fields["deblock_idc"],
+        alpha_off=fields["alpha_off"],
+        beta_off=fields["beta_off"],
+        avail=fields["avail"],
+        ipcm=ipcm,
+        n_valid_frames=jnp.zeros((B,), jnp.int32),
+    )

@@ -525,3 +525,22 @@ decode_gop_batched = jax.jit(
     decode_gop_batched_core,
     static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Packed entry point (single-upload host->device transport)
+# ---------------------------------------------------------------------------
+
+
+def decode_gop_packed_core(p, mb_w: int, mb_h: int, chroma_qp_offset: int,
+                           n_refs: int = 4):
+    from .packed import unpack
+
+    g = unpack(p, mb_w, mb_h)
+    return decode_gop_batched_core(g, mb_w, mb_h, chroma_qp_offset, n_refs)
+
+
+decode_gop_packed = jax.jit(
+    decode_gop_packed_core,
+    static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs"),
+)

@@ -111,10 +111,8 @@ class ClipBatchDecoder:
         import jax
         import jax.numpy as jnp
 
-        from .models.h264.recon_batched import (
-            decode_gop_batched,
-            stack_tensors,
-        )
+        from .models.h264.packed import pack_gop_batch
+        from .models.h264.recon_batched import decode_gop_packed
         from .ops.yuv import resize_bilinear_rgb, yuv420_to_rgb
         from .parallel.sharding import shard_batch
 
@@ -153,20 +151,9 @@ class ClipBatchDecoder:
         out_frames = []
         index = []
         for fpad, idxs in buckets.items():
-            batch = stack_tensors([tensors[i] for i in idxs], fpad)
-            if mesh is not None:
-                per = mesh.devices.size
-                pad_b = (-len(idxs)) % per
-                if pad_b:
-                    batch = jax.tree.map(
-                        lambda a: jnp.concatenate(
-                            [a] + [a[-1:]] * pad_b, axis=0
-                        ),
-                        batch,
-                    )
-                batch = shard_batch(batch, mesh)
-            Ys, Us, Vs = decode_gop_batched(batch, mb_w, mb_h, cqo,
-                                            self.n_refs)
+            batch = pack_gop_batch([tensors[i] for i in idxs], fpad)
+            Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
+                                           self.n_refs)
             # fused selection: one gather for all requested frames of this
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
