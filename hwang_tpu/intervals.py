@@ -42,8 +42,20 @@ class VideoIntervals:
 
 
 def slice_into_video_intervals(
-    index: VideoIndex, rows: Sequence[int]
+    index: VideoIndex, rows: Sequence[int], merge_adjacent: bool = False
 ) -> VideoIntervals:
+    """Plan decode spans for the requested rows.
+
+    merge_adjacent=True reproduces the reference's merge rule
+    (video_index.cpp:76-100): consecutive GOPs whose bytes are contiguous
+    in the file fuse into one span.  MP4 mdat payloads are virtually always
+    contiguous, so under that rule a sparse gather decodes every
+    intervening GOP (e.g. stride-30 over 30-frame GOPs decodes ~every
+    frame to deliver 1 in 30).  The default (False) keeps spans per-GOP:
+    each span still starts at a keyframe and is independently decodable,
+    and the file reads stay contiguous per span, but intervening frames
+    are never decoded.
+    """
     rows = [int(r) for r in rows]
     n_frames = index.frames()
     if any(r < 0 or r >= n_frames for r in rows):
@@ -77,7 +89,9 @@ def slice_into_video_intervals(
         if row >= kp[end_kf]:
             boundary = kp[end_kf]
             last_end_byte = int(offs[boundary - 1]) + int(sizes[boundary - 1])
-            adjacent = last_end_byte == int(offs[boundary])
+            adjacent = merge_adjacent and (
+                last_end_byte == int(offs[boundary])
+            )
             end_kf += 1
             if row >= kp[end_kf] or not adjacent:
                 # Skipped a keyframe or the next GOP is not byte-adjacent:

@@ -40,14 +40,16 @@ _U8_FIELDS = [
     ("beta_off", 1, 128),
     ("i4_modes", 16, 1),
     ("refidx", 4, 1),
-    ("nnz", 24, 0),
+    ("nnzmask", 3, 0),       # 24 per-block nonzero flags, bit-packed
 ]
-U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 52
+U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 31
 
 
 class PackedBatch(NamedTuple):
     u8: jnp.ndarray        # [B, F, M, U8_STRIDE] uint8
-    mv: jnp.ndarray        # [B, F, M, 32] int16
+    mv_base: jnp.ndarray   # [B, F, M, 2] int16 (the MB's first 4x4 MV)
+    mv_exc_val: jnp.ndarray  # [Kv, 2] int16 sub-partition MV exceptions
+    mv_exc_pos: jnp.ndarray  # [Kv] int32/int64 into [B*F*M*16] (+1 scratch)
     hdr: jnp.ndarray       # [B, F, 17] int16 (frame_type + ref_map)
     coeff_val: jnp.ndarray  # [K] int16
     coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
@@ -64,7 +66,7 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     M = tensors[0].mb_width * tensors[0].mb_height
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
-    mv = np.zeros((B, F, M, 32), np.int16)
+    mv = np.zeros((B, F, M, 16, 2), np.int16)
     hdr = np.zeros((B, F, 17), np.int16)
     coeff = np.zeros((B, F, M, _COEFF_BLOCKS, 16), np.int16)
     any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
@@ -76,10 +78,17 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         n = t.n_frames
         off = 0
         for name, width, bias in _U8_FIELDS:
-            a = getattr(t, name).astype(np.int16) + bias
+            if name == "nnzmask":
+                bits = (t.nnz > 0).astype(np.uint32)
+                packed = (bits << np.arange(24)[None, None, :]).sum(-1)
+                a = np.stack(
+                    [packed & 0xFF, (packed >> 8) & 0xFF, packed >> 16], -1
+                )
+            else:
+                a = getattr(t, name).astype(np.int16) + bias
             u8[b, :n, :, off : off + width] = a.reshape(n, M, width)
             off += width
-        mv[b, :n] = t.mv.reshape(n, M, 32)
+        mv[b, :n] = t.mv
         hdr[b, :n, 0] = t.frame_type
         hdr[b, :n, 1:] = np.clip(t.ref_map, -1, 32766)
         coeff[b, :n, :, :16] = t.luma_ac
@@ -89,23 +98,36 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         if any_ipcm:
             ipcm[b, :n] = t.ipcm
 
+    def sparse_pad(pos, vals, total, min_bucket=1024):
+        k = len(pos)
+        kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(k, 1)))))
+        pos_dtype = np.int32 if total < 2**31 else np.int64
+        pos_p = np.full(kpad, total, pos_dtype)
+        pos_p[:k] = pos.astype(pos_dtype)
+        if vals.ndim == 1:
+            val_p = np.zeros(kpad, vals.dtype)
+        else:
+            val_p = np.zeros((kpad,) + vals.shape[1:], vals.dtype)
+        val_p[:k] = vals
+        return pos_p, val_p
+
     flat = coeff.reshape(-1)
     pos = np.flatnonzero(flat)
-    vals = flat[pos]
-    # pad the sparse stream to a bucket; padding scatters into the scratch
-    # slot (index = total)
-    total = flat.size
-    k = len(pos)
-    kpad = max(1024, 1 << int(np.ceil(np.log2(max(k, 1)))))
-    pos_dtype = np.int32 if total < 2**31 else np.int64
-    pos_p = np.full(kpad, total, pos_dtype)
-    val_p = np.zeros(kpad, np.int16)
-    pos_p[:k] = pos.astype(pos_dtype)
-    val_p[:k] = vals
+    pos_p, val_p = sparse_pad(pos, flat[pos], flat.size)
+
+    # MV transport: per-MB base (first 4x4 block) + sparse exceptions for
+    # the blocks of sub-partitioned MBs (most MBs are single-partition)
+    base = mv[:, :, :, 0]                               # [B, F, M, 2]
+    diff = (mv != base[:, :, :, None]).any(-1)          # [B, F, M, 16]
+    mpos = np.flatnonzero(diff.reshape(-1))
+    mvals = mv.reshape(-1, 2)[mpos]
+    mpos_p, mval_p = sparse_pad(mpos, mvals, diff.size, min_bucket=256)
 
     return PackedBatch(
         u8=jnp.asarray(u8),
-        mv=jnp.asarray(mv),
+        mv_base=jnp.asarray(base),
+        mv_exc_val=jnp.asarray(mval_p),
+        mv_exc_pos=jnp.asarray(mpos_p),
         hdr=jnp.asarray(hdr),
         coeff_val=jnp.asarray(val_p),
         coeff_pos=jnp.asarray(pos_p),
@@ -114,9 +136,15 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
 
 
 def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
-    """Device-side unpack into GopArrays (runs inside the decode jit)."""
+    """Device-side unpack into GopArrays (runs inside the decode jit).
+
+    Arrays stay NARROW (int16) here; the frame scan casts its per-frame
+    slices to int32 — keeping full-GOP int32 copies around blows HBM at
+    large batch x frame shapes.  `ipcm` stays None when no clip has I_PCM
+    macroblocks (the overwhelmingly common case).
+    """
     B, F, M, _ = p.u8.shape
-    u = p.u8.astype(jnp.int32)
+    u = p.u8.astype(jnp.int16)
     off = 0
     fields = {}
     for name, width, bias in _U8_FIELDS:
@@ -126,15 +154,23 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
 
     dense = jnp.zeros(B * F * M * _COEFF_BLOCKS * 16 + 1, jnp.int16)
     dense = dense.at[p.coeff_pos].set(p.coeff_val)
-    coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16).astype(jnp.int32)
+    coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16)
 
-    mv32 = p.mv.astype(jnp.int32).reshape(B, F, M, 16, 2)
-    hdr = p.hdr.astype(jnp.int32)
-    ipcm = (
-        p.ipcm.astype(jnp.int32)
-        if p.ipcm is not None
-        else jnp.zeros((B, F, M, 384), jnp.int32)
-    )
+    # rebuild per-4x4 MVs: broadcast base, scatter exceptions
+    mv_flat = jnp.broadcast_to(
+        p.mv_base[:, :, :, None, :], (B, F, M, 16, 2)
+    ).reshape(B * F * M * 16, 2)
+    mv_flat = jnp.concatenate([mv_flat, jnp.zeros((1, 2), jnp.int16)])
+    mv_flat = mv_flat.at[p.mv_exc_pos].set(p.mv_exc_val)
+    mv16 = mv_flat[:-1].reshape(B, F, M, 16, 2)
+
+    # unpack the nnz bitmask back to 24 per-block flags (bS only needs
+    # the boolean)
+    hdr = p.hdr
+    nm = fields["nnzmask"].astype(jnp.int32)
+    packed_bits = nm[..., 0] | (nm[..., 1] << 8) | (nm[..., 2] << 16)
+    nnz24 = ((packed_bits[..., None] >> jnp.arange(24)) & 1).astype(jnp.int16)
+
     return GopArrays(
         frame_type=hdr[..., 0],
         ref_map=hdr[..., 1:],
@@ -143,17 +179,17 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         i4_modes=fields["i4_modes"],
         i16_mode=fields["i16_mode"],
         chroma_mode=fields["chroma_mode"],
-        mv=mv32,
+        mv=mv16,
         refidx=fields["refidx"],
         luma_dc=coeff[:, :, :, 24],
         luma_ac=coeff[:, :, :, :16],
         chroma_dc=coeff[:, :, :, 25, :8].reshape(B, F, M, 2, 4),
         chroma_ac=coeff[:, :, :, 16:24].reshape(B, F, M, 2, 4, 16),
-        nnz=fields["nnz"],
+        nnz=nnz24,
         deblock_idc=fields["deblock_idc"],
         alpha_off=fields["alpha_off"],
         beta_off=fields["beta_off"],
         avail=fields["avail"],
-        ipcm=ipcm,
+        ipcm=p.ipcm,
         n_valid_frames=jnp.zeros((B,), jnp.int32),
     )

@@ -108,17 +108,18 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
     V = jnp.clip(pred_v + _assemble_b(chroma_res[:, :, 1], mb_w, mb_h, 8), 0, 255)
 
-    kind = fr["mb_kind"]
     ipcm = fr["ipcm"]
-    is_pcm = kind == 4
-    ipcm_y = _assemble_b(ipcm[..., :256].reshape(B, M, 16, 16), mb_w, mb_h, 16)
-    ipcm_u = _assemble_b(ipcm[..., 256:320].reshape(B, M, 8, 8), mb_w, mb_h, 8)
-    ipcm_v = _assemble_b(ipcm[..., 320:].reshape(B, M, 8, 8), mb_w, mb_h, 8)
-    pcm_y = _rep2(is_pcm.reshape(B, mb_h, mb_w), 16)
-    pcm_c = _rep2(is_pcm.reshape(B, mb_h, mb_w), 8)
-    Y = jnp.where(pcm_y, ipcm_y, Y)
-    U = jnp.where(pcm_c, ipcm_u, U)
-    V = jnp.where(pcm_c, ipcm_v, V)
+    if ipcm is not None:
+        kind = fr["mb_kind"]
+        is_pcm = kind == 4
+        ipcm_y = _assemble_b(ipcm[..., :256].reshape(B, M, 16, 16), mb_w, mb_h, 16)
+        ipcm_u = _assemble_b(ipcm[..., 256:320].reshape(B, M, 8, 8), mb_w, mb_h, 8)
+        ipcm_v = _assemble_b(ipcm[..., 320:].reshape(B, M, 8, 8), mb_w, mb_h, 8)
+        pcm_y = _rep2(is_pcm.reshape(B, mb_h, mb_w), 16)
+        pcm_c = _rep2(is_pcm.reshape(B, mb_h, mb_w), 8)
+        Y = jnp.where(pcm_y, ipcm_y, Y)
+        U = jnp.where(pcm_c, ipcm_u, U)
+        V = jnp.where(pcm_c, ipcm_v, V)
     return Y, U, V
 
 
@@ -442,32 +443,35 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
 
     def frame_step(carry, f):
         ring_y, ring_u, ring_v, ring_ids, pos = carry
+        i32 = lambda a: a[:, f].astype(jnp.int32)
         fr = {
-            "mb_kind": g.mb_kind[:, f],
-            "qp": g.qp[:, f],
-            "i4_modes": g.i4_modes[:, f],
-            "i16_mode": g.i16_mode[:, f],
-            "chroma_mode": g.chroma_mode[:, f],
-            "mv": g.mv[:, f],
-            "refidx": g.refidx[:, f],
-            "ref_map": g.ref_map[:, f],
-            "ipcm": g.ipcm[:, f],
-            "avail": g.avail[:, f],
+            "mb_kind": i32(g.mb_kind),
+            "qp": i32(g.qp),
+            "i4_modes": i32(g.i4_modes),
+            "i16_mode": i32(g.i16_mode),
+            "chroma_mode": i32(g.chroma_mode),
+            "mv": i32(g.mv),
+            "refidx": i32(g.refidx),
+            "ref_map": i32(g.ref_map),
+            "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
+            "avail": i32(g.avail),
         }
         qp = fr["qp"]
         qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
         is_i16 = fr["mb_kind"] == 3
 
         luma_res16, luma_blocks = luma_residual_b(
-            g.luma_ac[:, f], g.luma_dc[:, f], qp, is_i16
+            i32(g.luma_ac), i32(g.luma_dc), qp, is_i16
         )
-        chroma_res = chroma_residual_b(g.chroma_ac[:, f], g.chroma_dc[:, f], qpc)
+        chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc), qpc)
 
         Y, U, V = _inter_stage_b(
             fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
             luma_res16, chroma_res,
         )
-        Y, U, V = _intra_stage_b(
+        from .recon_skewed import deblock_stage_skewed, intra_stage_skewed
+
+        Y, U, V = intra_stage_skewed(
             Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
         )
         refidx = fr["refidx"]
@@ -481,15 +485,17 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         meta = {
             "qp": qp,
             "kind": fr["mb_kind"],
-            "idc": g.deblock_idc[:, f],
-            "a_off": g.alpha_off[:, f],
-            "b_off": g.beta_off[:, f],
+            "idc": i32(g.deblock_idc),
+            "a_off": i32(g.alpha_off),
+            "b_off": i32(g.beta_off),
             "avail": fr["avail"],
-            "nnz": g.nnz[:, f],
+            "nnz": i32(g.nnz),
             "mv": fr["mv"],
             "ref": span_ref,
         }
-        Y, U, V = _deblock_b(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset)
+        Y, U, V = deblock_stage_skewed(
+            Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
+        )
         Y = Y.astype(jnp.uint8)
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)

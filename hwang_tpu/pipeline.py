@@ -148,9 +148,17 @@ class ClipBatchDecoder:
         W = mb_w * 16 - left - right
         H = mb_h * 16 - top - bottom
 
+        # bound device memory: the unpacked coefficient tensor is
+        # B*F*M*26*16 int32; chunk the batch so it stays under ~1.5 GB
+        M = mb_w * mb_h
         out_frames = []
         index = []
+        chunked: list[tuple[int, list[int]]] = []
         for fpad, idxs in buckets.items():
+            max_b = max(1, min(64, int(1.5e9 // (fpad * M * 26 * 16 * 4))))
+            for s in range(0, len(idxs), max_b):
+                chunked.append((fpad, idxs[s : s + max_b]))
+        for fpad, idxs in chunked:
             batch = pack_gop_batch([tensors[i] for i in idxs], fpad)
             Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
                                            self.n_refs)

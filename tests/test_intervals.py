@@ -47,7 +47,7 @@ def test_spans_start_on_keyframes():
 
 def test_adjacent_gops_merge():
     idx = make_index(90, [0, 30, 60], adjacent=True)
-    iv = slice_into_video_intervals(idx, [5, 35])
+    iv = slice_into_video_intervals(idx, [5, 35], merge_adjacent=True)
     # byte-adjacent consecutive GOPs merge into one span
     assert iv.sample_index_intervals == [(0, 60)]
     assert iv.valid_frames == [[5, 35]]
@@ -62,7 +62,7 @@ def test_non_adjacent_gops_split():
 
 def test_skipped_keyframe_splits():
     idx = make_index(90, [0, 30, 60], adjacent=True)
-    iv = slice_into_video_intervals(idx, [5, 65])
+    iv = slice_into_video_intervals(idx, [5, 65], merge_adjacent=True)
     assert iv.sample_index_intervals == [(0, 30), (60, 90)]
     assert iv.valid_frames == [[5], [65]]
 
@@ -102,3 +102,11 @@ def test_empty_rows():
     idx = make_index(30, [0])
     iv = slice_into_video_intervals(idx, [])
     assert len(iv) == 0
+
+
+def test_no_merge_by_default():
+    """Per-GOP spans by default: a stride gather never decodes intervening
+    GOPs (deviation from the reference, which merges byte-adjacent GOPs)."""
+    idx = make_index(90, [0, 30, 60], adjacent=True)
+    iv = slice_into_video_intervals(idx, [0, 30, 60])
+    assert iv.sample_index_intervals == [(0, 30), (30, 60), (60, 90)]
