@@ -79,7 +79,8 @@ def _rep2(a, n):
 def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     B, M = fr["mb_kind"].shape
     H, W = mb_h * 16, mb_w * 16
-    planes_y, ring_u, ring_v, ring_ids = ring
+    planes_y, ring_u, ring_v, ring_ids = ring  # ring_u holds BOTH chroma
+    # plane sets ([B, R, 2, 64, Hcp, Wcp]); ring_v unused in this layout
 
     refidx = fr["refidx"]                                     # [B, M, 4]
     span_ref = jnp.take_along_axis(
@@ -94,15 +95,14 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     mvy_blk = _assemble_b(mv[..., 1].reshape(B, M, 4, 4), mb_w, mb_h, 4)
     slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
 
-    pred_y = ops_mc.luma_mc_gather_b(
+    pred_y = ops_mc.luma_mc_gather16_b(
         planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
     )
-    pred_u = ops_mc.chroma_mc_gather_b(
+    pred_uv = ops_mc.chroma_mc_gather64_b(
         ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
     )
-    pred_v = ops_mc.chroma_mc_gather_b(
-        ring_v, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
-    )
+    pred_u = pred_uv[:, 0]
+    pred_v = pred_uv[:, 1]
 
     Y = jnp.clip(pred_y + _assemble_b(luma_res, mb_w, mb_h, 16), 0, 255)
     U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
@@ -436,9 +436,9 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     R = n_refs
     m = _MARGIN
 
-    ring_y0 = jnp.zeros((B, R, 4, H + 2 * m, W + 2 * m), jnp.uint8)
-    ring_u0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
-    ring_v0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
+    ring_y0 = jnp.zeros((B, R, 16, H + 2 * m, W + 2 * m), jnp.uint8)
+    ring_u0 = jnp.zeros((B, R, 2, 64, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
+    ring_v0 = jnp.zeros((B, R, 1, 1), jnp.uint8)  # unused (kept for arity)
     ring_ids0 = jnp.full((R,), -1, jnp.int32)
 
     def frame_step(carry, f):
@@ -500,14 +500,14 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
 
-        planes = ops_mc.luma_halfpel_planes_b(Y)        # [B, 4, Hp, Wp]
-        pu = ops_mc.pad_plane_b(U)
-        pv = ops_mc.pad_plane_b(V)
+        planes = ops_mc.luma_subpel16_planes(Y)        # [B, 16, Hp, Wp]
+        cplanes = ops_mc.chroma_subpel64_planes(U, V)  # [B, 2, 64, Hcp, Wcp]
         ring_y = jax.lax.dynamic_update_slice(
             ring_y, planes[:, None], (0, pos, 0, 0, 0)
         )
-        ring_u = jax.lax.dynamic_update_slice(ring_u, pu[:, None], (0, pos, 0, 0))
-        ring_v = jax.lax.dynamic_update_slice(ring_v, pv[:, None], (0, pos, 0, 0))
+        ring_u = jax.lax.dynamic_update_slice(
+            ring_u, cplanes[:, None], (0, pos, 0, 0, 0, 0)
+        )
         ring_ids = jax.lax.dynamic_update_slice(
             ring_ids, f[None].astype(jnp.int32), (pos,)
         )

@@ -257,3 +257,93 @@ def chroma_mc_gather_b(refs, ref_slot, mvx, mvy):
         (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bs
         + (8 - fx) * fy * C + fx * fy * D + 32
     ) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Single-gather MC: precomputed full subpel plane sets
+# ---------------------------------------------------------------------------
+#
+# TPU has no hardware gather; XLA executes ~85M gathered elements/s
+# regardless of locality.  Minimizing gathered elements wins: precompute
+# ALL 16 quarter-pel luma planes (dense VPU averages of G/B/H/J) and all
+# 64 eighth-pel chroma bilinear planes, then prediction is exactly ONE
+# gathered element per output pixel.
+
+
+def luma_subpel16_planes(ref: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] uint8 -> [B, 16, Hp, Wp] uint8: plane p = frac fy*4+fx."""
+    base = luma_halfpel_planes_b(ref).astype(jnp.int32)  # [B, 4, Hp, Wp]
+    G, Bb, Hh, J = base[:, 0], base[:, 1], base[:, 2], base[:, 3]
+    def shx(a):  # a at x+1, edge-replicated (rolls would wrap garbage in)
+        return jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+
+    def shy(a):
+        return jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+
+    G1x = shx(G)
+    G1y = shy(G)
+    M = shx(Hh)   # h at x+1
+    S = shy(Bb)   # b at y+1
+
+    def avg(a, b):
+        return (a + b + 1) >> 1
+
+    planes = [
+        G, avg(G, Bb), Bb, avg(Bb, G1x),
+        avg(G, Hh), avg(Bb, Hh), avg(Bb, J), avg(Bb, M),
+        Hh, avg(Hh, J), J, avg(M, J),
+        avg(Hh, G1y), avg(Hh, S), avg(S, J), avg(M, S),
+    ]
+    return jnp.stack(planes, axis=1).astype(jnp.uint8)
+
+
+def chroma_subpel64_planes(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[B, Hc, Wc] x2 uint8 -> [B, 2, 64, Hcp, Wcp] uint8 bilinear planes
+    (plane index = fy*8 + fx)."""
+    c = jnp.stack([u, v], axis=1)
+    P = pad_plane_b(
+        c.reshape(-1, c.shape[-2], c.shape[-1])
+    ).reshape(c.shape[0], 2, c.shape[-2] + 2 * _MARGIN, -1).astype(jnp.int32)
+    A = P
+    Bc = jnp.concatenate([P[..., 1:], P[..., -1:]], axis=-1)
+    C = jnp.concatenate([P[..., 1:, :], P[..., -1:, :]], axis=-2)
+    D = jnp.concatenate([Bc[..., 1:, :], Bc[..., -1:, :]], axis=-2)
+    outs = []
+    for fy in range(8):
+        for fx in range(8):
+            outs.append(
+                ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
+                 + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+            )
+    return jnp.stack(outs, axis=2).astype(jnp.uint8)
+
+
+def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
+    """planes16 [B, R, 16, Hp, Wp]; maps [B, H, W] -> [B, H, W] int32."""
+    B, R, P, Hp, Wp = planes16.shape
+    _, H, W = mvx.shape
+    m = _MARGIN
+    ys = jnp.clip(jnp.arange(H)[None, :, None] + (mvy >> 2) + m, 0, Hp - 1)
+    xs = jnp.clip(jnp.arange(W)[None, None, :] + (mvx >> 2) + m, 0, Wp - 1)
+    frac = (mvy & 3) * 4 + (mvx & 3)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    idx = (((boff + ref_slot) * P + frac) * Hp + ys) * Wp + xs
+    return planes16.reshape(-1)[idx].astype(jnp.int32)
+
+
+def chroma_mc_gather64_b(planes64, ref_slot, mvx, mvy):
+    """planes64 [B, R, 2, 64, Hcp, Wcp]; maps [B, Hc, Wc]
+    -> [B, 2, Hc, Wc] int32 (both chroma planes in one fused gather each)."""
+    B, R, _, P, Hp, Wp = planes64.shape
+    _, Hc, Wc = mvx.shape
+    m = _MARGIN
+    ys = jnp.clip(jnp.arange(Hc)[None, :, None] + (mvy >> 3) + m, 0, Hp - 1)
+    xs = jnp.clip(jnp.arange(Wc)[None, None, :] + (mvx >> 3) + m, 0, Wp - 1)
+    frac = (mvy & 7) * 8 + (mvx & 7)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    flat = planes64.reshape(-1)
+    out = []
+    for plane in range(2):
+        idx = ((((boff + ref_slot) * 2 + plane) * P + frac) * Hp + ys) * Wp + xs
+        out.append(flat[idx].astype(jnp.int32))
+    return jnp.stack(out, axis=1)
