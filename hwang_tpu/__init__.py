@@ -32,6 +32,7 @@ from .common import (
     Result,
 )
 from .decoder import Decoder
+from .encoder import EncodeOptions, VideoEncoder, encode_clip
 from .intervals import VideoIntervals, slice_into_video_intervals
 from .mp4_index import MP4IndexCreator, index_video, index_video_bytes
 from .video_index import VideoIndex
@@ -45,6 +46,7 @@ __all__ = [
     "DecoderAutomata",
     "DeviceHandle",
     "DeviceType",
+    "EncodeOptions",
     "EncodedData",
     "FrameInfo",
     "HwangError",
@@ -52,9 +54,11 @@ __all__ = [
     "MP4IndexCreator",
     "Result",
     "VideoDecoderInterface",
+    "VideoEncoder",
     "VideoDecoderType",
     "VideoIndex",
     "VideoIntervals",
+    "encode_clip",
     "index_video",
     "index_video_bytes",
     "make_decoder",

@@ -63,7 +63,13 @@ class DecoderAutomata:
         decoder_type: VideoDecoderType = VideoDecoderType.SOFTWARE,
         output_format: str = "rgb",
         decoder: Optional[VideoDecoderInterface] = None,
+        profiler=None,
     ):
+        from .utils.profiler import PROFILER
+
+        # Metric names mirror the reference's stubbed Profiler intervals
+        # (decoder_automata.cpp:163-165,246-249,282-284).
+        self.profiler = profiler or PROFILER
         self._device = device_handle
         self._decoder = decoder or make_decoder(
             device_handle, decoder_type, num_devices, output_format
@@ -118,6 +124,8 @@ class DecoderAutomata:
         hwang_python.cpp:80-97.
         """
         out: list[np.ndarray] = []
+        prof_span = self.profiler.span("get_frames")
+        prof_span.__enter__()
         while len(out) < n:
             span = self._current_span_with_pending_valid()
             if span is None:
@@ -144,6 +152,8 @@ class DecoderAutomata:
                 self._decoder.discard_frame()
             self._out_count += 1
         self._decoder.wait_until_frames_copied()
+        prof_span.__exit__(None, None, None)
+        self.profiler.increment("frames_used", len(out))
         return out
 
     def frames_remaining(self) -> int:
@@ -196,6 +206,7 @@ class DecoderAutomata:
                 sample_abs = span.start_keyframe + self._fed
                 keyframe = sample_abs in span.keyframes
                 self._decoder.feed(bytes(mv[off : off + size]), keyframe)
+                self.profiler.increment("frames_fed")
                 self._fed += 1
             elif not self._fed_eos:
                 # All samples fed: signal end-of-span so the codec drains.

@@ -47,7 +47,10 @@ class ClipBatchDecoder:
     """
 
     def __init__(self, paths: Sequence[str], n_refs: int = 4,
-                 io_threads: int = 8):
+                 io_threads: int = 8, profiler=None):
+        from .utils.profiler import PROFILER
+
+        self.profiler = profiler or PROFILER
         self.paths = list(paths)
         self.indexes: list[VideoIndex] = [index_video(p) for p in paths]
         ex0 = self.indexes[0].metadata_bytes
@@ -116,7 +119,9 @@ class ClipBatchDecoder:
         from .ops.yuv import resize_bilinear_rgb, yuv420_to_rgb
         from .parallel.sharding import shard_batch
 
-        jobs = self._plan(rows_per_clip)
+        prof = self.profiler
+        with prof.span("plan_spans"):
+            jobs = self._plan(rows_per_clip)
 
         # The native entropy context is stateful (per-picture MB state,
         # DPB) — one context per worker thread.
@@ -133,7 +138,12 @@ class ClipBatchDecoder:
                 dec = tls.dec = H264EntropyDecoder(extradata)
             return dec.decode_gop(job.data, job.offsets, job.sizes)
 
-        tensors = list(self._pool.map(host_decode, jobs))
+        with prof.span("entropy_decode"):
+            tensors = list(self._pool.map(host_decode, jobs))
+        prof.increment("spans_decoded", len(jobs))
+        prof.increment(
+            "frames_decoded", sum(t.n_frames for t in tensors)
+        )
 
         # bucket spans by padded frame count so each bucket is one batched
         # device call
@@ -159,9 +169,11 @@ class ClipBatchDecoder:
             for s in range(0, len(idxs), max_b):
                 chunked.append((fpad, idxs[s : s + max_b]))
         for fpad, idxs in chunked:
-            batch = pack_gop_batch([tensors[i] for i in idxs], fpad)
-            Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
-                                           self.n_refs)
+            with prof.span("pack"):
+                batch = pack_gop_batch([tensors[i] for i in idxs], fpad)
+            with prof.span("device_decode_dispatch"):
+                Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
+                                               self.n_refs)
             # fused selection: one gather for all requested frames of this
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
