@@ -102,6 +102,21 @@ def main():
     tpu_fps = n_total / best
     log(f"tpu path: {best*1e3:.0f} ms for {n_total} frames -> {tpu_fps:.1f} fps")
 
+    # p50 seek-to-frame latency: last frame of a GOP from one clip
+    # (fixed span shape = one compile; the cache covers later runs)
+    lat = []
+    for k in range(5):
+        single = ClipBatchDecoder([paths[k % N_CLIPS]])
+        row = GOP - 1
+        t0 = time.time()
+        fr, _ = single.decode([[row]])
+        device_sync()
+        lat.append(time.time() - t0)
+        single.close()
+    lat.sort()
+    log(f"p50 seek-to-frame latency (GOP-tail frame): "
+        f"{lat[len(lat)//2]*1e3:.0f} ms")
+
     # FFmpeg single-core baseline on the same gather
     t0 = time.time()
     for p, r in zip(paths, rows):

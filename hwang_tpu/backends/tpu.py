@@ -24,7 +24,7 @@ from ..common import HwangError
 from .interface import FrameInfo, VideoDecoderInterface, codec_name_for_format
 
 # frame-count padding buckets: spans compile per bucket, not per length
-_F_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512)
+_F_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
 def _bucket(n: int) -> int:

@@ -20,7 +20,7 @@ import numpy as np
 
 from .automata import DecoderAutomata, EncodedData
 from .backends.interface import VideoDecoderType
-from .common import CPU_DEVICE, DeviceHandle, DeviceType
+from .common import CPU_DEVICE, DeviceHandle, DeviceType, HwangError
 from .intervals import slice_into_video_intervals
 from .mp4_index import index_video
 from .video_index import VideoIndex
@@ -55,6 +55,32 @@ class Decoder:
             device, num_devices, decoder_type, output_format=output_format
         )
         self._output_format = output_format
+        if decoder_type == VideoDecoderType.TPU:
+            # Fail over to the software backend for streams the TPU codec
+            # does not cover yet (CABAC/HEVC/...), keeping retrieve() usable
+            # on any input. Parity note: the reference factory had no
+            # fallback — unsupported streams just errored mid-decode.
+            try:
+                from .backends.interface import codec_name_for_format
+                from .backends.tpu import TpuSpanDecoder
+
+                if codec_name_for_format(self.video_index.format) != "h264":
+                    raise HwangError(
+                        f"TPU path is H.264-only (stream is "
+                        f"{self.video_index.format})"
+                    )
+                TpuSpanDecoder(self.video_index.metadata_bytes)
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"TPU decode path unavailable for this stream "
+                    f"({e}); falling back to SOFTWARE"
+                )
+                self._automata = DecoderAutomata.make_instance(
+                    device, num_devices, VideoDecoderType.SOFTWARE,
+                    output_format=output_format,
+                )
 
     # ------------------------------------------------------------------
     def retrieve(self, rows: Sequence[int]) -> list[np.ndarray]:

@@ -53,6 +53,7 @@ def _sharded_decoder(mesh, mb_w, mb_h, chroma_qp_offset, n_refs):
         fn, mesh=mesh,
         in_specs=(P("clips"),),
         out_specs=(P("clips"), P("clips"), P("clips")),
+        check_vma=False,  # scan carries are created unvarying inside
     )
     return jax.jit(mapped)
 

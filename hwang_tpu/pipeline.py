@@ -8,8 +8,9 @@ Stages:
   1. span planning per clip (slice_into_video_intervals)
   2. host entropy decode of every (clip, span) — thread pool; the C
      entropy decoder runs GIL-free under ctypes
-  3. bucketed batched device decode (vmap over clips, shard_map-equivalent
-     sharding over the mesh via NamedSharding on the batch axis)
+  3. bucketed batched device decode (native clip batch; for multi-chip
+     use parallel.sharding.decode_gop_batch_sharded — shard_map over a
+     clips mesh, no collectives)
   4. frame selection + fused epilogue; output stays device-resident
 """
 
@@ -102,7 +103,6 @@ class ClipBatchDecoder:
         rows_per_clip: Sequence[Sequence[int]],
         out_size: Optional[tuple[int, int]] = None,  # (height, width)
         output: str = "rgb",
-        mesh=None,
         to_host: bool = False,
     ):
         """Decode the requested frames of every clip.
@@ -117,8 +117,6 @@ class ClipBatchDecoder:
         from .models.h264.packed import pack_gop_batch
         from .models.h264.recon_batched import decode_gop_packed
         from .ops.yuv import resize_bilinear_rgb, yuv420_to_rgb
-        from .parallel.sharding import shard_batch
-
         prof = self.profiler
         with prof.span("plan_spans"):
             jobs = self._plan(rows_per_clip)

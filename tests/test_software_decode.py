@@ -106,3 +106,33 @@ def test_multiple_retrieves_same_decoder(small_h264):
     assert np.array_equal(a[0], oracle[5])
     assert np.array_equal(b[0], oracle[40])
     assert np.array_equal(b[1], oracle[70])
+
+
+def test_tpu_decoder_falls_back_for_hevc(small_hevc):
+    """TPU decoder type on an HEVC stream transparently uses SOFTWARE."""
+    import warnings
+
+    from hwang_tpu import Decoder, VideoDecoderType
+    from hwang_tpu.utils.fixtures import oracle_decode_all
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with Decoder(small_hevc, decoder_type=VideoDecoderType.TPU) as dec:
+            frames = dec.retrieve([0, 10])
+    oracle = oracle_decode_all(small_hevc)
+    assert np.array_equal(frames[0], oracle[0])
+    assert np.array_equal(frames[1], oracle[10])
+
+
+def test_tpu_decoder_falls_back_for_cabac(bframes_h264):
+    import warnings
+
+    from hwang_tpu import Decoder, VideoDecoderType
+    from hwang_tpu.utils.fixtures import oracle_decode_all
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with Decoder(bframes_h264, decoder_type=VideoDecoderType.TPU) as dec:
+            frames = dec.retrieve([5])
+    oracle = oracle_decode_all(bframes_h264)
+    assert np.array_equal(frames[0], oracle[5])
