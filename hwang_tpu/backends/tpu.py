@@ -37,7 +37,7 @@ def _bucket(n: int) -> int:
 class TpuSpanDecoder:
     """Span-level H.264 decoder for one stream geometry (one avcC)."""
 
-    def __init__(self, extradata: bytes, n_refs: int = 4):
+    def __init__(self, extradata: bytes, n_refs: int | None = None):
         from ..models.h264.entropy import H264EntropyDecoder
 
         self.entropy = H264EntropyDecoder(extradata)
@@ -47,7 +47,8 @@ class TpuSpanDecoder:
                 "encode with profile=baseline or cabac=0, or use the "
                 "SOFTWARE backend"
             )
-        self.n_refs = n_refs
+        # ring size: the stream's DPB requirement (SPS max_num_ref_frames)
+        self.n_refs = n_refs or max(1, min(self.entropy.max_num_ref_frames, 8))
         self.mb_width = self.entropy.mb_width
         self.mb_height = self.entropy.mb_height
         self.crop = self.entropy.crop  # (left, top, right, bottom)

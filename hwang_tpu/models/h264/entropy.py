@@ -100,6 +100,8 @@ def _declare(lib):
     ]
     lib.hw_h264_chroma_qp_offset.restype = c.c_int
     lib.hw_h264_chroma_qp_offset.argtypes = [c.c_void_p]
+    lib.hw_h264_max_refs.restype = c.c_int
+    lib.hw_h264_max_refs.argtypes = [c.c_void_p]
     _declared = True
 
 
@@ -162,6 +164,7 @@ class H264EntropyDecoder:
         self.profile = self._lib.hw_h264_profile(self._h)
         self.is_cabac = self._lib.hw_h264_is_cabac(self._h) == 1
         self.chroma_qp_offset = self._lib.hw_h264_chroma_qp_offset(self._h)
+        self.max_num_ref_frames = self._lib.hw_h264_max_refs(self._h)
 
     def close(self):
         if self._h:

@@ -98,7 +98,7 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     pred_y = ops_mc.luma_mc_gather16_b(
         planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
     )
-    pred_uv = ops_mc.chroma_mc_gather64_b(
+    pred_uv = ops_mc.chroma_mc_gather_pair_b(
         ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
     )
     pred_u = pred_uv[:, 0]
@@ -437,7 +437,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     m = _MARGIN
 
     ring_y0 = jnp.zeros((B, R, 16, H + 2 * m, W + 2 * m), jnp.uint8)
-    ring_u0 = jnp.zeros((B, R, 2, 64, Hc + 2 * m, Wc + 2 * m), jnp.uint8)
+    ring_u0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m, 2), jnp.uint8)
     ring_v0 = jnp.zeros((B, R, 1, 1), jnp.uint8)  # unused (kept for arity)
     ring_ids0 = jnp.full((R,), -1, jnp.int32)
 
@@ -500,13 +500,13 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
 
-        planes = ops_mc.luma_subpel16_planes(Y)        # [B, 16, Hp, Wp]
-        cplanes = ops_mc.chroma_subpel64_planes(U, V)  # [B, 2, 64, Hcp, Wcp]
+        planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
+        cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
         ring_y = jax.lax.dynamic_update_slice(
             ring_y, planes[:, None], (0, pos, 0, 0, 0)
         )
         ring_u = jax.lax.dynamic_update_slice(
-            ring_u, cplanes[:, None], (0, pos, 0, 0, 0, 0)
+            ring_u, cplanes[:, None], (0, pos, 0, 0, 0)
         )
         ring_ids = jax.lax.dynamic_update_slice(
             ring_ids, f[None].astype(jnp.int32), (pos,)

@@ -297,25 +297,14 @@ def luma_subpel16_planes(ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(planes, axis=1).astype(jnp.uint8)
 
 
-def chroma_subpel64_planes(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """[B, Hc, Wc] x2 uint8 -> [B, 2, 64, Hcp, Wcp] uint8 bilinear planes
-    (plane index = fy*8 + fx)."""
-    c = jnp.stack([u, v], axis=1)
-    P = pad_plane_b(
-        c.reshape(-1, c.shape[-2], c.shape[-1])
-    ).reshape(c.shape[0], 2, c.shape[-2] + 2 * _MARGIN, -1).astype(jnp.int32)
-    A = P
-    Bc = jnp.concatenate([P[..., 1:], P[..., -1:]], axis=-1)
-    C = jnp.concatenate([P[..., 1:, :], P[..., -1:, :]], axis=-2)
-    D = jnp.concatenate([Bc[..., 1:, :], Bc[..., -1:, :]], axis=-2)
-    outs = []
-    for fy in range(8):
-        for fx in range(8):
-            outs.append(
-                ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
-                 + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
-            )
-    return jnp.stack(outs, axis=2).astype(jnp.uint8)
+def chroma_pair_planes(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[B, Hc, Wc] x2 uint8 -> [B, Hcp, Wcp, 2] edge-padded interleaved
+    chroma, so one gathered index fetches the (U, V) pair."""
+    c = jnp.stack([u, v], axis=-1)
+    m = _MARGIN
+    return jnp.pad(
+        c, ((0, 0), (m, m), (m, m), (0, 0)), mode="edge"
+    )
 
 
 def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
@@ -331,19 +320,35 @@ def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
     return planes16.reshape(-1)[idx].astype(jnp.int32)
 
 
-def chroma_mc_gather64_b(planes64, ref_slot, mvx, mvy):
-    """planes64 [B, R, 2, 64, Hcp, Wcp]; maps [B, Hc, Wc]
-    -> [B, 2, Hc, Wc] int32 (both chroma planes in one fused gather each)."""
-    B, R, _, P, Hp, Wp = planes64.shape
+def chroma_mc_gather_pair_b(pairs, ref_slot, mvx, mvy):
+    """pairs [B, R, Hcp, Wcp, 2] uint8; maps [B, Hc, Wc] ->
+    [B, 2, Hc, Wc] int32 eighth-pel bilinear chroma prediction.
+
+    4 gathered pair-fetches per pixel (A/B/C/D corners); both planes ride
+    each fetch.
+    """
+    B, R, Hp, Wp, _ = pairs.shape
     _, Hc, Wc = mvx.shape
     m = _MARGIN
-    ys = jnp.clip(jnp.arange(Hc)[None, :, None] + (mvy >> 3) + m, 0, Hp - 1)
-    xs = jnp.clip(jnp.arange(Wc)[None, None, :] + (mvx >> 3) + m, 0, Wp - 1)
-    frac = (mvy & 7) * 8 + (mvx & 7)
+    ys = jnp.arange(Hc)[None, :, None] + (mvy >> 3)
+    xs = jnp.arange(Wc)[None, None, :] + (mvx >> 3)
+    fx = (mvx & 7).astype(jnp.int32)[:, None]
+    fy = (mvy & 7).astype(jnp.int32)[:, None]
+    flat2 = pairs.reshape(-1, 2)
     boff = (jnp.arange(B) * R)[:, None, None]
-    flat = planes64.reshape(-1)
-    out = []
-    for plane in range(2):
-        idx = ((((boff + ref_slot) * 2 + plane) * P + frac) * Hp + ys) * Wp + xs
-        out.append(flat[idx].astype(jnp.int32))
-    return jnp.stack(out, axis=1)
+
+    def fetch(dy, dx):
+        yy = jnp.clip(ys + dy + m, 0, Hp - 1)
+        xx = jnp.clip(xs + dx + m, 0, Wp - 1)
+        idx = ((boff + ref_slot) * Hp + yy) * Wp + xx
+        got = flat2[idx].astype(jnp.int32)       # [B, Hc, Wc, 2]
+        return got.transpose(0, 3, 1, 2)          # [B, 2, Hc, Wc]
+
+    A = fetch(0, 0)
+    Bs = fetch(0, 1)
+    C = fetch(1, 0)
+    D = fetch(1, 1)
+    return (
+        (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bs
+        + (8 - fx) * fy * C + fx * fy * D + 32
+    ) >> 6

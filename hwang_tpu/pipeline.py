@@ -47,7 +47,7 @@ class ClipBatchDecoder:
     resized), device-resident jax arrays unless to_host=True.
     """
 
-    def __init__(self, paths: Sequence[str], n_refs: int = 4,
+    def __init__(self, paths: Sequence[str], n_refs: int | None = None,
                  io_threads: int = 8, profiler=None):
         from .utils.profiler import PROFILER
 
@@ -64,7 +64,7 @@ class ClipBatchDecoder:
                 raise HwangError(
                     f"clip {i} geometry differs; batch clips of equal size"
                 )
-        self.n_refs = n_refs
+        self.n_refs = n_refs or self.span_decoder.n_refs
         self._pool = concurrent.futures.ThreadPoolExecutor(io_threads)
 
     # ------------------------------------------------------------------

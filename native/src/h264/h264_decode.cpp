@@ -1252,6 +1252,11 @@ HW_API int hw_h264_chroma_qp_offset(void* h) {
   return p->c.pps_map.begin()->second.chroma_qp_index_offset;
 }
 
+HW_API int hw_h264_max_refs(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  return p->c.have_active ? p->c.sps.max_num_ref_frames : 1;
+}
+
 HW_API int hw_h264_is_cabac(void* h) {
   auto* p = static_cast<PublicCtx*>(h);
   if (p->c.pps_map.empty()) return -1;
