@@ -40,7 +40,7 @@ os.environ.setdefault(
 
 W = int(os.environ.get("HWANG_BENCH_W", 640))
 H = int(os.environ.get("HWANG_BENCH_H", 368))
-N_CLIPS = int(os.environ.get("HWANG_BENCH_CLIPS", 32))
+N_CLIPS = int(os.environ.get("HWANG_BENCH_CLIPS", 64))
 N_FRAMES = int(os.environ.get("HWANG_BENCH_FRAMES", 64))
 MODE = os.environ.get("HWANG_BENCH_MODE", "dense")
 COUNT = int(os.environ.get("HWANG_BENCH_COUNT", 16))

@@ -157,18 +157,29 @@ class ClipBatchDecoder:
         H = mb_h * 16 - top - bottom
 
         # bound device memory: the unpacked coefficient tensor is
-        # B*F*M*26*16 int32; chunk the batch so it stays under ~1.5 GB
+        # B*F*M*26*16 int32; chunk the batch so it stays under ~1.5 GB.
+        # Chunks are equal-sized powers of two (padded by repeating the
+        # last span) so a straggler chunk doesn't trigger a recompile and
+        # pay full wavefront cost for a couple of clips.
         M = mb_w * mb_h
         out_frames = []
         index = []
-        chunked: list[tuple[int, list[int]]] = []
+        chunked: list[tuple[int, list[int], int]] = []  # (fpad, idxs, pad_b)
         for fpad, idxs in buckets.items():
             max_b = max(1, min(64, int(1.5e9 // (fpad * M * 26 * 16 * 4))))
-            for s in range(0, len(idxs), max_b):
-                chunked.append((fpad, idxs[s : s + max_b]))
-        for fpad, idxs in chunked:
+            n_chunks = -(-len(idxs) // max_b)
+            per = -(-len(idxs) // n_chunks)
+            bpad = 1 << (per - 1).bit_length()
+            for s in range(0, len(idxs), per):
+                part = idxs[s : s + per]
+                chunked.append((fpad, part, bpad - len(part)))
+        for fpad, idxs, pad_b in chunked:
             with prof.span("pack"):
-                batch = pack_gop_batch([tensors[i] for i in idxs], fpad)
+                batch = pack_gop_batch(
+                    [tensors[i] for i in idxs]
+                    + [tensors[idxs[-1]]] * pad_b,
+                    fpad,
+                )
             with prof.span("device_decode_dispatch"):
                 Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
                                                self.n_refs)
