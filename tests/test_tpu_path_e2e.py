@@ -1,0 +1,53 @@
+"""End-to-end TPU-backend decode on robustness-relevant stream shapes.
+
+Runs the real Decoder(TPU) path (host entropy decode -> packed transport
+-> batched JAX reconstruction) on CPU-jax and compares bit-exactly
+against libavcodec.  Covers stream shapes the unit tests don't:
+multi-slice frames (slice-boundary neighbor availability, per-slice
+deblock metadata) and odd display sizes (frame cropping).
+"""
+
+import numpy as np
+import pytest
+
+from hwang_tpu import Decoder, VideoDecoderType
+from hwang_tpu.utils.fixtures import encode_video, oracle_decode_all
+
+
+def _assert_yuv_exact(path, rows, out):
+    oracle = oracle_decode_all(path, fmt="yuv")
+    for got, r in zip(out, rows):
+        oy, ou, ov = oracle[r]
+        want = np.concatenate(
+            [oy.reshape(-1), ou.reshape(-1), ov.reshape(-1)]
+        )
+        assert np.array_equal(got, want), f"frame {r} differs"
+
+
+def test_tpu_multislice_bit_exact(tmp_path):
+    """4 slices per frame: exercises slice-boundary intra availability
+    (avail bits b4/b5) and per-slice deblock params on the TPU path."""
+    p = str(tmp_path / "slices.mp4")
+    encode_video(
+        p, 6, 128, 96, profile="baseline", gop_size=6, crf=25,
+        extra_opts="keyint=6:min-keyint=6:no-scenecut=1:ref=1:slices=4",
+    )
+    rows = list(range(6))
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
+def test_tpu_odd_size_crop_bit_exact(tmp_path):
+    """100x76 display inside 112x80 coded: frame_crop right/bottom."""
+    p = str(tmp_path / "odd.mp4")
+    encode_video(
+        p, 4, 100, 76, profile="baseline", gop_size=4, crf=25,
+        extra_opts="keyint=4:min-keyint=4:no-scenecut=1:ref=1",
+    )
+    rows = [0, 3]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
