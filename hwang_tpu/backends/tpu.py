@@ -41,12 +41,6 @@ class TpuSpanDecoder:
         from ..models.h264.entropy import H264EntropyDecoder
 
         self.entropy = H264EntropyDecoder(extradata)
-        if self.entropy.is_cabac:
-            raise HwangError(
-                "TPU decode path supports CAVLC streams only (so far); "
-                "encode with profile=baseline or cabac=0, or use the "
-                "SOFTWARE backend"
-            )
         # ring size: the stream's DPB requirement (SPS max_num_ref_frames)
         self.n_refs = n_refs or max(1, min(self.entropy.max_num_ref_frames, 8))
         self.mb_width = self.entropy.mb_width

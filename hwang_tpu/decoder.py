@@ -55,6 +55,9 @@ class Decoder:
             device, num_devices, decoder_type, output_format=output_format
         )
         self._output_format = output_format
+        self._device = device
+        self._num_devices = num_devices
+        self._decoder_type = decoder_type
         if decoder_type == VideoDecoderType.TPU:
             # Fail over to the software backend for streams the TPU codec
             # does not cover yet (CABAC/HEVC/...), keeping retrieve() usable
@@ -81,6 +84,7 @@ class Decoder:
                     device, num_devices, VideoDecoderType.SOFTWARE,
                     output_format=output_format,
                 )
+                self._decoder_type = VideoDecoderType.SOFTWARE
 
     # ------------------------------------------------------------------
     def retrieve(self, rows: Sequence[int]) -> list[np.ndarray]:
@@ -95,9 +99,33 @@ class Decoder:
         spans = self.build_spans(unique_rows)
         if not spans:
             return []
-        self._automata.initialize(spans, self.video_index.metadata_bytes)
-        total = sum(len(s.valid_frames) for s in spans)
-        frames = self._automata.get_frames(total)
+        try:
+            self._automata.initialize(spans, self.video_index.metadata_bytes)
+            total = sum(len(s.valid_frames) for s in spans)
+            frames = self._automata.get_frames(total)
+        except Exception as e:
+            # The TPU codec rejects stream features it does not cover
+            # (B slices, I_PCM-in-CABAC, MMCO>1, ...) with a decode-time
+            # error — possibly mid-stream, past the configure-time probe.
+            # Fail over to SOFTWARE once and retry; later retrieves stay
+            # on the software automata.
+            if self._decoder_type != VideoDecoderType.TPU:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"TPU decode failed for this stream ({e}); "
+                "falling back to SOFTWARE"
+            )
+            self._automata.close()
+            self._decoder_type = VideoDecoderType.SOFTWARE
+            self._automata = DecoderAutomata.make_instance(
+                self._device, self._num_devices, VideoDecoderType.SOFTWARE,
+                output_format=self._output_format,
+            )
+            self._automata.initialize(spans, self.video_index.metadata_bytes)
+            total = sum(len(s.valid_frames) for s in spans)
+            frames = self._automata.get_frames(total)
         by_row = dict(zip(unique_rows, frames))
         return [by_row[r] for r in rows]
 

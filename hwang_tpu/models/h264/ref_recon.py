@@ -600,14 +600,16 @@ def _inter_predict_mb(t, f, mb, buf, ref_frames):
         buf.Y[by : by + 4, bx : bx + 4] = _luma_mc_block(
             ref.Y, bx, by, 4, 4, mvx, mvy
         ).astype(np.uint8)
-        if x4 % 2 == 0 and y4 % 2 == 0:  # chroma at 8x8 -> 4x4 chroma blocks
-            cbx, cby = (mx + x4 * 4) // 2, (my + y4 * 4) // 2
-            buf.U[cby : cby + 4, cbx : cbx + 4] = _chroma_mc_block(
-                ref.U, cbx, cby, 4, 4, mvx, mvy
-            ).astype(np.uint8)
-            buf.V[cby : cby + 4, cbx : cbx + 4] = _chroma_mc_block(
-                ref.V, cbx, cby, 4, 4, mvx, mvy
-            ).astype(np.uint8)
+        # chroma: each 4x4 luma block's MV drives its own 2x2 chroma block
+        # (sub-8x8 partitions carry distinct MVs per 4x4; using the 8x8
+        # quadrant's first MV was wrong for 8x4/4x8/4x4 splits)
+        cbx, cby = bx // 2, by // 2
+        buf.U[cby : cby + 2, cbx : cbx + 2] = _chroma_mc_block(
+            ref.U, cbx, cby, 2, 2, mvx, mvy
+        ).astype(np.uint8)
+        buf.V[cby : cby + 2, cbx : cbx + 2] = _chroma_mc_block(
+            ref.V, cbx, cby, 2, 2, mvx, mvy
+        ).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,8 @@ class BitReader {
   bool error() const { return error_; }
   size_t bits_left() const { return pos_ < nbits_ ? nbits_ - pos_ : 0; }
   size_t pos() const { return pos_; }
+  const uint8_t* data() const { return buf_; }
+  size_t nbits() const { return nbits_; }
 
   uint32_t u1() {
     if (pos_ >= nbits_) {

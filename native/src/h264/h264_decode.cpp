@@ -8,9 +8,11 @@
 // intra prediction, motion compensation, deblocking) is emitted as tensors
 // and runs on the TPU (hwang_tpu/models/h264/).
 //
-// Scope (phase 1): progressive 4:2:0 8-bit, CAVLC, I/P slices, all P
-// partition shapes, multi-ref, P_Skip, ref list reordering, sliding-window
-// and basic MMCO marking.  CABAC + B-slices are staged next.
+// Scope: progressive 4:2:0 8-bit, CAVLC and CABAC entropy coding, I/P
+// slices, all P partition shapes, multi-ref, P_Skip, ref list reordering,
+// sliding-window and basic MMCO marking.  B-slices, weighted prediction
+// and the High-profile 8x8 transform are rejected with clear errors (the
+// decoder factory falls back to the SOFTWARE backend).
 
 #include <cstdio>
 #include <cstdlib>
@@ -21,6 +23,7 @@
 #include <vector>
 
 #include "h264_bitreader.h"
+#include "h264_cabac.h"
 #include "h264_cavlc_tables.h"
 #include "h264_types.h"
 
@@ -296,6 +299,13 @@ struct MbState {
   int slice_id = -1;
   int8_t qp = 0;
   uint8_t transform8x8 = 0;
+  // CABAC neighbor context state (unused on the CAVLC path):
+  uint8_t cbp = 0;        // luma bits 0-3, chroma (0/1/2) bits 4-5
+  uint32_t cbf = 0;       // coded_block_flag bits: 0-15 luma 4x4 (raster),
+                          // 16-23 chroma AC (comp*4+blk), 24 luma DC,
+                          // 25/26 chroma DC per component
+  int8_t chroma_mode = 0; // intra chroma pred mode (0 for inter)
+  int16_t mvd[16][2];     // L0 mvd per 4x4 (replicated over partitions)
 };
 
 struct RefPic {
@@ -456,6 +466,7 @@ struct NbMv {
   bool avail = false;
   int16_t mv[2] = {0, 0};
   int8_t ref = -1;
+  int16_t mvd[2] = {0, 0};  // for CABAC mvd ctx (9.3.3.1.1.7)
 };
 
 // Fetch the MV/ref of the 4x4 block at (x4,y4) in units of 4x4 blocks from
@@ -478,9 +489,16 @@ NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4) {
   r.avail = true;
   r.mv[0] = m.mv[y4 * 4 + x4][0];
   r.mv[1] = m.mv[y4 * 4 + x4][1];
+  r.mvd[0] = m.mvd[y4 * 4 + x4][0];
+  r.mvd[1] = m.mvd[y4 * 4 + x4][1];
   r.ref = m.refidx[(y4 >> 1) * 2 + (x4 >> 1)];
   return r;
 }
+
+// 4x4 luma block decode order within a MB (raster index -> decode index;
+// the quad-zigzag mapping is an involution).
+static const uint8_t kDecOrder4x4[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+                                         8, 9, 12, 13, 10, 11, 14, 15};
 
 // Median MV predictor for a partition at 4x4 coords (x4,y4), size
 // (w4,h4) in 4x4 units, with target ref index.
@@ -488,7 +506,17 @@ void predict_mv(const Ctx& c, int mb, int x4, int y4, int w4, int h4, int ref,
                 int16_t out[2]) {
   NbMv A = fetch_mv(c, mb, x4 - 1, y4);            // left
   NbMv B = fetch_mv(c, mb, x4, y4 - 1);            // top
-  NbMv C = fetch_mv(c, mb, x4 + w4, y4 - 1);       // top-right
+  // top-right: within the current MB it is available only if it precedes
+  // this partition in 4x4 decode order (6.4.11.7 "not yet decoded") —
+  // e.g. the bottom-right 4x4 of an 8x8 must NOT see the next 8x8's blocks.
+  NbMv C;
+  int cx4 = x4 + w4, cy4 = y4 - 1;
+  if (cx4 <= 3 && cy4 >= 0) {
+    if (kDecOrder4x4[cy4 * 4 + cx4] < kDecOrder4x4[y4 * 4 + x4])
+      C = fetch_mv(c, mb, cx4, cy4);
+  } else {
+    C = fetch_mv(c, mb, cx4, cy4);
+  }
   if (!C.avail) C = fetch_mv(c, mb, x4 - 1, y4 - 1);  // fall back to top-left
 
   // Special directional rules (8.4.1.3.1)
@@ -878,6 +906,547 @@ void derive_pskip(Ctx& c, int mb, GopOut* out, int fidx) {
   memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
   memcpy(out->refidx + base * 4, M.refidx, 4);
   memset(out->nnz + base * 24, 0, 24);
+}
+
+// ---------------------------------------------------------------------------
+// CABAC macroblock layer (spec 9.3).  Same syntax order as the CAVLC path
+// (the MB layer is entropy-agnostic); only the binarizations and the
+// neighbor-driven context increments differ.  Context index assignments
+// follow Tables 9-34/9-39 and the 9.3.3.1.1.x derivations.
+// ---------------------------------------------------------------------------
+
+// condTermFlag for a coded_block_flag context neighbor (9.3.3.1.1.9).
+// `n` is the neighbor MB (-1 = unavailable); `bit` indexes MbState.cbf.
+int cbf_cond(const Ctx& c, int cur_mb, int n, int bit) {
+  if (n < 0) return c.mbs[cur_mb].intra ? 1 : 0;
+  const MbState& m = c.mbs[n];
+  if (m.kind == MB_IPCM) return 1;
+  return (int)((m.cbf >> bit) & 1);
+}
+
+// ctxIdxInc for coded_block_flag of block (cat, comp, blk).
+// cat: 0=I16 luma DC, 1=I16 luma AC, 2=luma 4x4, 3=chroma DC, 4=chroma AC.
+int cbf_ctx_inc(const Ctx& c, int mb, int cat, int comp, int blk) {
+  int condA, condB;
+  if (cat == 0) {
+    condA = cbf_cond(c, mb, nb_mb(c, mb, -1, 0), 24);
+    condB = cbf_cond(c, mb, nb_mb(c, mb, 0, -1), 24);
+  } else if (cat == 3) {
+    condA = cbf_cond(c, mb, nb_mb(c, mb, -1, 0), 25 + comp);
+    condB = cbf_cond(c, mb, nb_mb(c, mb, 0, -1), 25 + comp);
+  } else if (cat == 1 || cat == 2) {
+    int bx = blk & 3, by = blk >> 2;
+    condA = bx > 0 ? cbf_cond(c, mb, mb, by * 4 + bx - 1)
+                   : cbf_cond(c, mb, nb_mb(c, mb, -1, 0), by * 4 + 3);
+    condB = by > 0 ? cbf_cond(c, mb, mb, (by - 1) * 4 + bx)
+                   : cbf_cond(c, mb, nb_mb(c, mb, 0, -1), 12 + bx);
+  } else {  // cat 4: chroma AC, blk in 2x2 raster
+    int bx = blk & 1, by = blk >> 1;
+    int b = 16 + comp * 4;
+    condA = bx > 0 ? cbf_cond(c, mb, mb, b + by * 2)
+                   : cbf_cond(c, mb, nb_mb(c, mb, -1, 0), b + by * 2 + 1);
+    condB = by > 0 ? cbf_cond(c, mb, mb, b + bx)
+                   : cbf_cond(c, mb, nb_mb(c, mb, 0, -1), b + 2 + bx);
+  }
+  return condA + 2 * condB;
+}
+
+// cbf storage bit for block (cat, comp, blk).
+int cbf_bit(int cat, int comp, int blk) {
+  if (cat == 0) return 24;
+  if (cat == 3) return 25 + comp;
+  if (cat == 4) return 16 + comp * 4 + blk;
+  return blk;  // luma 4x4 raster
+}
+
+// Residual block decode (9.3.2.7 + 9.3.3.1.3): coded_block_flag,
+// significance map, then levels in reverse scan order.  Writes levels at
+// scan positions into coeff[0..max_coeff); returns total significant
+// coeffs, or -1 on error.
+int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
+                   int comp, int blk, int max_coeff, int16_t* coeff) {
+  memset(coeff, 0, sizeof(int16_t) * max_coeff);
+  int inc = cbf_ctx_inc(c, mb, cat, comp, blk);
+  if (!cb.decode(&cx.s[85 + cat * 4 + inc])) return 0;
+  c.mbs[mb].cbf |= 1u << cbf_bit(cat, comp, blk);
+
+  static const int kSigOff[5] = {0, 15, 29, 44, 47};
+  static const int kAbsOff[5] = {0, 10, 20, 30, 39};
+  uint8_t* sig = &cx.s[105 + kSigOff[cat]];
+  uint8_t* last = &cx.s[166 + kSigOff[cat]];
+  int pos[16];
+  int n = 0;
+  bool got_last = false;
+  for (int i = 0; i < max_coeff - 1; i++) {
+    int si = cat == 3 ? (i < 2 ? i : 2) : i;  // NumC8x8=1 for 4:2:0
+    if (cb.decode(&sig[si])) {
+      pos[n++] = i;
+      if (cb.decode(&last[si])) {
+        got_last = true;
+        break;
+      }
+    }
+  }
+  if (!got_last) pos[n++] = max_coeff - 1;  // implicit last position
+
+  uint8_t* absc = &cx.s[227 + kAbsOff[cat]];
+  int num_eq1 = 0, num_gt1 = 0;
+  int gt1_cap = cat == 3 ? 3 : 4;  // chroma DC has 9 abs contexts
+  for (int j = n - 1; j >= 0; j--) {
+    int m1 = 0;
+    int inc0 = num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
+    if (cb.decode(&absc[inc0])) {
+      m1 = 1;
+      int incn = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
+      while (m1 < 14 && cb.decode(&absc[incn])) m1++;
+      if (m1 == 14) {  // EG0 suffix, bypass-coded
+        int k = 0;
+        while (cb.bypass()) {
+          m1 += 1 << k;
+          k++;
+          if (k > 24) {
+            c.err = "coeff EG0 overflow";
+            return -1;
+          }
+        }
+        while (k--) m1 += cb.bypass() << k;
+      }
+      num_gt1++;
+    } else {
+      num_eq1++;
+    }
+    int level = m1 + 1;
+    if (cb.bypass()) level = -level;
+    coeff[pos[j]] = (int16_t)level;
+  }
+  return n;
+}
+
+// mvd component decode: UEG3 with uCoff=9 + bypass sign (9.3.2.3).
+// `ctx_base` is 40 (x) or 47 (y); `amvd` = |mvdA| + |mvdB|.
+int cabac_mvd(Ctx& c, Cabac& cb, CabacContexts& cx, int ctx_base, int amvd) {
+  int inc = amvd < 3 ? 0 : (amvd > 32 ? 2 : 1);
+  if (!cb.decode(&cx.s[ctx_base + inc])) return 0;
+  int m = 1, ctx = 3;
+  while (m < 9 && cb.decode(&cx.s[ctx_base + ctx])) {
+    if (ctx < 6) ctx++;
+    m++;
+  }
+  if (m == 9) {  // EG3 suffix
+    int k = 3;
+    while (cb.bypass()) {
+      m += 1 << k;
+      k++;
+      if (k > 24) {
+        c.err = "mvd EG3 overflow";
+        return 0;
+      }
+    }
+    while (k--) m += cb.bypass() << k;
+  }
+  return cb.bypass() ? -m : m;
+}
+
+bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
+                     int mb, GopOut* out, int fidx, int& last_qp_delta) {
+  const size_t base = (size_t)fidx * c.n_mbs + mb;
+  MbState& M = c.mbs[mb];
+  M.slice_id = c.cur_slice_id;
+  memset(M.nnz, 0, sizeof(M.nnz));
+  memset(M.mv, 0, sizeof(M.mv));
+  memset(M.mvd, 0, sizeof(M.mvd));
+  memset(M.refidx, -1, sizeof(M.refidx));
+  M.intra = 0;
+  M.is_i4x4 = 0;
+  M.cbp = 0;
+  M.cbf = 0;
+  M.chroma_mode = 0;
+
+  bool is_p = sc.sh.slice_type == SLICE_P;
+  int num_ref = sc.sh.num_ref_idx_l0_active;
+
+  // ----- mb_type (Tables 9-36/9-37; ctx per Table 9-39) -----
+  // Intra mb_type tree: returns 0 (I_4x4), 1..24 (I_16x16), 25 (I_PCM).
+  auto intra_mb_type = [&](int ctx_base, bool intra_slice) -> int {
+    uint8_t* st = &cx.s[ctx_base];
+    if (intra_slice) {
+      int inc = 0;  // 9.3.3.1.1.3: neighbors coded other than I_NxN
+      int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+      if (a >= 0 && c.mbs[a].kind != MB_I4x4) inc++;
+      if (b >= 0 && c.mbs[b].kind != MB_I4x4) inc++;
+      if (!cb.decode(&st[inc])) return 0;
+      st += 2;
+    } else {
+      if (!cb.decode(&st[0])) return 0;
+    }
+    if (cb.terminate()) return 25;
+    int iz = intra_slice ? 1 : 0;
+    int t = 1;
+    t += 12 * cb.decode(&st[1]);  // CodedBlockPatternLuma != 0
+    if (cb.decode(&st[2])) t += 4 + 4 * cb.decode(&st[2 + iz]);
+    t += 2 * cb.decode(&st[3 + iz]);
+    t += cb.decode(&st[3 + 2 * iz]);
+    return t;
+  };
+
+  int mb_type;  // 0=I4x4, 1..24=I16, 25=IPCM, 100+pt=inter
+  if (is_p) {
+    if (!cb.decode(&cx.s[14])) {
+      int pt;
+      if (!cb.decode(&cx.s[15]))
+        pt = cb.decode(&cx.s[16]) ? 3 : 0;  // P_8x8 : P_16x16
+      else
+        pt = cb.decode(&cx.s[17]) ? 1 : 2;  // P_16x8 : P_8x16
+      mb_type = 100 + pt;
+    } else {
+      mb_type = intra_mb_type(17, false);
+    }
+  } else {
+    mb_type = intra_mb_type(3, true);
+  }
+
+  int16_t scan_buf[16];
+
+  if (mb_type >= 100) {
+    // ----- inter (P) -----
+    int pt = mb_type - 100;  // 0:16x16 1:16x8 2:8x16 3:8x8
+    M.kind = MB_INTER;
+    int sub_type[4] = {0, 0, 0, 0};
+    if (pt == 3) {
+      for (int i = 0; i < 4; i++) {
+        // sub_mb_type tree (Table 9-38, ctx 21-23)
+        if (cb.decode(&cx.s[21])) {
+          sub_type[i] = 0;  // 8x8
+        } else if (!cb.decode(&cx.s[22])) {
+          sub_type[i] = 1;  // 8x4
+        } else {
+          sub_type[i] = cb.decode(&cx.s[23]) ? 2 : 3;  // 4x8 : 4x4
+        }
+      }
+    }
+    // ref_idx per partition (unary, ctx 54-59; 9.3.3.1.1.6), assigned
+    // immediately: later partitions' ctx reads earlier ones' refidx.
+    auto read_ref = [&](int x4, int y4) -> int {
+      if (num_ref <= 1) return 0;
+      NbMv A = fetch_mv(c, mb, x4 - 1, y4);
+      NbMv B = fetch_mv(c, mb, x4, y4 - 1);
+      int ctx = (A.avail && A.ref > 0 ? 1 : 0) + (B.avail && B.ref > 0 ? 2 : 0);
+      int ref = 0;
+      while (cb.decode(&cx.s[54 + ctx])) {
+        ref++;
+        ctx = ref == 1 ? 4 : 5;
+        if (ref >= num_ref) {
+          c.err = "ref_idx out of range (cabac)";
+          return -1;
+        }
+      }
+      return ref;
+    };
+    int refs[4] = {0, 0, 0, 0};
+    if (pt == 0) {
+      refs[0] = read_ref(0, 0);
+      for (int i = 0; i < 4; i++) M.refidx[i] = (int8_t)refs[0];
+    } else if (pt == 1) {
+      refs[0] = read_ref(0, 0);
+      M.refidx[0] = M.refidx[1] = (int8_t)refs[0];
+      refs[1] = read_ref(0, 2);
+      M.refidx[2] = M.refidx[3] = (int8_t)refs[1];
+    } else if (pt == 2) {
+      refs[0] = read_ref(0, 0);
+      M.refidx[0] = M.refidx[2] = (int8_t)refs[0];
+      refs[1] = read_ref(2, 0);
+      M.refidx[1] = M.refidx[3] = (int8_t)refs[1];
+    } else {
+      for (int i = 0; i < 4; i++) {
+        refs[i] = read_ref((i & 1) * 2, (i >> 1) * 2);
+        M.refidx[i] = (int8_t)refs[i];
+      }
+    }
+    if (refs[0] < 0 || refs[1] < 0 || refs[2] < 0 || refs[3] < 0) return false;
+
+    auto set_mv_block = [&](int x4, int y4, int w4, int h4, int ref) {
+      int16_t mvp[2];
+      predict_mv(c, mb, x4, y4, w4, h4, ref, mvp);
+      NbMv A = fetch_mv(c, mb, x4 - 1, y4);
+      NbMv B = fetch_mv(c, mb, x4, y4 - 1);
+      int16_t mvd[2];
+      for (int comp = 0; comp < 2; comp++) {
+        int amvd = (A.avail ? std::abs(A.mvd[comp]) : 0) +
+                   (B.avail ? std::abs(B.mvd[comp]) : 0);
+        mvd[comp] = (int16_t)cabac_mvd(c, cb, cx, comp == 0 ? 40 : 47, amvd);
+      }
+      int16_t vx = (int16_t)(mvp[0] + mvd[0]);
+      int16_t vy = (int16_t)(mvp[1] + mvd[1]);
+      for (int yy = y4; yy < y4 + h4; yy++)
+        for (int xx = x4; xx < x4 + w4; xx++) {
+          M.mv[yy * 4 + xx][0] = vx;
+          M.mv[yy * 4 + xx][1] = vy;
+          M.mvd[yy * 4 + xx][0] = mvd[0];
+          M.mvd[yy * 4 + xx][1] = mvd[1];
+        }
+    };
+    if (pt == 0) {
+      set_mv_block(0, 0, 4, 4, refs[0]);
+    } else if (pt == 1) {
+      set_mv_block(0, 0, 4, 2, refs[0]);
+      set_mv_block(0, 2, 4, 2, refs[1]);
+    } else if (pt == 2) {
+      set_mv_block(0, 0, 2, 4, refs[0]);
+      set_mv_block(2, 0, 2, 4, refs[1]);
+    } else {
+      for (int i = 0; i < 4; i++) {
+        int bx = (i & 1) * 2, by = (i >> 1) * 2;
+        switch (sub_type[i]) {
+          case 0: set_mv_block(bx, by, 2, 2, refs[i]); break;
+          case 1:
+            set_mv_block(bx, by, 2, 1, refs[i]);
+            set_mv_block(bx, by + 1, 2, 1, refs[i]);
+            break;
+          case 2:
+            set_mv_block(bx, by, 1, 2, refs[i]);
+            set_mv_block(bx + 1, by, 1, 2, refs[i]);
+            break;
+          case 3:
+            for (int j = 0; j < 4; j++)
+              set_mv_block(bx + (j & 1), by + (j >> 1), 1, 1, refs[i]);
+            break;
+        }
+      }
+    }
+    if (!c.err.empty()) return false;
+  } else if (mb_type == 0) {
+    // ----- I_4x4 -----
+    M.kind = MB_I4x4;
+    M.intra = 1;
+    M.is_i4x4 = 1;
+    static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+                                           8, 9, 12, 13, 10, 11, 14, 15};
+    for (int blk = 0; blk < 16; blk++) {
+      int rblk = dec2raster[blk];
+      int pred = predict_intra4x4_mode(c, mb, rblk);
+      int mode;
+      if (cb.decode(&cx.s[68])) {
+        mode = pred;
+      } else {
+        int rem = cb.decode(&cx.s[69]);  // FL3, LSB first
+        rem += 2 * cb.decode(&cx.s[69]);
+        rem += 4 * cb.decode(&cx.s[69]);
+        mode = rem < pred ? rem : rem + 1;
+      }
+      M.i4_modes[rblk] = (int8_t)mode;
+    }
+  } else if (mb_type <= 24) {
+    M.kind = MB_I16x16;
+    M.intra = 1;
+    int t = mb_type - 1;
+    out->i16_mode[base] = (int8_t)(t % 4);
+    int cbp_chroma = (t / 4) % 3;
+    int cbp_luma = (t / 12) ? 15 : 0;
+    M.cbp = (uint8_t)(cbp_luma | (cbp_chroma << 4));
+    out->cbp[base] = M.cbp;
+  } else {
+    // I_PCM under CABAC requires re-initialising the engine past raw
+    // sample bytes; x264 only emits PCM near QP 0, so keep it an error.
+    c.err = "I_PCM in CABAC stream not supported";
+    return false;
+  }
+
+  // intra_chroma_pred_mode (TU3, ctx 64-67; 9.3.3.1.1.8)
+  if (M.intra) {
+    int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+    int inc = 0;
+    if (a >= 0 && c.mbs[a].intra && c.mbs[a].kind != MB_IPCM &&
+        c.mbs[a].chroma_mode != 0)
+      inc++;
+    if (b >= 0 && c.mbs[b].intra && c.mbs[b].kind != MB_IPCM &&
+        c.mbs[b].chroma_mode != 0)
+      inc++;
+    int cm = 0;
+    if (cb.decode(&cx.s[64 + inc])) {
+      cm = 1;
+      if (cb.decode(&cx.s[67])) cm = 2 + cb.decode(&cx.s[67]);
+    }
+    M.chroma_mode = (int8_t)cm;
+    out->chroma_mode[base] = (int8_t)cm;
+  }
+
+  // ----- coded_block_pattern (9.3.3.1.1.4) -----
+  int cbp;
+  if (M.kind == MB_I16x16) {
+    cbp = M.cbp;
+  } else {
+    int la = nb_mb(c, mb, -1, 0), ta = nb_mb(c, mb, 0, -1);
+    // condTermFlag for a neighbor MB's luma 8x8 `b8` (1 when NOT coded)
+    auto lcond = [&](int n, int b8) -> int {
+      if (n < 0) return 0;  // unavailable counts as coded
+      const MbState& m = c.mbs[n];
+      if (m.kind == MB_IPCM) return 0;
+      return ((m.cbp >> b8) & 1) ? 0 : 1;
+    };
+    int l = 0, inc;
+    inc = lcond(la, 1) + 2 * lcond(ta, 2);
+    l |= cb.decode(&cx.s[73 + inc]);
+    inc = ((l & 1) ? 0 : 1) + 2 * lcond(ta, 3);
+    l |= cb.decode(&cx.s[73 + inc]) << 1;
+    inc = lcond(la, 3) + 2 * ((l & 1) ? 0 : 1);
+    l |= cb.decode(&cx.s[73 + inc]) << 2;
+    inc = ((l & 4) ? 0 : 1) + 2 * ((l & 2) ? 0 : 1);
+    l |= cb.decode(&cx.s[73 + inc]) << 3;
+    // chroma: 0 / 1 / 2 (TU2, ctx 77-84); IPCM neighbor counts as 2
+    auto ccbp = [&](int n) -> int {
+      if (n < 0) return 0;
+      if (c.mbs[n].kind == MB_IPCM) return 2;
+      return (c.mbs[n].cbp >> 4) & 3;
+    };
+    int ca = ccbp(la), cb2 = ccbp(ta);
+    int ch = 0;
+    inc = (ca > 0 ? 1 : 0) + 2 * (cb2 > 0 ? 1 : 0);
+    if (cb.decode(&cx.s[77 + inc])) {
+      inc = 4 + (ca == 2 ? 1 : 0) + 2 * (cb2 == 2 ? 1 : 0);
+      ch = 1 + cb.decode(&cx.s[77 + inc]);
+    }
+    cbp = l | (ch << 4);
+    M.cbp = (uint8_t)cbp;
+    out->cbp[base] = M.cbp;
+  }
+  int cbp_luma = cbp & 15;
+  int cbp_chroma = (cbp >> 4) & 3;
+
+  // ----- mb_qp_delta (ctx 60-63; 9.3.3.1.1.5) -----
+  if (cbp != 0 || M.kind == MB_I16x16) {
+    int ctx = last_qp_delta != 0 ? 1 : 0;
+    int val = 0;
+    while (cb.decode(&cx.s[60 + ctx])) {
+      ctx = 2 + (ctx >> 1);
+      val++;
+      if (val > 52) {
+        c.err = "mb_qp_delta runaway";
+        return false;
+      }
+    }
+    int delta = (val & 1) ? (val + 1) >> 1 : -((val + 1) >> 1);
+    last_qp_delta = delta;
+    c.qp_prev = (c.qp_prev + delta + 52) % 52;
+  } else {
+    last_qp_delta = 0;
+  }
+  M.qp = (int8_t)c.qp_prev;
+
+  // ----- residuals -----
+  if (M.kind == MB_I16x16) {
+    int tc = cabac_residual(c, cb, cx, mb, 0, 0, 0, 16, scan_buf);
+    if (tc < 0) return false;
+    int16_t* dst = out->luma_dc + base * 16;
+    for (int i = 0; i < 16; i++) dst[kZigzag4x4[i]] = scan_buf[i];
+  }
+  static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+                                         8, 9, 12, 13, 10, 11, 14, 15};
+  for (int b8 = 0; b8 < 4; b8++) {
+    if (!(cbp_luma & (1 << b8))) continue;
+    for (int b4 = 0; b4 < 4; b4++) {
+      int rblk = dec2raster[b8 * 4 + b4];
+      int cat = M.kind == MB_I16x16 ? 1 : 2;
+      int max_coeff = cat == 1 ? 15 : 16;
+      int start = cat == 1 ? 1 : 0;
+      int tc = cabac_residual(c, cb, cx, mb, cat, 0, rblk, max_coeff,
+                              scan_buf);
+      if (tc < 0) return false;
+      M.nnz[rblk] = (uint8_t)tc;
+      int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
+      for (int i = 0; i < max_coeff; i++)
+        dst[kZigzag4x4[i + start]] = scan_buf[i];
+    }
+  }
+  if (cbp_chroma) {
+    for (int comp = 0; comp < 2; comp++) {
+      int tc = cabac_residual(c, cb, cx, mb, 3, comp, 0, 4, scan_buf);
+      if (tc < 0) return false;
+      int16_t* dst = out->chroma_dc + (base * 2 + comp) * 4;
+      for (int i = 0; i < 4; i++) dst[i] = scan_buf[i];
+    }
+  }
+  if (cbp_chroma == 2) {
+    for (int comp = 0; comp < 2; comp++) {
+      for (int blk = 0; blk < 4; blk++) {
+        int tc = cabac_residual(c, cb, cx, mb, 4, comp, blk, 15, scan_buf);
+        if (tc < 0) return false;
+        M.nnz[16 + comp * 4 + blk] = (uint8_t)tc;
+        int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
+        for (int i = 0; i < 15; i++) dst[kZigzag4x4[i + 1]] = scan_buf[i];
+      }
+    }
+  }
+
+  out->mb_kind[base] = M.kind;
+  out->qp[base] = M.qp;
+  memcpy(out->nnz + base * 24, M.nnz, 24);
+  if (M.kind == MB_I4x4) memcpy(out->i4_modes + base * 16, M.i4_modes, 16);
+  if (!M.intra) {
+    memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
+    memcpy(out->refidx + base * 4, M.refidx, 4);
+  }
+  return true;
+}
+
+bool decode_slice_data_cabac(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
+                             int fidx) {
+  c.qp_prev = sc.sh.slice_qp;
+  int mb = sc.sh.first_mb_in_slice;
+  bool is_p = sc.sh.slice_type == SLICE_P;
+  const size_t fbase = (size_t)fidx * c.n_mbs;
+
+  br.byte_align();  // cabac_alignment_one_bit
+  CabacContexts cx;
+  int init_idc = sc.sh.cabac_init_idc;
+  if (const char* ov = getenv("HWANG_CABAC_IDC_OVERRIDE")) init_idc = atoi(ov);
+  if (c.trace)
+    fprintf(stderr, "slice f%d type%d qp%d idc%d first_mb%d\n", fidx,
+            sc.sh.slice_type, sc.sh.slice_qp, init_idc,
+            sc.sh.first_mb_in_slice);
+  cx.init(sc.sh.slice_qp, !is_p, init_idc);
+  Cabac cb(br.data(), br.nbits(), br.pos());
+  int last_qp_delta = 0;
+
+  while (mb < c.n_mbs) {
+    // nb_mb availability is slice-bounded via slice_id; the current MB's
+    // id must be set BEFORE any context derivation, not just in the MB
+    // layer (the mb_skip_flag ctx below already needs neighbors).
+    c.mbs[mb].slice_id = c.cur_slice_id;
+    bool skip = false;
+    if (is_p) {
+      // mb_skip_flag (ctx 11-13; 9.3.3.1.1.1): both neighbors weight 1
+      int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+      int inc = (a >= 0 && c.mbs[a].kind != MB_P_SKIP ? 1 : 0) +
+                (b >= 0 && c.mbs[b].kind != MB_P_SKIP ? 1 : 0);
+      skip = cb.decode(&cx.s[11 + inc]) != 0;
+    }
+    if (skip) {
+      derive_pskip(c, mb, out, fidx);
+      last_qp_delta = 0;
+    } else {
+      if (!decode_mb_cabac(c, cb, cx, sc, mb, out, fidx, last_qp_delta))
+        return false;
+    }
+    out->deblock_idc[fbase + mb] =
+        (uint8_t)sc.sh.disable_deblocking_filter_idc;
+    out->alpha_off[fbase + mb] = (int8_t)sc.sh.slice_alpha_c0_offset;
+    out->beta_off[fbase + mb] = (int8_t)sc.sh.slice_beta_offset;
+    out->intra_pred_avail[fbase + mb] = avail_bits(c, mb);
+    if (c.trace) {
+      const MbState& M = c.mbs[mb];
+      fprintf(stderr,
+              "f%d mb%3d kind%d cbp%02x qp%2d ref %d %d %d %d mv0 %d,%d\n",
+              fidx, mb, M.kind, M.cbp, M.qp, M.refidx[0], M.refidx[1],
+              M.refidx[2], M.refidx[3], M.mv[0][0], M.mv[0][1]);
+    }
+    mb++;
+    if (cb.error()) {
+      c.err = "cabac bitstream overrun at mb " + std::to_string(mb);
+      return false;
+    }
+    if (cb.terminate()) break;  // end_of_slice_flag
+  }
+  return true;
 }
 
 // ---------------------------------------------------------------------------
@@ -1330,9 +1899,10 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    fidx, c.err.c_str());
           return -1;
         }
-        if (c.pps.entropy_coding_mode) {
+        if (c.pps.transform_8x8_mode) {
           snprintf(p->errbuf, sizeof(p->errbuf),
-                   "CABAC streams not supported by the host entropy decoder yet");
+                   "8x8 transform (High profile) not supported; encode "
+                   "with profile=main or 8x8dct=0");
           return -1;
         }
         if (sc.sh.slice_type == SLICE_B) {
@@ -1363,7 +1933,10 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           for (size_t i = 0; i < sc.list0.size() && i < 16; i++)
             out->ref_map[fidx * 16 + i] = sc.list0[i].span_index;
         }
-        if (!decode_slice_data(c, br, sc, out, fidx)) {
+        bool ok = c.pps.entropy_coding_mode
+                      ? decode_slice_data_cabac(c, br, sc, out, fidx)
+                      : decode_slice_data(c, br, sc, out, fidx);
+        if (!ok) {
           snprintf(p->errbuf, sizeof(p->errbuf), "slice data (frame %d): %s",
                    fidx, c.err.c_str());
           return -1;

@@ -487,6 +487,14 @@ HW_API void *hw_oracle_open(const char *path, int n_threads, char *err,
                                 o->fmt->streams[o->stream_index]->codecpar);
   o->ctx->thread_count = n_threads > 0 ? n_threads : 1;
   o->ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (getenv("HWANG_ORACLE_DEBUG")) {
+    // per-MB type/QP/MV dump to stderr, for diffing the host entropy
+    // decoder's trace (HWANG_H264_TRACE) against libavcodec
+    av_log_set_level(AV_LOG_DEBUG);
+    o->ctx->debug = atoi(getenv("HWANG_ORACLE_DEBUG"));
+    o->ctx->thread_count = 1;
+    o->ctx->thread_type = 0;
+  }
   ret = avcodec_open2(o->ctx, codec, nullptr);
   if (ret < 0) {
     set_err(err, err_cap, "avcodec_open2: %s", av_errstr(ret).c_str());

@@ -39,6 +39,23 @@ def test_tpu_multislice_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+def test_tpu_cabac_bit_exact(tmp_path):
+    """CABAC (main profile) I/P stream through the full TPU path: the host
+    entropy decoder's arithmetic-decode path (native/src/h264/h264_cabac.h)
+    feeding the same device reconstruction."""
+    p = str(tmp_path / "cabac.mp4")
+    encode_video(
+        p, 12, 128, 96, profile="main", gop_size=6, crf=24,
+        extra_opts="keyint=6:min-keyint=6:no-scenecut=1:bframes=0:"
+                   "weightp=0:ref=2:subme=7:partitions=all",
+    )
+    rows = [0, 3, 5, 7, 11]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_odd_size_crop_bit_exact(tmp_path):
     """100x76 display inside 112x80 coded: frame_crop right/bottom."""
     p = str(tmp_path / "odd.mp4")
