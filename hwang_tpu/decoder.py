@@ -96,7 +96,12 @@ class Decoder:
         """
         rows = [int(r) for r in rows]
         unique_rows = sorted(set(rows))
-        spans = self.build_spans(unique_rows)
+        # Span trimming is only valid when sample (decode) order == display
+        # order.  The TPU codec rejects B/reordered streams, so its spans
+        # may be trimmed; the software path keeps full GOPs (sample k may
+        # be displayed later than untrimmed successors under reordering).
+        trim = self._decoder_type == VideoDecoderType.TPU
+        spans = self.build_spans(unique_rows, trim=trim)
         if not spans:
             return []
         try:
@@ -123,13 +128,17 @@ class Decoder:
                 self._device, self._num_devices, VideoDecoderType.SOFTWARE,
                 output_format=self._output_format,
             )
+            # rebuild untrimmed: the failure may be a B/reordered stream,
+            # where trimmed spans drop mid-display-order frames
+            spans = self.build_spans(unique_rows, trim=False)
             self._automata.initialize(spans, self.video_index.metadata_bytes)
             total = sum(len(s.valid_frames) for s in spans)
             frames = self._automata.get_frames(total)
         by_row = dict(zip(unique_rows, frames))
         return [by_row[r] for r in rows]
 
-    def build_spans(self, sorted_rows: Sequence[int]) -> list[EncodedData]:
+    def build_spans(self, sorted_rows: Sequence[int],
+                    trim: bool = True) -> list[EncodedData]:
         """Plan spans and read only their byte ranges from the file.
 
         Parity: python/hwang/decoder.py:32-63 (offsets rebased to the span
@@ -142,8 +151,11 @@ class Decoder:
         for (start, end), valid in intervals:
             # Trim the span at the last requested frame: samples after it
             # are never consumed (the reference's feeder also never reaches
-            # them — the retriever stops and the watermark blocks).
-            end = min(end, max(valid) + 1)
+            # them — the retriever stops and the watermark blocks).  Only
+            # valid when decode order == display order (no B reordering);
+            # callers pass trim=False otherwise.
+            if trim:
+                end = min(end, max(valid) + 1)
             start_off = int(vi.sample_offsets[start])
             last = end - 1
             end_off = int(vi.sample_offsets[last]) + int(vi.sample_sizes[last])

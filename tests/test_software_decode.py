@@ -92,6 +92,18 @@ def test_bframes_decode(bframes_h264):
         assert np.array_equal(f, oracle[r]), f"frame {r} differs"
 
 
+def test_bframes_mid_gop_gather(bframes_h264):
+    """Regression: sample order is DECODE order; trimming a span at the
+    last requested display frame drops mid-display-order frames when the
+    stream reorders (B-frames).  Software spans must stay untrimmed."""
+    oracle = oracle_decode_all(bframes_h264)
+    rows = [4, 17, 34, 46]  # mid-GOP positions on a bframes=3 stream
+    with Decoder(bframes_h264) as dec:
+        frames = dec.retrieve(rows)
+    for r, f in zip(rows, frames):
+        assert np.array_equal(f, oracle[r]), f"frame {r} differs"
+
+
 def test_yuv_output(small_h264):
     with Decoder(small_h264, output_format="yuv420") as dec:
         frames = dec.retrieve([3])
