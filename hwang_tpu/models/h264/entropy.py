@@ -66,6 +66,8 @@ class _GopOut(ctypes.Structure):
         ("beta_off", ctypes.c_void_p),
         ("ipcm", ctypes.c_void_p),
         ("intra_pred_avail", ctypes.c_void_p),
+        ("pred_weights", ctypes.c_void_p),
+        ("weight_flag", ctypes.c_void_p),
     ]
 
 
@@ -134,6 +136,10 @@ class GopTensors:
     beta_off: np.ndarray
     avail: np.ndarray
     ipcm: np.ndarray
+    # explicit weighted prediction (8.4.2.3): [F,16,8] per refIdxL0
+    # (wy oy wu ou wv ov log2y log2c); weight_flag [F] gates application
+    pred_weights: np.ndarray = None
+    weight_flag: np.ndarray = None
 
     @property
     def n_mbs(self) -> int:
@@ -213,6 +219,8 @@ class H264EntropyDecoder:
             beta_off=z((F, M), np.int8),
             avail=z((F, M), np.uint8),
             ipcm=z((F, M, 384), np.uint8),
+            pred_weights=z((F, 16, 8), np.int16),
+            weight_flag=z(F, np.uint8),
         )
         ref_map_l1 = np.full((F, 16), -1, np.int32)
         mv_l1 = z((F, M, 16, 2), np.int16)
@@ -232,6 +240,7 @@ class H264EntropyDecoder:
             nnz=vp(t.nnz), deblock_idc=vp(t.deblock_idc),
             alpha_off=vp(t.alpha_off), beta_off=vp(t.beta_off),
             ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
+            pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
         )
 
         dptr, downer = as_u8p(data)

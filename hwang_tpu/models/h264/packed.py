@@ -54,6 +54,9 @@ class PackedBatch(NamedTuple):
     coeff_val: jnp.ndarray  # [K] int16
     coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
     ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
+    weights: jnp.ndarray | None  # [B, F, 16, 8] int16 pred weights (identity
+                                 # rows on unweighted frames); None when no
+                                 # frame in the batch is weighted
 
 
 _COEFF_BLOCKS = 26
@@ -73,6 +76,16 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     ipcm = (
         np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
     )
+    any_weights = any(
+        t.weight_flag is not None and t.weight_flag.any() for t in tensors
+    )
+    weights = None
+    if any_weights:
+        from .recon import _IDENTITY_WEIGHT, weights_or_identity
+
+        weights = np.broadcast_to(
+            _IDENTITY_WEIGHT, (B, F, 16, 8)
+        ).copy()
 
     for b, t in enumerate(tensors):
         n = t.n_frames
@@ -97,6 +110,8 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         coeff[b, :n, :, 25, :8] = t.chroma_dc.reshape(n, M, 8)
         if any_ipcm:
             ipcm[b, :n] = t.ipcm
+        if any_weights:
+            weights[b, :n] = weights_or_identity(t)
 
     def sparse_pad(pos, vals, total, min_bucket=1024):
         k = len(pos)
@@ -132,6 +147,7 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         coeff_val=jnp.asarray(val_p),
         coeff_pos=jnp.asarray(pos_p),
         ipcm=jnp.asarray(ipcm) if any_ipcm else None,
+        weights=jnp.asarray(weights) if any_weights else None,
     )
 
 
@@ -192,4 +208,5 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         avail=fields["avail"],
         ipcm=p.ipcm,
         n_valid_frames=jnp.zeros((B,), jnp.int32),
+        weights=p.weights,
     )

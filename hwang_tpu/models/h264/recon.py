@@ -41,6 +41,24 @@ _MARGIN = ops_mc._MARGIN
 _DEC_ORDER = (0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15)
 
 
+_IDENTITY_WEIGHT = np.array([1, 0, 1, 0, 1, 0, 0, 0], np.int16)
+
+
+def weights_or_identity(t) -> np.ndarray:
+    """Per-frame pred weights with identity rows on unweighted frames, so
+    the device applies one branch-free formula to every inter pixel."""
+    w = t.pred_weights.copy()
+    w[t.weight_flag == 0] = _IDENTITY_WEIGHT
+    return w
+
+
+def apply_weighted_pred(pred, w, o, log_wd):
+    """Explicit weighted uni-prediction (8.4.2.3.2).  The rounding term
+    (1 << log_wd) >> 1 is 0 at log_wd == 0, so one formula covers both
+    spec branches.  All args broadcastable int32; returns clipped int32."""
+    return jnp.clip(((pred * w + ((1 << log_wd) >> 1)) >> log_wd) + o, 0, 255)
+
+
 class GopArrays(NamedTuple):
     """Device-side SoA mirror of entropy.GopTensors (one span)."""
 
@@ -64,6 +82,10 @@ class GopArrays(NamedTuple):
     avail: jnp.ndarray        # [F, M]
     ipcm: jnp.ndarray         # [F, M, 384]
     n_valid_frames: jnp.ndarray  # [] actual frame count (<= F padding)
+    # explicit weighted prediction (8.4.2.3.2): [F, 16, 8] per refIdxL0
+    # (wy oy wu ou wv ov log2y log2c); identity rows (1,0,...,0,0) on
+    # frames without pred weights; None when no frame in the span has any
+    weights: jnp.ndarray | None = None
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":
@@ -99,6 +121,8 @@ class GopArrays(NamedTuple):
             avail=pad(t.avail.astype(np.int32)),
             ipcm=pad(t.ipcm.astype(np.int32)),
             n_valid_frames=jnp.asarray(F, jnp.int32),
+            weights=pad(weights_or_identity(t).astype(np.int32))
+            if t.weight_flag is not None and t.weight_flag.any() else None,
         )
 
 
@@ -166,6 +190,25 @@ def _inter_stage(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     slot_c = jnp.repeat(jnp.repeat(slot_blk, 4, 0), 4, 1)
     pred_u = ops_mc.chroma_mc_gather(ring_u, slot_c, mvx_c, mvy_c)
     pred_v = ops_mc.chroma_mc_gather(ring_v, slot_c, mvx_c, mvy_c)
+
+    wts = fr.get("weights")
+    if wts is not None:
+        # explicit weighted prediction: per-8x8 (refidx-indexed) weight
+        # rows expanded to pixel maps; identity rows make this a no-op on
+        # unweighted frames
+        w8 = wts[jnp.clip(refidx, 0, 15)]                   # [M, 4, 8]
+
+        def wmap(k, rep):
+            blk = _assemble_mb_frame(w8[..., k].reshape(M, 2, 2),
+                                     mb_w, mb_h, 2)
+            return jnp.repeat(jnp.repeat(blk, rep, 0), rep, 1)
+
+        pred_y = apply_weighted_pred(pred_y, wmap(0, 8), wmap(1, 8),
+                                     wmap(6, 8))
+        pred_u = apply_weighted_pred(pred_u, wmap(2, 4), wmap(3, 4),
+                                     wmap(7, 4))
+        pred_v = apply_weighted_pred(pred_v, wmap(4, 4), wmap(5, 4),
+                                     wmap(7, 4))
 
     res_y = _assemble_mb_frame(luma_res, mb_w, mb_h, 16)
     res_u = _assemble_mb_frame(chroma_res[:, 0], mb_w, mb_h, 8)
@@ -382,6 +425,7 @@ def decode_gop_core(g: GopArrays, mb_w: int, mb_h: int,
             "ref_map": g.ref_map[f],
             "ipcm": g.ipcm[f],
             "avail": g.avail[f],
+            "weights": g.weights[f] if g.weights is not None else None,
         }
         qp = g.qp[f]
         qpc = T.chroma_qp_from_luma(qp, chroma_qp_offset)

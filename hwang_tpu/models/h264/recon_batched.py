@@ -39,9 +39,12 @@ _MARGIN = ops_mc._MARGIN
 def stack_tensors(tensors, pad_frames: int) -> GopArrays:
     """Stack a list of entropy.GopTensors into a batched GopArrays with a
     leading clip axis, padding the frame axis to `pad_frames`."""
+    from .recon import weights_or_identity
+
     fields = {}
-    names = [f for f in GopArrays._fields if f != "n_valid_frames"]
-    casts = {}
+    names = [
+        f for f in GopArrays._fields if f not in ("n_valid_frames", "weights")
+    ]
     for name in names:
         arrs = []
         for t in tensors:
@@ -54,6 +57,17 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
     fields["n_valid_frames"] = jnp.asarray(
         np.array([t.n_frames for t in tensors], np.int32)
     )
+    if any(t.weight_flag is not None and t.weight_flag.any() for t in tensors):
+        from .recon import _IDENTITY_WEIGHT
+
+        w = np.broadcast_to(
+            _IDENTITY_WEIGHT, (len(tensors), pad_frames, 16, 8)
+        ).copy().astype(np.int32)
+        for b, t in enumerate(tensors):
+            w[b, : t.n_frames] = weights_or_identity(t)
+        fields["weights"] = jnp.asarray(w)
+    else:
+        fields["weights"] = None
     return GopArrays(**fields)
 
 
@@ -103,6 +117,27 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     )
     pred_u = pred_uv[:, 0]
     pred_v = pred_uv[:, 1]
+
+    wts = fr.get("weights")
+    if wts is not None:
+        # explicit weighted prediction (8.4.2.3.2): per-8x8 weight rows
+        # (indexed by refidx) expanded to pixel maps; identity rows on
+        # unweighted frames make the formula a no-op there
+        bi = jnp.arange(B)[:, None, None]
+        w8 = wts[bi, jnp.clip(refidx, 0, 15)]               # [B, M, 4, 8]
+
+        def wmap(k, rep):
+            blk = _assemble_b(w8[..., k].reshape(B, M, 2, 2), mb_w, mb_h, 2)
+            return _rep2(blk, rep)
+
+        from .recon import apply_weighted_pred
+
+        pred_y = apply_weighted_pred(pred_y, wmap(0, 8), wmap(1, 8),
+                                     wmap(6, 8))
+        pred_u = apply_weighted_pred(pred_u, wmap(2, 4), wmap(3, 4),
+                                     wmap(7, 4))
+        pred_v = apply_weighted_pred(pred_v, wmap(4, 4), wmap(5, 4),
+                                     wmap(7, 4))
 
     Y = jnp.clip(pred_y + _assemble_b(luma_res, mb_w, mb_h, 16), 0, 255)
     U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
@@ -455,6 +490,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "ref_map": i32(g.ref_map),
             "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
             "avail": i32(g.avail),
+            "weights": i32(g.weights) if g.weights is not None else None,
         }
         qp = fr["qp"]
         qpc = chroma_qp_from_luma(qp, chroma_qp_offset)

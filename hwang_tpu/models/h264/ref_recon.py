@@ -582,6 +582,16 @@ def _chroma_mc_block(ref_c: np.ndarray, x0: int, y0: int, w: int, h: int,
             + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 
 
+def _weight_pred(p, w, o, log_wd):
+    """Explicit weighted uni-prediction (spec 8.4.2.3.2, eq 8-269/270)."""
+    p = p.astype(np.int32)
+    if log_wd >= 1:
+        v = ((p * w + (1 << (log_wd - 1))) >> log_wd) + o
+    else:
+        v = p * w + o
+    return np.clip(v, 0, 255)
+
+
 def _inter_predict_mb(t, f, mb, buf, ref_frames):
     mbw = t.mb_width
     mx, my = (mb % mbw) * 16, (mb // mbw) * 16
@@ -597,19 +607,24 @@ def _inter_predict_mb(t, f, mb, buf, ref_frames):
         mvx = int(t.mv[f, mb, b, 0])
         mvy = int(t.mv[f, mb, b, 1])
         bx, by = mx + x4 * 4, my + y4 * 4
-        buf.Y[by : by + 4, bx : bx + 4] = _luma_mc_block(
-            ref.Y, bx, by, 4, 4, mvx, mvy
-        ).astype(np.uint8)
+        py = _luma_mc_block(ref.Y, bx, by, 4, 4, mvx, mvy)
         # chroma: each 4x4 luma block's MV drives its own 2x2 chroma block
         # (sub-8x8 partitions carry distinct MVs per 4x4; using the 8x8
         # quadrant's first MV was wrong for 8x4/4x8/4x4 splits)
         cbx, cby = bx // 2, by // 2
-        buf.U[cby : cby + 2, cbx : cbx + 2] = _chroma_mc_block(
-            ref.U, cbx, cby, 2, 2, mvx, mvy
-        ).astype(np.uint8)
-        buf.V[cby : cby + 2, cbx : cbx + 2] = _chroma_mc_block(
-            ref.V, cbx, cby, 2, 2, mvx, mvy
-        ).astype(np.uint8)
+        pu = _chroma_mc_block(ref.U, cbx, cby, 2, 2, mvx, mvy)
+        pv = _chroma_mc_block(ref.V, cbx, cby, 2, 2, mvx, mvy)
+        if t.weight_flag is not None and t.weight_flag[f]:
+            # explicit weighted prediction, uni-pred (spec 8.4.2.3.2)
+            wy, oy, wu, ou, wv, ov, ly, lc = (
+                int(v) for v in t.pred_weights[f, ref_idx]
+            )
+            py = _weight_pred(py, wy, oy, ly)
+            pu = _weight_pred(pu, wu, ou, lc)
+            pv = _weight_pred(pv, wv, ov, lc)
+        buf.Y[by : by + 4, bx : bx + 4] = py.astype(np.uint8)
+        buf.U[cby : cby + 2, cbx : cbx + 2] = pu.astype(np.uint8)
+        buf.V[cby : cby + 2, cbx : cbx + 2] = pv.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -56,15 +56,23 @@ class ClipBatchDecoder:
         self.indexes: list[VideoIndex] = [index_video(p) for p in paths]
         ex0 = self.indexes[0].metadata_bytes
         self.span_decoder = TpuSpanDecoder(ex0, n_refs=n_refs)
+        # clips may differ in encoder settings (PPS chroma-QP offset, ref
+        # count, entropy mode) as long as coded geometry AND crop match —
+        # each clip keeps its own parameters
+        self.clip_cqo = [self.span_decoder.entropy.chroma_qp_offset]
+        max_refs = self.span_decoder.n_refs
         for i, idx in enumerate(self.indexes[1:], 1):
             d = TpuSpanDecoder(idx.metadata_bytes, n_refs=n_refs)
-            if (d.mb_width, d.mb_height) != (
-                self.span_decoder.mb_width, self.span_decoder.mb_height
+            if (d.mb_width, d.mb_height, d.crop) != (
+                self.span_decoder.mb_width, self.span_decoder.mb_height,
+                self.span_decoder.crop,
             ):
                 raise HwangError(
                     f"clip {i} geometry differs; batch clips of equal size"
                 )
-        self.n_refs = n_refs or self.span_decoder.n_refs
+            self.clip_cqo.append(d.entropy.chroma_qp_offset)
+            max_refs = max(max_refs, d.n_refs)
+        self.n_refs = n_refs or max_refs
         self._pool = concurrent.futures.ThreadPoolExecutor(io_threads)
 
     # ------------------------------------------------------------------
@@ -127,13 +135,18 @@ class ClipBatchDecoder:
 
         from .models.h264.entropy import H264EntropyDecoder
 
-        extradata = self.indexes[0].metadata_bytes
         tls = threading.local()
 
         def host_decode(job: _SpanJob):
-            dec = getattr(tls, "dec", None)
+            # contexts are per-thread AND per-avcC: clips share geometry
+            # but may carry different SPS/PPS (same parameter-set ids)
+            decs = getattr(tls, "decs", None)
+            if decs is None:
+                decs = tls.decs = {}
+            ex = self.indexes[job.clip].metadata_bytes
+            dec = decs.get(ex)
             if dec is None:
-                dec = tls.dec = H264EntropyDecoder(extradata)
+                dec = decs[ex] = H264EntropyDecoder(ex)
             return dec.decode_gop(job.data, job.offsets, job.sizes)
 
         with prof.span("entropy_decode"):
@@ -143,15 +156,15 @@ class ClipBatchDecoder:
             "frames_decoded", sum(t.n_frames for t in tensors)
         )
 
-        # bucket spans by padded frame count so each bucket is one batched
-        # device call
-        buckets: dict[int, list[int]] = {}
+        # bucket spans by (padded frame count, chroma-QP offset): each
+        # bucket is one batched device call (cqo is a static decode arg)
+        buckets: dict[tuple[int, int], list[int]] = {}
         for i, t in enumerate(tensors):
-            buckets.setdefault(_bucket(t.n_frames), []).append(i)
+            key = (_bucket(t.n_frames), self.clip_cqo[jobs[i].clip])
+            buckets.setdefault(key, []).append(i)
 
         mb_w = self.span_decoder.mb_width
         mb_h = self.span_decoder.mb_height
-        cqo = self.span_decoder.entropy.chroma_qp_offset
         left, top, right, bottom = self.span_decoder.crop
         W = mb_w * 16 - left - right
         H = mb_h * 16 - top - bottom
@@ -164,16 +177,16 @@ class ClipBatchDecoder:
         M = mb_w * mb_h
         out_frames = []
         index = []
-        chunked: list[tuple[int, list[int], int]] = []  # (fpad, idxs, pad_b)
-        for fpad, idxs in buckets.items():
+        chunked: list[tuple[int, int, list[int], int]] = []
+        for (fpad, cqo), idxs in buckets.items():
             max_b = max(1, min(64, int(1.5e9 // (fpad * M * 26 * 16 * 4))))
             n_chunks = -(-len(idxs) // max_b)
             per = -(-len(idxs) // n_chunks)
             bpad = 1 << (per - 1).bit_length()
             for s in range(0, len(idxs), per):
                 part = idxs[s : s + per]
-                chunked.append((fpad, part, bpad - len(part)))
-        for fpad, idxs, pad_b in chunked:
+                chunked.append((fpad, cqo, part, bpad - len(part)))
+        for fpad, cqo, idxs, pad_b in chunked:
             with prof.span("pack"):
                 batch = pack_gop_batch(
                     [tensors[i] for i in idxs]

@@ -1531,8 +1531,35 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
   if ((c.pps.weighted_pred &&
        (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP)) ||
       (c.pps.weighted_bipred_idc == 1 && sh.slice_type == SLICE_B)) {
-    c.err = "weighted prediction tables not supported (encode with weightp=0)";
-    return false;
+    // pred_weight_table (7.3.3.2); B rejected separately
+    sh.has_pred_weights = true;
+    sh.luma_log2_denom = br.ue();
+    sh.chroma_log2_denom = br.ue();
+    if (sh.luma_log2_denom > 7 || sh.chroma_log2_denom > 7) {
+      c.err = "bad pred weight denom";
+      return false;
+    }
+    for (int i = 0; i < sh.num_ref_idx_l0_active && i < 16; i++) {
+      int16_t* w = sh.wt[i];
+      w[0] = (int16_t)(1 << sh.luma_log2_denom);
+      w[1] = 0;
+      w[2] = w[4] = (int16_t)(1 << sh.chroma_log2_denom);
+      w[3] = w[5] = 0;
+      if (br.u1()) {
+        w[0] = (int16_t)br.se();
+        w[1] = (int16_t)br.se();
+      }
+      if (br.u1()) {
+        for (int j = 0; j < 2; j++) {
+          w[2 + 2 * j] = (int16_t)br.se();
+          w[3 + 2 * j] = (int16_t)br.se();
+        }
+      }
+    }
+    if (br.error()) {
+      c.err = "pred weight table overrun";
+      return false;
+    }
   }
   if (nal_ref_idc != 0) {
     if (idr) {
@@ -1919,8 +1946,34 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           if (sc.sh.is_idr) c.dpb.clear();
           out->frame_type[fidx] = (uint8_t)sc.sh.slice_type;
           out->poc[fidx] = poc_of_frame(c, sc.sh);
+          if (out->weight_flag) {
+            out->weight_flag[fidx] = sc.sh.has_pred_weights ? 1 : 0;
+            if (sc.sh.has_pred_weights) {
+              for (int i = 0; i < 16; i++) {
+                int16_t* dst = out->pred_weights + ((size_t)fidx * 16 + i) * 8;
+                memcpy(dst, sc.sh.wt[i], 6 * sizeof(int16_t));
+                dst[6] = (int16_t)sc.sh.luma_log2_denom;
+                dst[7] = (int16_t)sc.sh.chroma_log2_denom;
+              }
+            }
+          } else if (sc.sh.has_pred_weights) {
+            snprintf(p->errbuf, sizeof(p->errbuf),
+                     "weighted prediction present but caller has no "
+                     "weight buffers");
+            return -1;
+          }
           first_sh = sc.sh;
           got_slice = true;
+        } else if (sc.sh.has_pred_weights != first_sh.has_pred_weights ||
+                   (sc.sh.has_pred_weights &&
+                    (memcmp(sc.sh.wt, first_sh.wt, sizeof(sc.sh.wt)) != 0 ||
+                     sc.sh.luma_log2_denom != first_sh.luma_log2_denom ||
+                     sc.sh.chroma_log2_denom != first_sh.chroma_log2_denom))) {
+          // weights are shipped per frame; per-slice divergence (never
+          // produced by x264) would need per-MB weight indirection
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "slices of frame %d disagree on pred weights", fidx);
+          return -1;
         }
         c.cur_slice_id++;
         for (int i = 0; i < 16; i++) out->ref_map[fidx * 16 + i] = -1;

@@ -109,6 +109,12 @@ struct SliceHeader {
   bool long_term_reference_flag = false;
   bool adaptive_ref_pic_marking = false;
   std::vector<std::pair<int, std::pair<uint32_t, uint32_t>>> mmco_ops;
+  // explicit weighted prediction (pred_weight_table, 7.3.3.2); per
+  // refIdxL0: wy oy wu ou wv ov (defaults 1<<denom / 0 when flags unset)
+  bool has_pred_weights = false;
+  int luma_log2_denom = 0;
+  int chroma_log2_denom = 0;
+  int16_t wt[16][6] = {};
   int cabac_init_idc = 0;
   int slice_qp = 26;
   int disable_deblocking_filter_idc = 0;
@@ -157,6 +163,10 @@ struct GopOut {
   uint8_t* intra_pred_avail = nullptr; // [F*M] neighbor availability bits
                                        // bit0=left bit1=top bit2=topright bit3=topleft
                                        // (constrained_intra aware)
+  int16_t* pred_weights = nullptr;   // [F*16*8] per (frame, refIdxL0):
+                                     // wy oy wu ou wv ov log2y log2c
+                                     // (explicit weighted prediction 8.4.2.3)
+  uint8_t* weight_flag = nullptr;    // [F] 1 = apply weighted prediction
 };
 
 }  // namespace hwh264

@@ -114,9 +114,41 @@ def test_non_idr_span_start_rejected(tmp_path):
         dec.decode_gop(data, idx.sample_offsets[3:5], idx.sample_sizes[3:5])
 
 
-def test_cabac_stream_rejected(tmp_path):
+def test_cabac_detected(tmp_path):
     p = _mk(tmp_path, "cabac", 2, 64, 64, profile="main", gop_size=2, crf=25,
-            extra_opts="keyint=2:min-keyint=2:no-scenecut=1")
+            extra_opts="keyint=2:min-keyint=2:no-scenecut=1:bframes=0")
     idx = index_video(p)
     dec = H264EntropyDecoder(idx.metadata_bytes)
     assert dec.is_cabac
+
+
+def test_cabac_ip_bit_exact(tmp_path):
+    """CABAC entropy decode (h264_cabac.h + the CABAC MB layer) on an I/P
+    main-profile stream with partitions and multi-ref."""
+    p = _mk(tmp_path, "cabac_ip", 8, 64, 48, profile="main", gop_size=8,
+            crf=26,
+            extra_opts="keyint=8:min-keyint=8:no-scenecut=1:bframes=0:"
+                       "weightp=0:ref=2:subme=7:partitions=all")
+    assert_exact(p)
+
+
+def _fade_frame(i, w, h, seed=0):
+    f = synth_frame(i, w, h, seed).astype(np.int32)
+    return np.clip((f * (256 - i * 20)) >> 8, 0, 255).astype(np.uint8)
+
+
+def test_weighted_prediction_bit_exact(tmp_path):
+    """Explicit weighted P prediction (8.4.2.3) on a fade — forces x264
+    (weightp=2, its main-profile default) to emit non-trivial weights."""
+    for name, profile in (("wp_cabac", "main"), ("wp_cavlc", "baseline")):
+        p = str(tmp_path / f"{name}.mp4")
+        encode_video(p, 10, 96, 80, profile=profile, gop_size=10, crf=20,
+                     extra_opts="keyint=10:min-keyint=10:no-scenecut=1:"
+                                "bframes=0:weightp=2:ref=2:subme=7",
+                     frame_fn=_fade_frame)
+        idx = index_video(p)
+        dec = H264EntropyDecoder(idx.metadata_bytes)
+        t = dec.decode_gop(open(p, "rb").read(), idx.sample_offsets,
+                           idx.sample_sizes)
+        assert t.weight_flag.any(), "fixture did not trigger pred weights"
+        assert_exact(p)

@@ -56,6 +56,28 @@ def test_tpu_cabac_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+def test_tpu_weighted_pred_bit_exact(tmp_path):
+    """Weighted P prediction on a fade, through the production batched
+    device path (packed transport ships per-ref weight rows)."""
+    import numpy as np
+    from hwang_tpu.utils.fixtures import synth_frame
+
+    def fade(i, w, h, seed=0):
+        f = synth_frame(i, w, h, seed).astype(np.int32)
+        return np.clip((f * (256 - i * 20)) >> 8, 0, 255).astype(np.uint8)
+
+    p = str(tmp_path / "wp.mp4")
+    encode_video(p, 10, 96, 80, profile="main", gop_size=10, crf=20,
+                 extra_opts="keyint=10:min-keyint=10:no-scenecut=1:"
+                            "bframes=0:weightp=2:ref=2:subme=7",
+                 frame_fn=fade)
+    rows = [0, 4, 6, 9]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_odd_size_crop_bit_exact(tmp_path):
     """100x76 display inside 112x80 coded: frame_crop right/bottom."""
     p = str(tmp_path / "odd.mp4")
