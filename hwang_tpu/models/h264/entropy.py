@@ -7,9 +7,11 @@ the TPU reconstruction pipeline (recon.py / ops/*) where all dense math
 runs.
 
 Array semantics (see native/src/h264/h264_types.h GopOut):
-  frame_type [F]       0=P 2=I (SliceType of the first slice)
+  frame_type [F]       0=P 1=B 2=I (SliceType of the first slice)
   poc        [F]       picture order count (display order key)
   ref_map    [F,16]    refIdxL0 -> span frame index (-1 = unused)
+  ref_map_l1 [F,16]    refIdxL1 -> span frame index (B slices)
+  mv_l1 / refidx_l1    list-1 motion field (refidx -1 = no L1 pred)
   mb_kind    [F,M]     0=P_SKIP 1=INTER 2=I4x4 3=I16x16 4=IPCM
   qp         [F,M]     luma QP after mb_qp_delta
   cbp        [F,M]     coded block pattern (bits0-3 luma 8x8s, 4-5 chroma)
@@ -66,6 +68,7 @@ class _GopOut(ctypes.Structure):
         ("beta_off", ctypes.c_void_p),
         ("ipcm", ctypes.c_void_p),
         ("intra_pred_avail", ctypes.c_void_p),
+        ("frame_is_ref", ctypes.c_void_p),
         ("pred_weights", ctypes.c_void_p),
         ("weight_flag", ctypes.c_void_p),
     ]
@@ -104,6 +107,8 @@ def _declare(lib):
     lib.hw_h264_chroma_qp_offset.argtypes = [c.c_void_p]
     lib.hw_h264_max_refs.restype = c.c_int
     lib.hw_h264_max_refs.argtypes = [c.c_void_p]
+    lib.hw_h264_bipred_idc.restype = c.c_int
+    lib.hw_h264_bipred_idc.argtypes = [c.c_void_p]
     _declared = True
 
 
@@ -118,6 +123,7 @@ class GopTensors:
     frame_type: np.ndarray
     poc: np.ndarray
     ref_map: np.ndarray
+    ref_map_l1: np.ndarray
     mb_kind: np.ndarray
     qp: np.ndarray
     cbp: np.ndarray
@@ -126,6 +132,8 @@ class GopTensors:
     chroma_mode: np.ndarray
     mv: np.ndarray
     refidx: np.ndarray
+    mv_l1: np.ndarray
+    refidx_l1: np.ndarray
     luma_dc: np.ndarray
     luma_ac: np.ndarray
     chroma_dc: np.ndarray
@@ -140,6 +148,8 @@ class GopTensors:
     # (wy oy wu ou wv ov log2y log2c); weight_flag [F] gates application
     pred_weights: np.ndarray = None
     weight_flag: np.ndarray = None
+    frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
+    bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
 
     @property
     def n_mbs(self) -> int:
@@ -171,6 +181,7 @@ class H264EntropyDecoder:
         self.is_cabac = self._lib.hw_h264_is_cabac(self._h) == 1
         self.chroma_qp_offset = self._lib.hw_h264_chroma_qp_offset(self._h)
         self.max_num_ref_frames = self._lib.hw_h264_max_refs(self._h)
+        self.bipred_idc = self._lib.hw_h264_bipred_idc(self._h)
 
     def close(self):
         if self._h:
@@ -201,6 +212,7 @@ class H264EntropyDecoder:
             frame_type=z(F, np.uint8),
             poc=z(F, np.int32),
             ref_map=np.full((F, 16), -1, np.int32),
+            ref_map_l1=np.full((F, 16), -1, np.int32),
             mb_kind=z((F, M), np.uint8),
             qp=z((F, M), np.int8),
             cbp=z((F, M), np.uint8),
@@ -209,6 +221,8 @@ class H264EntropyDecoder:
             chroma_mode=z((F, M), np.int8),
             mv=z((F, M, 16, 2), np.int16),
             refidx=np.full((F, M, 4), -1, np.int8),
+            mv_l1=z((F, M, 16, 2), np.int16),
+            refidx_l1=np.full((F, M, 4), -1, np.int8),
             luma_dc=z((F, M, 16), np.int16),
             luma_ac=z((F, M, 16, 16), np.int16),
             chroma_dc=z((F, M, 2, 4), np.int16),
@@ -221,25 +235,24 @@ class H264EntropyDecoder:
             ipcm=z((F, M, 384), np.uint8),
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
+            frame_is_ref=z(F, np.uint8),
+            bipred_idc=self.bipred_idc,
         )
-        ref_map_l1 = np.full((F, 16), -1, np.int32)
-        mv_l1 = z((F, M, 16, 2), np.int16)
-        refidx_l1 = np.full((F, M, 4), -1, np.int8)
-
         def vp(a):
             return a.ctypes.data_as(ctypes.c_void_p)
 
         out = _GopOut(
             frame_type=vp(t.frame_type), poc=vp(t.poc), ref_map=vp(t.ref_map),
-            ref_map_l1=vp(ref_map_l1), mb_kind=vp(t.mb_kind), qp=vp(t.qp),
+            ref_map_l1=vp(t.ref_map_l1), mb_kind=vp(t.mb_kind), qp=vp(t.qp),
             cbp=vp(t.cbp), i4_modes=vp(t.i4_modes), i16_mode=vp(t.i16_mode),
-            chroma_mode=vp(t.chroma_mode), mv=vp(t.mv), mv_l1=vp(mv_l1),
-            refidx=vp(t.refidx), refidx_l1=vp(refidx_l1),
+            chroma_mode=vp(t.chroma_mode), mv=vp(t.mv), mv_l1=vp(t.mv_l1),
+            refidx=vp(t.refidx), refidx_l1=vp(t.refidx_l1),
             luma_dc=vp(t.luma_dc), luma_ac=vp(t.luma_ac),
             chroma_dc=vp(t.chroma_dc), chroma_ac=vp(t.chroma_ac),
             nnz=vp(t.nnz), deblock_idc=vp(t.deblock_idc),
             alpha_off=vp(t.alpha_off), beta_off=vp(t.beta_off),
             ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
+            frame_is_ref=vp(t.frame_is_ref),
             pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
         )
 

@@ -381,10 +381,11 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
             V[cy : cy + 8, cx : cx + 8] = pcm[320:384].reshape(8, 8)
             continue
 
-        if kind in (0, 1):  # inter (P_SKIP or P)
-            _inter_predict_mb(t, f, mb, buf, ref_frames)
+        if kind in (0, 1, 5, 6):  # inter (P/B, skip or coded)
+            _inter_predict_mb(t, f, mb, buf, ref_frames,
+                              bipred_idc=getattr(t, "bipred_idc", 0))
             # add residuals
-            if kind == 1:
+            if kind in (1, 6):
                 for b in range(16):
                     coef = t.luma_ac[f, mb, b]
                     if not coef.any():
@@ -592,36 +593,76 @@ def _weight_pred(p, w, o, log_wd):
     return np.clip(v, 0, 255)
 
 
-def _inter_predict_mb(t, f, mb, buf, ref_frames):
+def _implicit_bi_weight(poc_cur, poc0, poc1):
+    """Implicit weighted bi-prediction w0/w1 (spec 8.4.2.3.1, frames)."""
+    td = int(np.clip(poc1 - poc0, -128, 127))
+    if td == 0:
+        return 32, 32
+    tb = int(np.clip(poc_cur - poc0, -128, 127))
+    tx = (16384 + abs(td) // 2) // td
+    dsf = (tb * tx + 32) >> 8  # == (temporal DistScaleFactor) >> 2
+    if dsf < -64 or dsf > 128:
+        return 32, 32
+    return 64 - dsf, dsf
+
+
+def _inter_predict_mb(t, f, mb, buf, ref_frames, bipred_idc=0):
     mbw = t.mb_width
     mx, my = (mb % mbw) * 16, (mb // mbw) * 16
     # per 4x4 block (MVs are stored at 4x4 granularity; contiguous equal-MV
     # blocks could be merged, but correctness first)
     for b in range(16):
         x4, y4 = b & 3, b >> 2
-        ref_idx = int(t.refidx[f, mb, (y4 >> 1) * 2 + (x4 >> 1)])
-        span_ref = int(t.ref_map[f, ref_idx]) if ref_idx >= 0 else -1
-        if span_ref < 0:
-            raise ValueError(f"inter MB {mb} frame {f}: missing reference")
-        ref = ref_frames[span_ref]
-        mvx = int(t.mv[f, mb, b, 0])
-        mvy = int(t.mv[f, mb, b, 1])
+        q8 = (y4 >> 1) * 2 + (x4 >> 1)
         bx, by = mx + x4 * 4, my + y4 * 4
-        py = _luma_mc_block(ref.Y, bx, by, 4, 4, mvx, mvy)
-        # chroma: each 4x4 luma block's MV drives its own 2x2 chroma block
-        # (sub-8x8 partitions carry distinct MVs per 4x4; using the 8x8
-        # quadrant's first MV was wrong for 8x4/4x8/4x4 splits)
         cbx, cby = bx // 2, by // 2
-        pu = _chroma_mc_block(ref.U, cbx, cby, 2, 2, mvx, mvy)
-        pv = _chroma_mc_block(ref.V, cbx, cby, 2, 2, mvx, mvy)
-        if t.weight_flag is not None and t.weight_flag[f]:
-            # explicit weighted prediction, uni-pred (spec 8.4.2.3.2)
-            wy, oy, wu, ou, wv, ov, ly, lc = (
-                int(v) for v in t.pred_weights[f, ref_idx]
-            )
-            py = _weight_pred(py, wy, oy, ly)
-            pu = _weight_pred(pu, wu, ou, lc)
-            pv = _weight_pred(pv, wv, ov, lc)
+        preds = []  # (py, pu, pv, ref_idx, span_ref) per used list
+        for lst, (refidx, mvs, rmap) in enumerate(
+            ((t.refidx, t.mv, t.ref_map), (t.refidx_l1, t.mv_l1, t.ref_map_l1))
+        ):
+            ref_idx = int(refidx[f, mb, q8])
+            if ref_idx < 0:
+                continue
+            span_ref = int(rmap[f, ref_idx])
+            if span_ref < 0:
+                raise ValueError(
+                    f"inter MB {mb} frame {f} list {lst}: missing reference"
+                )
+            ref = ref_frames[span_ref]
+            mvx = int(mvs[f, mb, b, 0])
+            mvy = int(mvs[f, mb, b, 1])
+            # chroma: each 4x4 luma block's MV drives its own 2x2 chroma
+            # block (sub-8x8 partitions carry distinct MVs per 4x4)
+            preds.append((
+                _luma_mc_block(ref.Y, bx, by, 4, 4, mvx, mvy).astype(np.int32),
+                _chroma_mc_block(ref.U, cbx, cby, 2, 2, mvx, mvy).astype(np.int32),
+                _chroma_mc_block(ref.V, cbx, cby, 2, 2, mvx, mvy).astype(np.int32),
+                ref_idx, span_ref,
+            ))
+        if not preds:
+            raise ValueError(f"inter MB {mb} frame {f}: no prediction")
+        if len(preds) == 1:
+            py, pu, pv, ref_idx, _ = preds[0]
+            if t.weight_flag is not None and t.weight_flag[f]:
+                # explicit weighted prediction, uni-pred (8.4.2.3.2)
+                wy, oy, wu, ou, wv, ov, ly, lc = (
+                    int(v) for v in t.pred_weights[f, ref_idx]
+                )
+                py = _weight_pred(py, wy, oy, ly)
+                pu = _weight_pred(pu, wu, ou, lc)
+                pv = _weight_pred(pv, wv, ov, lc)
+        else:
+            # bi-prediction: default average or implicit POC weights
+            (py0, pu0, pv0, _, sr0), (py1, pu1, pv1, _, sr1) = preds
+            if bipred_idc == 2:
+                w0, w1 = _implicit_bi_weight(
+                    int(t.poc[f]), int(t.poc[sr0]), int(t.poc[sr1])
+                )
+            else:
+                w0 = w1 = 32
+            py = np.clip((py0 * w0 + py1 * w1 + 32) >> 6, 0, 255)
+            pu = np.clip((pu0 * w0 + pu1 * w1 + 32) >> 6, 0, 255)
+            pv = np.clip((pv0 * w0 + pv1 * w1 + 32) >> 6, 0, 255)
         buf.Y[by : by + 4, bx : bx + 4] = py.astype(np.uint8)
         buf.U[cby : cby + 2, cbx : cbx + 2] = pu.astype(np.uint8)
         buf.V[cby : cby + 2, cbx : cbx + 2] = pv.astype(np.uint8)
@@ -707,31 +748,59 @@ def deblock_frame(t, f, buf, chroma_qp_offset):
                                 b_off=b_off, qp_off=chroma_qp_offset)
 
 
+def _side_motion(t, f, mb, blk):
+    """Predictions of one 4x4 block: list of (span_ref, mvx, mvy)."""
+    q8 = ((blk >> 2) >> 1) * 2 + ((blk & 3) >> 1)
+    out = []
+    r0 = int(t.refidx[f, mb, q8])
+    if r0 >= 0:
+        out.append((int(t.ref_map[f, r0]), int(t.mv[f, mb, blk, 0]),
+                    int(t.mv[f, mb, blk, 1])))
+    r1 = int(t.refidx_l1[f, mb, q8])
+    if r1 >= 0:
+        out.append((int(t.ref_map_l1[f, r1]), int(t.mv_l1[f, mb, blk, 0]),
+                    int(t.mv_l1[f, mb, blk, 1])))
+    return out
+
+
+def _mv_far(a, b):
+    return abs(a[1] - b[1]) >= 4 or abs(a[2] - b[2]) >= 4
+
+
 def _bs_for_edge(t, f, mb_q, mb_p, blk_q, blk_p, mb_edge, vertical):
     """Boundary strength for one 4x4 edge segment (spec 8.7.2.1)."""
     kind_q = t.mb_kind[f, mb_q]
     kind_p = t.mb_kind[f, mb_p]
-    intra_q = kind_q >= 2
-    intra_p = kind_p >= 2
+    intra_q = kind_q in (2, 3, 4)
+    intra_p = kind_p in (2, 3, 4)
     if intra_q or intra_p:
         return 4 if mb_edge else 3
     nnz_q = t.nnz[f, mb_q, blk_q]
     nnz_p = t.nnz[f, mb_p, blk_p]
     if nnz_q or nnz_p:
         return 2
-    # MV-based
-    mv_q = t.mv[f, mb_q, blk_q]
-    mv_p = t.mv[f, mb_p, blk_p]
-    r_q = t.refidx[f, mb_q, ((blk_q >> 2) >> 1) * 2 + ((blk_q & 3) >> 1)]
-    r_p = t.refidx[f, mb_p, ((blk_p >> 2) >> 1) * 2 + ((blk_p & 3) >> 1)]
-    ref_q = t.ref_map[f, r_q] if r_q >= 0 else -1
-    ref_p = t.ref_map[f, r_p] if r_p >= 0 else -1
-    if ref_q != ref_p:
+    # motion-based: compare the prediction sets of both sides (covers P
+    # and B: uni/bi, matching by reference picture regardless of list)
+    mq = _side_motion(t, f, mb_q, blk_q)
+    mp = _side_motion(t, f, mb_p, blk_p)
+    if len(mq) != len(mp):
         return 1
-    if (abs(int(mv_q[0]) - int(mv_p[0])) >= 4
-            or abs(int(mv_q[1]) - int(mv_p[1])) >= 4):
+    if sorted(x[0] for x in mq) != sorted(x[0] for x in mp):
         return 1
-    return 0
+    if len(mq) == 1:
+        return 1 if _mv_far(mq[0], mp[0]) else 0
+    # bi-predicted both sides with the same pair of pictures
+    if mq[0][0] != mq[1][0]:
+        # distinct pictures: unique pairing by picture
+        p_by_ref = {x[0]: x for x in mp}
+        for x in mq:
+            if _mv_far(x, p_by_ref[x[0]]):
+                return 1
+        return 0
+    # same picture in both lists: bS=0 if EITHER assignment is close
+    straight = not (_mv_far(mq[0], mp[0]) or _mv_far(mq[1], mp[1]))
+    crossed = not (_mv_far(mq[0], mp[1]) or _mv_far(mq[1], mp[0]))
+    return 0 if (straight or crossed) else 1
 
 
 def _filter_luma_edge(t, f, buf, mb_q, mb_p, x, y, vertical, edge, qp_avg_mb,

@@ -306,6 +306,9 @@ struct MbState {
                           // 25/26 chroma DC per component
   int8_t chroma_mode = 0; // intra chroma pred mode (0 for inter)
   int16_t mvd[16][2];     // L0 mvd per 4x4 (replicated over partitions)
+  int16_t mvd1[16][2];    // L1 mvd
+  uint8_t direct8[4] = {0, 0, 0, 0};  // 8x8 coded in B direct mode
+  uint8_t all_direct = 0;             // B_Skip / B_Direct_16x16
 };
 
 struct RefPic {
@@ -470,8 +473,9 @@ struct NbMv {
 };
 
 // Fetch the MV/ref of the 4x4 block at (x4,y4) in units of 4x4 blocks from
-// MB-grid origin of `mb`; dx4,dy4 may reach into neighbor MBs.
-NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4) {
+// MB-grid origin of `mb`; dx4,dy4 may reach into neighbor MBs.  `list`
+// selects the L0 (default) or L1 motion field.
+NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4, int list = 0) {
   NbMv r;
   int dmbx = 0, dmby = 0;
   while (x4 < 0) { x4 += 4; dmbx--; }
@@ -487,11 +491,19 @@ NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4) {
     return r;
   }
   r.avail = true;
-  r.mv[0] = m.mv[y4 * 4 + x4][0];
-  r.mv[1] = m.mv[y4 * 4 + x4][1];
-  r.mvd[0] = m.mvd[y4 * 4 + x4][0];
-  r.mvd[1] = m.mvd[y4 * 4 + x4][1];
-  r.ref = m.refidx[(y4 >> 1) * 2 + (x4 >> 1)];
+  if (list == 0) {
+    r.mv[0] = m.mv[y4 * 4 + x4][0];
+    r.mv[1] = m.mv[y4 * 4 + x4][1];
+    r.mvd[0] = m.mvd[y4 * 4 + x4][0];
+    r.mvd[1] = m.mvd[y4 * 4 + x4][1];
+    r.ref = m.refidx[(y4 >> 1) * 2 + (x4 >> 1)];
+  } else {
+    r.mv[0] = m.mv1[y4 * 4 + x4][0];
+    r.mv[1] = m.mv1[y4 * 4 + x4][1];
+    r.mvd[0] = m.mvd1[y4 * 4 + x4][0];
+    r.mvd[1] = m.mvd1[y4 * 4 + x4][1];
+    r.ref = m.refidx1[(y4 >> 1) * 2 + (x4 >> 1)];
+  }
   return r;
 }
 
@@ -503,9 +515,9 @@ static const uint8_t kDecOrder4x4[16] = {0, 1, 4, 5, 2,  3,  6,  7,
 // Median MV predictor for a partition at 4x4 coords (x4,y4), size
 // (w4,h4) in 4x4 units, with target ref index.
 void predict_mv(const Ctx& c, int mb, int x4, int y4, int w4, int h4, int ref,
-                int16_t out[2]) {
-  NbMv A = fetch_mv(c, mb, x4 - 1, y4);            // left
-  NbMv B = fetch_mv(c, mb, x4, y4 - 1);            // top
+                int16_t out[2], int list = 0) {
+  NbMv A = fetch_mv(c, mb, x4 - 1, y4, list);      // left
+  NbMv B = fetch_mv(c, mb, x4, y4 - 1, list);      // top
   // top-right: within the current MB it is available only if it precedes
   // this partition in 4x4 decode order (6.4.11.7 "not yet decoded") —
   // e.g. the bottom-right 4x4 of an 8x8 must NOT see the next 8x8's blocks.
@@ -513,11 +525,11 @@ void predict_mv(const Ctx& c, int mb, int x4, int y4, int w4, int h4, int ref,
   int cx4 = x4 + w4, cy4 = y4 - 1;
   if (cx4 <= 3 && cy4 >= 0) {
     if (kDecOrder4x4[cy4 * 4 + cx4] < kDecOrder4x4[y4 * 4 + x4])
-      C = fetch_mv(c, mb, cx4, cy4);
+      C = fetch_mv(c, mb, cx4, cy4, list);
   } else {
-    C = fetch_mv(c, mb, cx4, cy4);
+    C = fetch_mv(c, mb, cx4, cy4, list);
   }
-  if (!C.avail) C = fetch_mv(c, mb, x4 - 1, y4 - 1);  // fall back to top-left
+  if (!C.avail) C = fetch_mv(c, mb, x4 - 1, y4 - 1, list);  // top-left
 
   // Special directional rules (8.4.1.3.1)
   if (w4 == 4 && h4 == 2) {  // 16x8
@@ -574,6 +586,7 @@ void predict_mv(const Ctx& c, int mb, int x4, int y4, int w4, int h4, int ref,
 struct SliceCtx {
   SliceHeader sh;
   std::vector<RefPic> list0;  // resolved reference list for this slice
+  std::vector<RefPic> list1;  // B slices
 };
 
 struct FrameOutView {
@@ -587,6 +600,361 @@ struct FrameOutView {
 static const uint8_t kChromaQpMap[22] = {29, 30, 31, 32, 32, 33, 34, 34,
                                          35, 35, 36, 36, 37, 37, 37, 38,
                                          38, 38, 39, 39, 39, 39};
+
+// ---------------------------------------------------------------------------
+// B-slice machinery: two reference lists, per-list median MV prediction
+// (via the list parameter above), and the Direct modes (spec 8.4.1.2).
+// Colocated motion is read back from the already-decoded span output in
+// GopOut (refs resolved to span frame indices by ref_map).
+// ---------------------------------------------------------------------------
+
+inline int min_positive(int a, int b) {
+  if (a >= 0 && b >= 0) return a < b ? a : b;
+  return a > b ? a : b;
+}
+
+// Colocated 4x4 motion for direct prediction (8.4.1.2.1): block `blk`
+// (raster 4x4) of MB `mb` in span frame `col`.  Returns raw refIdxCol,
+// its resolution to a span frame index, and mvCol; intra -> ref -1, mv 0.
+struct ColMotion {
+  int ref_raw = -1;   // colocated's own refIdx (its list numbering)
+  int ref_span = -1;  // resolved to a span frame index
+  int16_t mv[2] = {0, 0};
+};
+
+ColMotion col_motion(const Ctx& c, GopOut* out, int col, int mb, int blk) {
+  ColMotion r;
+  size_t base = (size_t)col * c.n_mbs + mb;
+  int kind = out->mb_kind[base];
+  if (kind == MB_I4x4 || kind == MB_I16x16 || kind == MB_IPCM) return r;
+  int q8 = ((blk >> 2) >> 1) * 2 + ((blk & 3) >> 1);
+  int r0 = out->refidx[base * 4 + q8];
+  if (r0 >= 0) {
+    r.ref_raw = r0;
+    r.ref_span = out->ref_map[(size_t)col * 16 + r0];
+    r.mv[0] = out->mv[(base * 16 + blk) * 2];
+    r.mv[1] = out->mv[(base * 16 + blk) * 2 + 1];
+  } else {
+    int r1 = out->refidx_l1[base * 4 + q8];
+    if (r1 < 0) return r;  // shouldn't happen for inter MBs
+    r.ref_raw = r1;
+    r.ref_span = out->ref_map_l1[(size_t)col * 16 + r1];
+    r.mv[0] = out->mv_l1[(base * 16 + blk) * 2];
+    r.mv[1] = out->mv_l1[(base * 16 + blk) * 2 + 1];
+  }
+  return r;
+}
+
+// Corner 4x4 used for each 8x8 under direct_8x8_inference (always set by
+// x264; we require it for direct modes).
+static const uint8_t kCorner4x4[4] = {0, 3, 12, 15};
+
+// Spatial direct per-MB setup (8.4.1.2.2): MinPositive refs over the
+// standard A/B/C neighbors and the 16x16 median MV predictor per list.
+struct SpatialDirect {
+  int ref[2] = {-1, -1};
+  int16_t mv[2][2] = {{0, 0}, {0, 0}};
+  bool zero_pred = false;  // both refs < 0
+};
+
+SpatialDirect spatial_direct_setup(Ctx& c, const SliceCtx& sc, int mb) {
+  SpatialDirect sd;
+  for (int l = 0; l < 2; l++) {
+    NbMv A = fetch_mv(c, mb, -1, 0, l);
+    NbMv B = fetch_mv(c, mb, 0, -1, l);
+    NbMv C = fetch_mv(c, mb, 4, -1, l);
+    if (!C.avail) C = fetch_mv(c, mb, -1, -1, l);
+    sd.ref[l] = min_positive(min_positive(A.avail ? A.ref : -1,
+                                          B.avail ? B.ref : -1),
+                             C.avail ? C.ref : -1);
+  }
+  if (sd.ref[0] < 0 && sd.ref[1] < 0) {
+    sd.ref[0] = sd.ref[1] = 0;
+    sd.zero_pred = true;
+    return sd;
+  }
+  for (int l = 0; l < 2; l++)
+    if (sd.ref[l] >= 0) predict_mv(c, mb, 0, 0, 4, 4, sd.ref[l], sd.mv[l], l);
+  return sd;
+}
+
+// Derive direct motion for 8x8 `b8` of `mb` into MbState (both lists).
+// `sd` != null -> spatial mode; null -> temporal (8.4.1.2.3).
+bool direct_motion_8x8(Ctx& c, const SliceCtx& sc, GopOut* out, int fidx,
+                       int mb, int b8, const SpatialDirect* sd) {
+  MbState& M = c.mbs[mb];
+  int col = sc.list1[0].span_index;
+  ColMotion cm = col_motion(c, out, col, mb, kCorner4x4[b8]);
+  int bx = (b8 & 1) * 2, by = (b8 >> 1) * 2;
+
+  int ref[2];
+  int16_t mv[2][2];
+  if (sd) {
+    ref[0] = sd->ref[0];
+    ref[1] = sd->ref[1];
+    // colZeroFlag (list1[0] is always short-term here: no long-term refs)
+    bool col_zero = cm.ref_raw == 0 && cm.mv[0] >= -1 && cm.mv[0] <= 1 &&
+                    cm.mv[1] >= -1 && cm.mv[1] <= 1;
+    for (int l = 0; l < 2; l++) {
+      if (ref[l] < 0) {
+        mv[l][0] = mv[l][1] = 0;
+      } else if (!sd->zero_pred && col_zero && ref[l] == 0) {
+        mv[l][0] = mv[l][1] = 0;
+      } else {
+        mv[l][0] = sd->mv[l][0];
+        mv[l][1] = sd->mv[l][1];
+      }
+    }
+  } else {
+    // temporal: scale colocated motion by POC distances
+    ref[1] = 0;
+    ref[0] = 0;
+    if (cm.ref_span >= 0) {
+      ref[0] = -1;
+      for (size_t i = 0; i < sc.list0.size(); i++) {
+        if (sc.list0[i].span_index == cm.ref_span) {
+          ref[0] = (int)i;
+          break;
+        }
+      }
+      if (ref[0] < 0) {
+        c.err = "temporal direct: colocated ref not in list0";
+        return false;
+      }
+    }
+    int poc_cur = out->poc[fidx];
+    int poc0 = sc.list0[ref[0]].poc;
+    int poc1 = sc.list1[0].poc;
+    int td = std::max(-128, std::min(127, poc1 - poc0));
+    if (td == 0) {
+      mv[0][0] = cm.mv[0];
+      mv[0][1] = cm.mv[1];
+      mv[1][0] = mv[1][1] = 0;
+    } else {
+      int tb = std::max(-128, std::min(127, poc_cur - poc0));
+      int tx = (16384 + std::abs(td / 2)) / td;
+      int dsf = std::max(-1024, std::min(1023, (tb * tx + 32) >> 6));
+      for (int k = 0; k < 2; k++) {
+        int v0 = (dsf * cm.mv[k] + 128) >> 8;
+        mv[0][k] = (int16_t)v0;
+        mv[1][k] = (int16_t)(v0 - cm.mv[k]);
+      }
+    }
+  }
+
+  M.refidx[b8] = (int8_t)ref[0];
+  M.refidx1[b8] = (int8_t)ref[1];
+  M.direct8[b8] = 1;
+  for (int yy = by; yy < by + 2; yy++)
+    for (int xx = bx; xx < bx + 2; xx++) {
+      int b = yy * 4 + xx;
+      M.mv[b][0] = ref[0] >= 0 ? mv[0][0] : 0;
+      M.mv[b][1] = ref[0] >= 0 ? mv[0][1] : 0;
+      M.mv1[b][0] = ref[1] >= 0 ? mv[1][0] : 0;
+      M.mv1[b][1] = ref[1] >= 0 ? mv[1][1] : 0;
+    }
+  return true;
+}
+
+bool derive_b_direct_mb(Ctx& c, const SliceCtx& sc, GopOut* out, int fidx,
+                        int mb) {
+  SpatialDirect sd;
+  if (sc.sh.direct_spatial) sd = spatial_direct_setup(c, sc, mb);
+  for (int b8 = 0; b8 < 4; b8++)
+    if (!direct_motion_8x8(c, sc, out, fidx, mb, b8,
+                           sc.sh.direct_spatial ? &sd : nullptr))
+      return false;
+  return true;
+}
+
+// B_Skip (slice-data skip run in B slices): direct prediction, no
+// residual, QP unchanged.
+bool derive_b_skip(Ctx& c, const SliceCtx& sc, int mb, GopOut* out,
+                   int fidx) {
+  const size_t base = (size_t)fidx * c.n_mbs + mb;
+  MbState& M = c.mbs[mb];
+  M.slice_id = c.cur_slice_id;
+  M.kind = MB_B_SKIP;
+  M.intra = 0;
+  M.is_i4x4 = 0;
+  memset(M.nnz, 0, sizeof(M.nnz));
+  memset(M.mv, 0, sizeof(M.mv));
+  memset(M.mv1, 0, sizeof(M.mv1));
+  memset(M.mvd, 0, sizeof(M.mvd));
+  memset(M.mvd1, 0, sizeof(M.mvd1));
+  memset(M.refidx, -1, sizeof(M.refidx));
+  memset(M.refidx1, -1, sizeof(M.refidx1));
+  M.all_direct = 1;
+  if (!derive_b_direct_mb(c, sc, out, fidx, mb)) return false;
+  M.qp = (int8_t)c.qp_prev;
+  out->mb_kind[base] = M.kind;
+  out->qp[base] = M.qp;
+  memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
+  memcpy(out->refidx + base * 4, M.refidx, 4);
+  memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
+  memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+  memset(out->nnz + base * 24, 0, 24);
+  return true;
+}
+
+// B mb_type tables (Table 7-14): partition pred modes, 0=L0 1=L1 2=BI.
+static const uint8_t kBPartPred[9][2] = {
+    {0, 0}, {1, 1}, {0, 1}, {1, 0}, {0, 2}, {1, 2}, {2, 0}, {2, 1}, {2, 2}};
+// B sub_mb_type (Table 7-18): pred (3 = direct) and shape
+// (0=8x8 1=8x4 2=4x8 3=4x4).
+struct BSub {
+  int8_t pred;
+  int8_t shape;
+};
+static const BSub kBSubTab[13] = {{3, 0}, {0, 0}, {1, 0}, {2, 0}, {0, 1},
+                                  {0, 2}, {1, 1}, {1, 2}, {2, 1}, {2, 2},
+                                  {0, 3}, {1, 3}, {2, 3}};
+
+// Decoded B partitioning, shared between the CAVLC and CABAC MB layers.
+struct BPartInfo {
+  int n_parts = 1;        // 1 (16x16/direct), 2 (16x8/8x16), 4 (8x8)
+  int shape = 0;          // for n_parts==2: 0=16x8 1=8x16
+  int pred[4] = {2, 2, 2, 2};   // per partition: 0=L0 1=L1 2=BI 3=direct
+  int sub_shape[4] = {0, 0, 0, 0};  // for 8x8: BSub.shape
+  bool all_direct = false;          // B_Direct_16x16
+};
+
+// Decode refs + mvds for a B inter MB given its partitioning and a
+// per-syntax-element reader; CAVLC passes plain readers, CABAC passes
+// context-coded ones.  Returns false on error (c.err set).
+template <typename ReadRef, typename ReadMvd>
+bool decode_b_motion(Ctx& c, const SliceCtx& sc, GopOut* out, int fidx,
+                     int mb, const BPartInfo& bp, ReadRef read_ref,
+                     ReadMvd read_mvd) {
+  MbState& M = c.mbs[mb];
+  if (bp.all_direct) {
+    M.all_direct = 1;
+    return derive_b_direct_mb(c, sc, out, fidx, mb);
+  }
+
+  // partition geometry in 4x4 units: (x4, y4) origin per partition index
+  auto part_org = [&](int p, int& x4, int& y4, int& w4, int& h4) {
+    if (bp.n_parts == 1) {
+      x4 = y4 = 0;
+      w4 = h4 = 4;
+    } else if (bp.n_parts == 2) {
+      if (bp.shape == 0) {  // 16x8
+        x4 = 0; y4 = p * 2; w4 = 4; h4 = 2;
+      } else {              // 8x16
+        x4 = p * 2; y4 = 0; w4 = 2; h4 = 4;
+      }
+    } else {
+      x4 = (p & 1) * 2;
+      y4 = (p >> 1) * 2;
+      w4 = h4 = 2;
+    }
+  };
+  int n_active[2] = {sc.sh.num_ref_idx_l0_active, sc.sh.num_ref_idx_l1_active};
+
+  // direct 8x8 sub-partitions derive their motion first: their refs/mvs
+  // are neighbor context for the later partitions' ref_idx (CABAC) and
+  // MV prediction.  The spatial setup only reads neighbor MBs, so it is
+  // safe to run before any in-MB motion is decoded.
+  if (bp.n_parts == 4) {
+    SpatialDirect sd;
+    bool have_sd = false;
+    for (int p = 0; p < 4; p++) {
+      if (bp.pred[p] != 3) continue;
+      const SpatialDirect* sdp = nullptr;
+      if (sc.sh.direct_spatial) {
+        if (!have_sd) {
+          sd = spatial_direct_setup(c, sc, mb);
+          have_sd = true;
+        }
+        sdp = &sd;
+      }
+      if (!direct_motion_8x8(c, sc, out, fidx, mb, p, sdp)) return false;
+    }
+  }
+
+  // ref_idx_lX: all L0 refs in partition order, then all L1
+  for (int l = 0; l < 2; l++) {
+    for (int p = 0; p < bp.n_parts; p++) {
+      if (bp.pred[p] == 3) continue;  // direct sub-partition
+      bool uses = bp.pred[p] == 2 || bp.pred[p] == l;
+      if (!uses) continue;
+      int x4, y4, w4, h4;
+      part_org(p, x4, y4, w4, h4);
+      int ref = 0;
+      if (n_active[l] > 1) {
+        ref = read_ref(l, x4, y4);
+        if (ref < 0 || ref >= n_active[l]) {
+          c.err = "B ref_idx out of range";
+          return false;
+        }
+      }
+      int8_t* ridx = l == 0 ? M.refidx : M.refidx1;
+      for (int yy = y4 >> 1; yy < (y4 + h4) >> 1; yy++)
+        for (int xx = x4 >> 1; xx < (x4 + w4) >> 1; xx++)
+          ridx[yy * 2 + xx] = (int8_t)ref;
+    }
+  }
+
+  // mvd_lX: all L0 mvds in partition order, then all L1
+  for (int l = 0; l < 2; l++) {
+    for (int p = 0; p < bp.n_parts; p++) {
+      if (bp.pred[p] == 3) continue;
+      bool uses = bp.pred[p] == 2 || bp.pred[p] == l;
+      if (!uses) continue;
+      int x4, y4, w4, h4;
+      part_org(p, x4, y4, w4, h4);
+      int ref = (l == 0 ? M.refidx : M.refidx1)[(y4 >> 1) * 2 + (x4 >> 1)];
+      // sub-partition shapes for 8x8 partitions
+      struct Blk {
+        int x4, y4, w4, h4;
+      };
+      Blk blks[4];
+      int nb = 1;
+      if (bp.n_parts == 4) {
+        switch (bp.sub_shape[p]) {
+          case 0: blks[0] = {x4, y4, 2, 2}; nb = 1; break;
+          case 1:
+            blks[0] = {x4, y4, 2, 1};
+            blks[1] = {x4, y4 + 1, 2, 1};
+            nb = 2;
+            break;
+          case 2:
+            blks[0] = {x4, y4, 1, 2};
+            blks[1] = {x4 + 1, y4, 1, 2};
+            nb = 2;
+            break;
+          default:
+            for (int j = 0; j < 4; j++)
+              blks[j] = {x4 + (j & 1), y4 + (j >> 1), 1, 1};
+            nb = 4;
+            break;
+        }
+      } else {
+        blks[0] = {x4, y4, w4, h4};
+      }
+      for (int j = 0; j < nb; j++) {
+        int16_t mvp[2];
+        predict_mv(c, mb, blks[j].x4, blks[j].y4, blks[j].w4, blks[j].h4,
+                   ref, mvp, l);
+        int16_t mvd[2];
+        read_mvd(l, blks[j].x4, blks[j].y4, mvd);
+        int16_t vx = (int16_t)(mvp[0] + mvd[0]);
+        int16_t vy = (int16_t)(mvp[1] + mvd[1]);
+        int16_t(*mvs)[2] = l == 0 ? M.mv : M.mv1;
+        int16_t(*mvds)[2] = l == 0 ? M.mvd : M.mvd1;
+        for (int yy = blks[j].y4; yy < blks[j].y4 + blks[j].h4; yy++)
+          for (int xx = blks[j].x4; xx < blks[j].x4 + blks[j].w4; xx++) {
+            mvs[yy * 4 + xx][0] = vx;
+            mvs[yy * 4 + xx][1] = vy;
+            mvds[yy * 4 + xx][0] = mvd[0];
+            mvds[yy * 4 + xx][1] = mvd[1];
+          }
+      }
+    }
+  }
+  if (!c.err.empty()) return false;
+  return true;
+}
 
 bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
                      GopOut* out, int fidx) {
@@ -602,6 +970,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   M.is_i4x4 = 0;
 
   bool is_p = sc.sh.slice_type == SLICE_P;
+  bool is_b = sc.sh.slice_type == SLICE_B;
   int raw_type = br.ue();
   if (br.error()) {
     c.err = "mb_type overrun at mb " + std::to_string(mb);
@@ -614,13 +983,62 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
     } else {
       mb_type += 100;  // tag inter types as 100+x
     }
+  } else if (is_b) {
+    if (mb_type >= 23) {
+      mb_type -= 23;   // intra types in B slice
+    } else {
+      mb_type += 200;  // tag B inter/direct types as 200+x
+    }
   }
 
   int16_t scan_buf[16];
   int num_ref = sc.sh.num_ref_idx_l0_active;
 
-  // ----- inter MBs (P) -----
-  if (mb_type >= 100) {
+  // ----- inter MBs (B) -----
+  if (mb_type >= 200) {
+    int bt = mb_type - 200;  // Table 7-14
+    M.kind = MB_B_INTER;
+    memset(M.mvd1, 0, sizeof(M.mvd1));
+    M.all_direct = 0;
+    memset(M.direct8, 0, sizeof(M.direct8));
+    BPartInfo bp;
+    if (bt == 0) {
+      bp.all_direct = true;
+    } else if (bt <= 3) {
+      bp.n_parts = 1;
+      bp.pred[0] = bt - 1;
+    } else if (bt <= 21) {
+      bp.n_parts = 2;
+      bp.shape = (bt - 4) & 1;  // even=16x8 odd=8x16
+      bp.pred[0] = kBPartPred[(bt - 4) >> 1][0];
+      bp.pred[1] = kBPartPred[(bt - 4) >> 1][1];
+    } else {  // 22: B_8x8
+      bp.n_parts = 4;
+      for (int i = 0; i < 4; i++) {
+        uint32_t st = br.ue();
+        if (st > 12 || br.error()) {
+          c.err = "bad B sub_mb_type";
+          return false;
+        }
+        bp.pred[i] = kBSubTab[st].pred;
+        bp.sub_shape[i] = kBSubTab[st].shape;
+      }
+    }
+    auto read_ref = [&](int l, int, int) -> int {
+      return (int)br.te((l == 0 ? sc.sh.num_ref_idx_l0_active
+                                : sc.sh.num_ref_idx_l1_active) - 1);
+    };
+    auto read_mvd = [&](int, int, int, int16_t mvd[2]) {
+      mvd[0] = (int16_t)br.se();
+      mvd[1] = (int16_t)br.se();
+    };
+    if (!decode_b_motion(c, sc, out, fidx, mb, bp, read_ref, read_mvd))
+      return false;
+    if (br.error()) {
+      c.err = "B mvd overrun";
+      return false;
+    }
+  } else if (mb_type >= 100) {
     int pt = mb_type - 100;  // 0:16x16 1:16x8 2:8x16 3:8x8 4:8x8ref0
     M.kind = MB_INTER;
     int nparts;
@@ -875,6 +1293,10 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   if (!M.intra) {
     memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
     memcpy(out->refidx + base * 4, M.refidx, 4);
+    if (is_b) {
+      memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
+      memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+    }
   }
   return true;
 }
@@ -1089,7 +1511,8 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     return t;
   };
 
-  int mb_type;  // 0=I4x4, 1..24=I16, 25=IPCM, 100+pt=inter
+  bool is_b = sc.sh.slice_type == SLICE_B;
+  int mb_type;  // 0=I4x4, 1..24=I16, 25=IPCM, 100+pt=P, 200+bt=B
   if (is_p) {
     if (!cb.decode(&cx.s[14])) {
       int pt;
@@ -1101,13 +1524,133 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     } else {
       mb_type = intra_mb_type(17, false);
     }
+  } else if (is_b) {
+    // B mb_type tree (ctx 27-34; Table 9-37 + 9.3.3.1.1.3: the first
+    // bin's neighbors count unless B_Skip/B_Direct_16x16)
+    auto nd = [&](int n) {
+      return n >= 0 && c.mbs[n].kind != MB_B_SKIP &&
+             !(c.mbs[n].kind == MB_B_INTER && c.mbs[n].all_direct);
+    };
+    int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+    int inc = (nd(a) ? 1 : 0) + (nd(b) ? 1 : 0);
+    int bt = -1;
+    if (!cb.decode(&cx.s[27 + inc])) {
+      bt = 0;  // B_Direct_16x16
+    } else if (!cb.decode(&cx.s[30])) {
+      bt = 1 + cb.decode(&cx.s[32]);  // B_L0_16x16 / B_L1_16x16
+    } else {
+      int bits = cb.decode(&cx.s[31]) << 3;
+      bits |= cb.decode(&cx.s[32]) << 2;
+      bits |= cb.decode(&cx.s[32]) << 1;
+      bits |= cb.decode(&cx.s[32]);
+      if (bits < 8) {
+        bt = bits + 3;
+      } else if (bits == 13) {
+        bt = -1;  // intra suffix
+      } else if (bits == 14) {
+        bt = 11;
+      } else if (bits == 15) {
+        bt = 22;
+      } else {
+        bits = (bits << 1) | cb.decode(&cx.s[32]);
+        bt = bits - 4;
+      }
+    }
+    mb_type = bt < 0 ? intra_mb_type(32, false) : 200 + bt;
   } else {
     mb_type = intra_mb_type(3, true);
   }
 
   int16_t scan_buf[16];
 
-  if (mb_type >= 100) {
+  if (mb_type >= 200) {
+    // ----- inter (B) -----
+    int bt = mb_type - 200;
+    M.kind = MB_B_INTER;
+    memset(M.mv1, 0, sizeof(M.mv1));
+    memset(M.mvd1, 0, sizeof(M.mvd1));
+    memset(M.refidx1, -1, sizeof(M.refidx1));
+    M.all_direct = 0;
+    memset(M.direct8, 0, sizeof(M.direct8));
+    BPartInfo bp;
+    if (bt == 0) {
+      bp.all_direct = true;
+    } else if (bt <= 3) {
+      bp.n_parts = 1;
+      bp.pred[0] = bt - 1;
+    } else if (bt <= 21) {
+      bp.n_parts = 2;
+      bp.shape = (bt - 4) & 1;
+      bp.pred[0] = kBPartPred[(bt - 4) >> 1][0];
+      bp.pred[1] = kBPartPred[(bt - 4) >> 1][1];
+    } else {
+      bp.n_parts = 4;
+      for (int i = 0; i < 4; i++) {
+        // B sub_mb_type tree (ctx 36-39)
+        int st;
+        if (!cb.decode(&cx.s[36])) {
+          st = 0;  // B_Direct_8x8
+        } else if (!cb.decode(&cx.s[37])) {
+          st = 1 + cb.decode(&cx.s[39]);
+        } else {
+          st = 3;
+          if (cb.decode(&cx.s[38])) {
+            if (cb.decode(&cx.s[39])) {
+              st = 11 + cb.decode(&cx.s[39]);
+            } else {
+              st += 4;
+              st += 2 * cb.decode(&cx.s[39]);
+              st += cb.decode(&cx.s[39]);
+            }
+          } else {
+            st += 2 * cb.decode(&cx.s[39]);
+            st += cb.decode(&cx.s[39]);
+          }
+        }
+        bp.pred[i] = kBSubTab[st].pred;
+        bp.sub_shape[i] = kBSubTab[st].shape;
+      }
+    }
+    // 9.3.3.1.1.6: a neighbor partition coded in direct mode does not
+    // count toward the ref_idx context
+    auto direct_part = [&](int x4, int y4) -> bool {
+      int dmbx = 0, dmby = 0;
+      while (x4 < 0) { x4 += 4; dmbx--; }
+      while (x4 > 3) { x4 -= 4; dmbx++; }
+      while (y4 < 0) { y4 += 4; dmby--; }
+      while (y4 > 3) { y4 -= 4; dmby++; }
+      int n = (dmbx == 0 && dmby == 0) ? mb : nb_mb(c, mb, dmbx, dmby);
+      if (n < 0) return false;
+      const MbState& m = c.mbs[n];
+      return m.all_direct || m.direct8[(y4 >> 1) * 2 + (x4 >> 1)] != 0;
+    };
+    auto read_ref = [&](int l, int x4, int y4) -> int {
+      NbMv A = fetch_mv(c, mb, x4 - 1, y4, l);
+      NbMv B = fetch_mv(c, mb, x4, y4 - 1, l);
+      int ctx = (A.avail && A.ref > 0 && !direct_part(x4 - 1, y4) ? 1 : 0) +
+                (B.avail && B.ref > 0 && !direct_part(x4, y4 - 1) ? 2 : 0);
+      int ref = 0;
+      int n_act = l == 0 ? sc.sh.num_ref_idx_l0_active
+                         : sc.sh.num_ref_idx_l1_active;
+      while (cb.decode(&cx.s[54 + ctx])) {
+        ref++;
+        ctx = ref == 1 ? 4 : 5;
+        if (ref >= n_act) return -1;
+      }
+      return ref;
+    };
+    auto read_mvd = [&](int l, int x4, int y4, int16_t mvd[2]) {
+      NbMv A = fetch_mv(c, mb, x4 - 1, y4, l);
+      NbMv B = fetch_mv(c, mb, x4, y4 - 1, l);
+      for (int comp = 0; comp < 2; comp++) {
+        int amvd = (A.avail ? std::abs(A.mvd[comp]) : 0) +
+                   (B.avail ? std::abs(B.mvd[comp]) : 0);
+        mvd[comp] = (int16_t)cabac_mvd(c, cb, cx, comp == 0 ? 40 : 47, amvd);
+      }
+    };
+    if (!decode_b_motion(c, sc, out, fidx, mb, bp, read_ref, read_mvd))
+      return false;
+  } else if (mb_type >= 100) {
     // ----- inter (P) -----
     int pt = mb_type - 100;  // 0:16x16 1:16x8 2:8x16 3:8x8
     M.kind = MB_INTER;
@@ -1384,6 +1927,10 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   if (!M.intra) {
     memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
     memcpy(out->refidx + base * 4, M.refidx, 4);
+    if (is_b) {
+      memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
+      memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+    }
   }
   return true;
 }
@@ -1393,6 +1940,7 @@ bool decode_slice_data_cabac(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
   c.qp_prev = sc.sh.slice_qp;
   int mb = sc.sh.first_mb_in_slice;
   bool is_p = sc.sh.slice_type == SLICE_P;
+  bool is_b = sc.sh.slice_type == SLICE_B;
   const size_t fbase = (size_t)fidx * c.n_mbs;
 
   br.byte_align();  // cabac_alignment_one_bit
@@ -1403,7 +1951,7 @@ bool decode_slice_data_cabac(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
     fprintf(stderr, "slice f%d type%d qp%d idc%d first_mb%d\n", fidx,
             sc.sh.slice_type, sc.sh.slice_qp, init_idc,
             sc.sh.first_mb_in_slice);
-  cx.init(sc.sh.slice_qp, !is_p, init_idc);
+  cx.init(sc.sh.slice_qp, sc.sh.slice_type == SLICE_I, init_idc);
   Cabac cb(br.data(), br.nbits(), br.pos());
   int last_qp_delta = 0;
 
@@ -1413,15 +1961,21 @@ bool decode_slice_data_cabac(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
     // layer (the mb_skip_flag ctx below already needs neighbors).
     c.mbs[mb].slice_id = c.cur_slice_id;
     bool skip = false;
-    if (is_p) {
-      // mb_skip_flag (ctx 11-13; 9.3.3.1.1.1): both neighbors weight 1
+    if (is_p || is_b) {
+      // mb_skip_flag (ctx 11-13 for P, 24-26 for B; 9.3.3.1.1.1/2):
+      // both neighbors weight 1; condition is the neighbor not skipped
       int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
-      int inc = (a >= 0 && c.mbs[a].kind != MB_P_SKIP ? 1 : 0) +
-                (b >= 0 && c.mbs[b].kind != MB_P_SKIP ? 1 : 0);
-      skip = cb.decode(&cx.s[11 + inc]) != 0;
+      int skip_kind = is_b ? MB_B_SKIP : MB_P_SKIP;
+      int inc = (a >= 0 && c.mbs[a].kind != skip_kind ? 1 : 0) +
+                (b >= 0 && c.mbs[b].kind != skip_kind ? 1 : 0);
+      skip = cb.decode(&cx.s[(is_b ? 24 : 11) + inc]) != 0;
     }
     if (skip) {
-      derive_pskip(c, mb, out, fidx);
+      if (is_b) {
+        if (!derive_b_skip(c, sc, mb, out, fidx)) return false;
+      } else {
+        derive_pskip(c, mb, out, fidx);
+      }
       last_qp_delta = 0;
     } else {
       if (!decode_mb_cabac(c, cb, cx, sc, mb, out, fidx, last_qp_delta))
@@ -1495,7 +2049,7 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
       sh.delta_pic_order_cnt[1] = br.se();
   }
   if (c.pps.redundant_pic_cnt_present) br.ue();
-  if (sh.slice_type == SLICE_B) br.u1();  // direct_spatial_mv_pred
+  if (sh.slice_type == SLICE_B) sh.direct_spatial = br.u1() != 0;
   sh.num_ref_idx_l0_active = c.pps.num_ref_idx_l0_default;
   sh.num_ref_idx_l1_active = c.pps.num_ref_idx_l1_default;
   if (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP ||
@@ -1539,23 +2093,27 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
       c.err = "bad pred weight denom";
       return false;
     }
-    for (int i = 0; i < sh.num_ref_idx_l0_active && i < 16; i++) {
-      int16_t* w = sh.wt[i];
-      w[0] = (int16_t)(1 << sh.luma_log2_denom);
-      w[1] = 0;
-      w[2] = w[4] = (int16_t)(1 << sh.chroma_log2_denom);
-      w[3] = w[5] = 0;
-      if (br.u1()) {
-        w[0] = (int16_t)br.se();
-        w[1] = (int16_t)br.se();
-      }
-      if (br.u1()) {
-        for (int j = 0; j < 2; j++) {
-          w[2 + 2 * j] = (int16_t)br.se();
-          w[3 + 2 * j] = (int16_t)br.se();
+    auto read_list = [&](int16_t wt[16][6], int n_active) {
+      for (int i = 0; i < n_active && i < 16; i++) {
+        int16_t* w = wt[i];
+        w[0] = (int16_t)(1 << sh.luma_log2_denom);
+        w[1] = 0;
+        w[2] = w[4] = (int16_t)(1 << sh.chroma_log2_denom);
+        w[3] = w[5] = 0;
+        if (br.u1()) {
+          w[0] = (int16_t)br.se();
+          w[1] = (int16_t)br.se();
+        }
+        if (br.u1()) {
+          for (int j = 0; j < 2; j++) {
+            w[2 + 2 * j] = (int16_t)br.se();
+            w[3 + 2 * j] = (int16_t)br.se();
+          }
         }
       }
-    }
+    };
+    read_list(sh.wt, sh.num_ref_idx_l0_active);
+    if (sh.slice_type == SLICE_B) read_list(sh.wt1, sh.num_ref_idx_l1_active);
     if (br.error()) {
       c.err = "pred weight table overrun";
       return false;
@@ -1614,6 +2172,55 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
   return true;
 }
 
+// Apply ref_pic_list_modification (spec 8.2.4.3) to an initial list.
+bool apply_list_mod(Ctx& c, const SliceHeader& sh,
+                    const std::vector<std::pair<int, uint32_t>>& mods,
+                    int n_active, std::vector<RefPic>& list) {
+  if (mods.empty()) return true;
+  int max_frame_num = 1 << c.sps.log2_max_frame_num;
+  int pic_num_pred = sh.frame_num;
+  size_t refIdx = 0;
+  std::vector<RefPic> l = list;
+  if ((int)l.size() < n_active) l.resize(n_active);
+  for (auto& [idc, val] : mods) {
+    if (idc == 0 || idc == 1) {
+      int abs_diff = (int)val + 1;
+      int pred = pic_num_pred;
+      int pic_num = idc == 0 ? pred - abs_diff : pred + abs_diff;
+      if (pic_num < 0) pic_num += max_frame_num;
+      if (pic_num >= max_frame_num) pic_num -= max_frame_num;
+      if (pic_num > sh.frame_num) pic_num -= max_frame_num;
+      pic_num_pred = pic_num;
+      // find the ref with this pic_num
+      RefPic target;
+      bool found = false;
+      for (auto& r : c.dpb)
+        if (r.pic_num == pic_num) {
+          target = r;
+          found = true;
+        }
+      if (!found) {
+        c.err = "ref list modification: pic_num not in DPB";
+        return false;
+      }
+      // shift and insert (8.2.4.3.1)
+      for (size_t i = l.size() - 1; i > refIdx; i--) l[i] = l[i - 1];
+      l[refIdx++] = target;
+      // remove duplicates beyond
+      size_t nIdx = refIdx;
+      for (size_t i = refIdx; i < l.size(); i++) {
+        if (l[i].pic_num != pic_num || l[i].long_term) l[nIdx++] = l[i];
+      }
+      l.resize(std::max(nIdx, (size_t)n_active));
+    } else {
+      c.err = "long-term ref list modification not supported";
+      return false;
+    }
+  }
+  list = l;
+  return true;
+}
+
 // Build reference list L0 for a P slice (spec 8.2.4.2.1 + 8.2.4.3).
 bool build_ref_list_p(Ctx& c, SliceHeader& sh, std::vector<RefPic>& list0) {
   // derive pic_num for each short-term ref
@@ -1626,54 +2233,55 @@ bool build_ref_list_p(Ctx& c, SliceHeader& sh, std::vector<RefPic>& list0) {
   list0 = c.dpb;
   std::sort(list0.begin(), list0.end(),
             [](const RefPic& a, const RefPic& b) { return a.pic_num > b.pic_num; });
-  // apply modifications
-  if (!sh.ref_list_mod_l0.empty()) {
-    int pic_num_pred = sh.frame_num;
-    size_t refIdx = 0;
-    std::vector<RefPic> l = list0;
-    if ((int)l.size() < sh.num_ref_idx_l0_active) l.resize(sh.num_ref_idx_l0_active);
-    for (auto& [idc, val] : sh.ref_list_mod_l0) {
-      if (idc == 0 || idc == 1) {
-        int abs_diff = (int)val + 1;
-        int pred = pic_num_pred;
-        int pic_num = idc == 0 ? pred - abs_diff : pred + abs_diff;
-        if (pic_num < 0) pic_num += max_frame_num;
-        if (pic_num >= max_frame_num) pic_num -= max_frame_num;
-        if (pic_num > sh.frame_num) pic_num -= max_frame_num;
-        pic_num_pred = pic_num;
-        // find the ref with this pic_num
-        RefPic target;
-        bool found = false;
-        for (auto& r : c.dpb)
-          if (r.pic_num == pic_num) {
-            target = r;
-            found = true;
-          }
-        if (!found) {
-          c.err = "ref list modification: pic_num not in DPB";
-          return false;
-        }
-        // shift and insert (8.2.4.3.1)
-        for (size_t i = l.size() - 1; i > refIdx; i--) l[i] = l[i - 1];
-        l[refIdx++] = target;
-        // remove duplicates beyond
-        size_t nIdx = refIdx;
-        for (size_t i = refIdx; i < l.size(); i++) {
-          if (l[i].pic_num != pic_num || l[i].long_term) l[nIdx++] = l[i];
-        }
-        l.resize(std::max(nIdx, (size_t)sh.num_ref_idx_l0_active));
-      } else {
-        c.err = "long-term ref list modification not supported";
-        return false;
-      }
-    }
-    list0 = l;
-  }
+  if (!apply_list_mod(c, sh, sh.ref_list_mod_l0, sh.num_ref_idx_l0_active,
+                      list0))
+    return false;
   if ((int)list0.size() < sh.num_ref_idx_l0_active) {
     c.err = "DPB underflow: fewer refs than num_ref_idx_l0_active";
     return false;
   }
   list0.resize(sh.num_ref_idx_l0_active);
+  return true;
+}
+
+// Build reference lists for a B slice (spec 8.2.4.2.3, frames): list0 =
+// {POC < cur, desc} + {POC > cur, asc}; list1 the reverse; if the lists
+// come out identical with >1 entries, swap list1's first two.
+bool build_ref_list_b(Ctx& c, SliceHeader& sh, int poc_cur,
+                      std::vector<RefPic>& list0, std::vector<RefPic>& list1) {
+  int max_frame_num = 1 << c.sps.log2_max_frame_num;
+  for (auto& r : c.dpb) {
+    r.pic_num = r.frame_num > sh.frame_num ? r.frame_num - max_frame_num
+                                           : r.frame_num;
+  }
+  std::vector<RefPic> before, after;
+  for (auto& r : c.dpb) (r.poc < poc_cur ? before : after).push_back(r);
+  std::sort(before.begin(), before.end(),
+            [](const RefPic& a, const RefPic& b) { return a.poc > b.poc; });
+  std::sort(after.begin(), after.end(),
+            [](const RefPic& a, const RefPic& b) { return a.poc < b.poc; });
+  list0 = before;
+  list0.insert(list0.end(), after.begin(), after.end());
+  list1 = after;
+  list1.insert(list1.end(), before.begin(), before.end());
+  if (list1.size() > 1) {
+    bool same = list0.size() == list1.size();
+    for (size_t i = 0; same && i < list0.size(); i++)
+      same = list0[i].span_index == list1[i].span_index;
+    if (same) std::swap(list1[0], list1[1]);
+  }
+  if (!apply_list_mod(c, sh, sh.ref_list_mod_l0, sh.num_ref_idx_l0_active,
+                      list0) ||
+      !apply_list_mod(c, sh, sh.ref_list_mod_l1, sh.num_ref_idx_l1_active,
+                      list1))
+    return false;
+  if ((int)list0.size() < sh.num_ref_idx_l0_active ||
+      (int)list1.size() < sh.num_ref_idx_l1_active) {
+    c.err = "DPB underflow: fewer refs than num_ref_idx_active (B)";
+    return false;
+  }
+  list0.resize(sh.num_ref_idx_l0_active);
+  list1.resize(sh.num_ref_idx_l1_active);
   return true;
 }
 
@@ -1759,10 +2367,11 @@ bool decode_slice_data(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
   c.qp_prev = sc.sh.slice_qp;
   int mb = sc.sh.first_mb_in_slice;
   bool is_p = sc.sh.slice_type == SLICE_P;
+  bool is_b = sc.sh.slice_type == SLICE_B;
   const size_t fbase = (size_t)fidx * c.n_mbs;
 
   while (mb < c.n_mbs) {
-    if (is_p) {
+    if (is_p || is_b) {
       int skip_run = br.ue();
       if (br.error()) {
         c.err = "skip_run overrun";
@@ -1774,7 +2383,11 @@ bool decode_slice_data(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
           return false;
         }
         c.mbs[mb].slice_id = c.cur_slice_id;
-        derive_pskip(c, mb, out, fidx);
+        if (is_b) {
+          if (!derive_b_skip(c, sc, mb, out, fidx)) return false;
+        } else {
+          derive_pskip(c, mb, out, fidx);
+        }
         out->intra_pred_avail[fbase + mb] = avail_bits(c, mb);
         // deblock metadata for skipped MBs too
         out->deblock_idc[fbase + mb] = (uint8_t)sc.sh.disable_deblocking_filter_idc;
@@ -1791,7 +2404,7 @@ bool decode_slice_data(Ctx& c, BitReader& br, SliceCtx& sc, GopOut* out,
     out->beta_off[fbase + mb] = (int8_t)sc.sh.slice_beta_offset;
     out->intra_pred_avail[fbase + mb] = avail_bits(c, mb);
     mb++;
-    if (!is_p && !br.more_rbsp_data()) break;
+    if (!is_p && !is_b && !br.more_rbsp_data()) break;
   }
   return true;
 }
@@ -1846,6 +2459,12 @@ HW_API int hw_h264_chroma_qp_offset(void* h) {
   auto* p = static_cast<PublicCtx*>(h);
   if (p->c.pps_map.empty()) return 0;
   return p->c.pps_map.begin()->second.chroma_qp_index_offset;
+}
+
+HW_API int hw_h264_bipred_idc(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  if (p->c.pps_map.empty()) return 0;
+  return p->c.pps_map.begin()->second.weighted_bipred_idc;
 }
 
 HW_API int hw_h264_max_refs(void* h) {
@@ -1932,8 +2551,20 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    "with profile=main or 8x8dct=0");
           return -1;
         }
-        if (sc.sh.slice_type == SLICE_B) {
+        if (sc.sh.slice_type == SLICE_B && !getenv("HWANG_H264_B")) {
+          // B bring-up is env-gated until bit-exact end-to-end
           snprintf(p->errbuf, sizeof(p->errbuf), "B slices not supported yet");
+          return -1;
+        }
+        if (sc.sh.slice_type == SLICE_B && c.pps.weighted_bipred_idc == 1) {
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "explicit B weighting (weighted_bipred_idc=1) not "
+                   "supported; use implicit or weightb=0");
+          return -1;
+        }
+        if (sc.sh.slice_type == SLICE_B && !c.sps.direct_8x8_inference) {
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "direct_8x8_inference=0 not supported");
           return -1;
         }
         if (fidx == 0 && !sc.sh.is_idr) {
@@ -1946,6 +2577,7 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           if (sc.sh.is_idr) c.dpb.clear();
           out->frame_type[fidx] = (uint8_t)sc.sh.slice_type;
           out->poc[fidx] = poc_of_frame(c, sc.sh);
+          if (out->frame_is_ref) out->frame_is_ref[fidx] = nal_ref_idc != 0;
           if (out->weight_flag) {
             out->weight_flag[fidx] = sc.sh.has_pred_weights ? 1 : 0;
             if (sc.sh.has_pred_weights) {
@@ -1976,7 +2608,10 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           return -1;
         }
         c.cur_slice_id++;
-        for (int i = 0; i < 16; i++) out->ref_map[fidx * 16 + i] = -1;
+        for (int i = 0; i < 16; i++) {
+          out->ref_map[fidx * 16 + i] = -1;
+          out->ref_map_l1[fidx * 16 + i] = -1;
+        }
         if (sc.sh.slice_type == SLICE_P) {
           if (!build_ref_list_p(c, sc.sh, sc.list0)) {
             snprintf(p->errbuf, sizeof(p->errbuf), "ref list: %s",
@@ -1985,6 +2620,17 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           }
           for (size_t i = 0; i < sc.list0.size() && i < 16; i++)
             out->ref_map[fidx * 16 + i] = sc.list0[i].span_index;
+        } else if (sc.sh.slice_type == SLICE_B) {
+          if (!build_ref_list_b(c, sc.sh, out->poc[fidx], sc.list0,
+                                sc.list1)) {
+            snprintf(p->errbuf, sizeof(p->errbuf), "B ref lists: %s",
+                     c.err.c_str());
+            return -1;
+          }
+          for (size_t i = 0; i < sc.list0.size() && i < 16; i++)
+            out->ref_map[fidx * 16 + i] = sc.list0[i].span_index;
+          for (size_t i = 0; i < sc.list1.size() && i < 16; i++)
+            out->ref_map_l1[fidx * 16 + i] = sc.list1[i].span_index;
         }
         bool ok = c.pps.entropy_coding_mode
                       ? decode_slice_data_cabac(c, br, sc, out, fidx)
@@ -1999,16 +2645,41 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
     }
 
     if (got_slice) {
-      // reference marking: sliding window (+ basic MMCO 1 already rejected
-      // at parse if unsupported)
+      // reference marking (spec 8.2.5): adaptive MMCO when signalled
+      // (x264 b-pyramid manages the B-ref with MMCO op 1), else sliding
+      // window
       if (first_sh.nal_ref_idc != 0) {
-        RefPic r;
-        r.span_index = fidx;
-        r.frame_num = first_sh.frame_num;
-        r.poc = out->poc[fidx];
-        c.dpb.insert(c.dpb.begin(), r);
-        int max_refs = c.sps.max_num_ref_frames > 0 ? c.sps.max_num_ref_frames : 1;
-        if ((int)c.dpb.size() > max_refs) c.dpb.resize(max_refs);
+        if (first_sh.adaptive_ref_pic_marking) {
+          int max_frame_num = 1 << c.sps.log2_max_frame_num;
+          for (auto& [op, vals] : first_sh.mmco_ops) {
+            if (op != 1) continue;  // others rejected at parse
+            int pic_num_x = first_sh.frame_num - (int)(vals.first + 1);
+            for (size_t i = 0; i < c.dpb.size(); i++) {
+              int pn = c.dpb[i].frame_num > first_sh.frame_num
+                           ? c.dpb[i].frame_num - max_frame_num
+                           : c.dpb[i].frame_num;
+              if (pn == pic_num_x) {
+                c.dpb.erase(c.dpb.begin() + i);
+                break;
+              }
+            }
+          }
+          RefPic r;
+          r.span_index = fidx;
+          r.frame_num = first_sh.frame_num;
+          r.poc = out->poc[fidx];
+          c.dpb.insert(c.dpb.begin(), r);
+          if ((int)c.dpb.size() > 16) c.dpb.resize(16);
+        } else {
+          RefPic r;
+          r.span_index = fidx;
+          r.frame_num = first_sh.frame_num;
+          r.poc = out->poc[fidx];
+          c.dpb.insert(c.dpb.begin(), r);
+          int max_refs =
+              c.sps.max_num_ref_frames > 0 ? c.sps.max_num_ref_frames : 1;
+          if ((int)c.dpb.size() > max_refs) c.dpb.resize(max_refs);
+        }
       }
       fidx++;
       // reset per-picture MB state

@@ -115,6 +115,8 @@ struct SliceHeader {
   int luma_log2_denom = 0;
   int chroma_log2_denom = 0;
   int16_t wt[16][6] = {};
+  int16_t wt1[16][6] = {};   // list-1 tables (explicit B weighting)
+  bool direct_spatial = true;  // direct_spatial_mv_pred_flag (B slices)
   int cabac_init_idc = 0;
   int slice_qp = 26;
   int disable_deblocking_filter_idc = 0;
@@ -163,6 +165,7 @@ struct GopOut {
   uint8_t* intra_pred_avail = nullptr; // [F*M] neighbor availability bits
                                        // bit0=left bit1=top bit2=topright bit3=topleft
                                        // (constrained_intra aware)
+  uint8_t* frame_is_ref = nullptr;   // [F] nal_ref_idc != 0 (DPB entry)
   int16_t* pred_weights = nullptr;   // [F*16*8] per (frame, refIdxL0):
                                      // wy oy wu ou wv ov log2y log2c
                                      // (explicit weighted prediction 8.4.2.3)
