@@ -56,8 +56,12 @@ class TpuSpanDecoder:
         )
 
     def decode_span(self, data, sample_offsets, sample_sizes):
-        """Decode one span; returns device YUV arrays (coded size):
-        (Y [F,H,W], U, V, n_frames)."""
+        """Decode one span; returns device YUV arrays (coded size, DECODE
+        order) plus the display permutation:
+        (Y [F,H,W], U, V, n_frames, perm) — display position d is decode
+        frame perm[d] (identity without B reordering)."""
+        import numpy as np
+
         from ..models.h264.packed import pack_gop_batch
         from ..models.h264.recon_batched import decode_gop_packed
 
@@ -67,7 +71,8 @@ class TpuSpanDecoder:
             g, self.mb_width, self.mb_height,
             self.entropy.chroma_qp_offset, n_refs=self.n_refs,
         )
-        return Ys[0], Us[0], Vs[0], t.n_frames
+        perm = np.argsort(t.poc[: t.n_frames], kind="stable")
+        return Ys[0], Us[0], Vs[0], t.n_frames, perm
 
 
 class TpuVideoDecoder(VideoDecoderInterface):
@@ -136,7 +141,7 @@ class TpuVideoDecoder(VideoDecoderInterface):
         blob = b"".join(self._pending)
         self._pending.clear()
 
-        Ys, Us, Vs, n = span.decode_span(blob, offsets, sizes)
+        Ys, Us, Vs, n, perm = span.decode_span(blob, offsets, sizes)
         left, top, right, bottom = span.crop
         W = span.mb_width * 16 - left - right
         H = span.mb_height * 16 - top - bottom
@@ -144,8 +149,8 @@ class TpuVideoDecoder(VideoDecoderInterface):
             rgb = yuv420_to_rgb(Ys, Us, Vs)
             rgb = rgb[:, top : top + H, left : left + W, :]
             host = np.asarray(rgb[:n])
-            for f in range(n):
-                self._queue.append(host[f])
+            for d in range(n):  # emit in display order
+                self._queue.append(host[perm[d]])
         else:
             # packed planar YUV at coded size cropped: emit Y then U,V
             # (crop chroma at half res)
@@ -158,7 +163,8 @@ class TpuVideoDecoder(VideoDecoderInterface):
                 Vs[:n, top // 2 : (top + H + 1) // 2,
                    left // 2 : (left + W + 1) // 2]
             )
-            for f in range(n):
+            for d in range(n):  # emit in display order
+                f = perm[d]
                 self._queue.append(
                     np.concatenate(
                         [y[f].reshape(-1), u[f].reshape(-1), v[f].reshape(-1)]

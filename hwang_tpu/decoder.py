@@ -97,10 +97,12 @@ class Decoder:
         rows = [int(r) for r in rows]
         unique_rows = sorted(set(rows))
         # Span trimming is only valid when sample (decode) order == display
-        # order.  The TPU codec rejects B/reordered streams, so its spans
-        # may be trimmed; the software path keeps full GOPs (sample k may
-        # be displayed later than untrimmed successors under reordering).
-        trim = self._decoder_type == VideoDecoderType.TPU
+        # order.  Trim only when the mp4 index positively says there is no
+        # reordering (ctts); indexes loaded from file don't know -> no trim.
+        trim = (
+            self._decoder_type == VideoDecoderType.TPU
+            and self.video_index.has_reorder is False
+        )
         spans = self.build_spans(unique_rows, trim=trim)
         if not spans:
             return []

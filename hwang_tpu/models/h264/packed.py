@@ -50,13 +50,20 @@ class PackedBatch(NamedTuple):
     mv_base: jnp.ndarray   # [B, F, M, 2] int16 (the MB's first 4x4 MV)
     mv_exc_val: jnp.ndarray  # [Kv, 2] int16 sub-partition MV exceptions
     mv_exc_pos: jnp.ndarray  # [Kv] int32/int64 into [B*F*M*16] (+1 scratch)
-    hdr: jnp.ndarray       # [B, F, 17] int16 (frame_type + ref_map)
+    hdr: jnp.ndarray       # [B, F, 34] int16 (frame_type, ref_map,
+                           # ref_map_l1, is_ref)
     coeff_val: jnp.ndarray  # [K] int16
     coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
     ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
     weights: jnp.ndarray | None  # [B, F, 16, 8] int16 pred weights (identity
                                  # rows on unweighted frames); None when no
                                  # frame in the batch is weighted
+    # B-frame transport (None when the batch has no B frames):
+    mv1_base: jnp.ndarray | None = None   # [B, F, M, 2] int16
+    mv1_exc_val: jnp.ndarray | None = None
+    mv1_exc_pos: jnp.ndarray | None = None
+    refidx_l1: jnp.ndarray | None = None  # [B, F, M, 4] int8
+    bi_w: jnp.ndarray | None = None       # [B, F, 16, 16, 2] int16
 
 
 _COEFF_BLOCKS = 26
@@ -70,7 +77,8 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
     mv = np.zeros((B, F, M, 16, 2), np.int16)
-    hdr = np.zeros((B, F, 17), np.int16)
+    hdr = np.zeros((B, F, 34), np.int16)
+    hdr[:, :, 17:33] = -1
     coeff = np.zeros((B, F, M, _COEFF_BLOCKS, 16), np.int16)
     any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
     ipcm = (
@@ -86,6 +94,14 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         weights = np.broadcast_to(
             _IDENTITY_WEIGHT, (B, F, 16, 8)
         ).copy()
+    any_b = any((t.frame_type == 1).any() for t in tensors)
+    mv1 = ridx1 = bi_w = None
+    if any_b:
+        from .recon import bipred_pair_weights
+
+        mv1 = np.zeros((B, F, M, 16, 2), np.int16)
+        ridx1 = np.full((B, F, M, 4), -1, np.int8)
+        bi_w = np.full((B, F, 16, 16, 2), 32, np.int16)
 
     for b, t in enumerate(tensors):
         n = t.n_frames
@@ -103,7 +119,15 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
             off += width
         mv[b, :n] = t.mv
         hdr[b, :n, 0] = t.frame_type
-        hdr[b, :n, 1:] = np.clip(t.ref_map, -1, 32766)
+        hdr[b, :n, 1:17] = np.clip(t.ref_map, -1, 32766)
+        hdr[b, :n, 17:33] = np.clip(t.ref_map_l1, -1, 32766)
+        hdr[b, :n, 33] = (
+            t.frame_is_ref if t.frame_is_ref is not None else 1
+        )
+        if any_b:
+            mv1[b, :n] = t.mv_l1
+            ridx1[b, :n] = t.refidx_l1
+            bi_w[b, :n] = bipred_pair_weights(t)
         coeff[b, :n, :, :16] = t.luma_ac
         coeff[b, :n, :, 16:24] = t.chroma_ac.reshape(n, M, 8, 16)
         coeff[b, :n, :, 24] = t.luma_dc
@@ -132,11 +156,16 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
 
     # MV transport: per-MB base (first 4x4 block) + sparse exceptions for
     # the blocks of sub-partitioned MBs (most MBs are single-partition)
-    base = mv[:, :, :, 0]                               # [B, F, M, 2]
-    diff = (mv != base[:, :, :, None]).any(-1)          # [B, F, M, 16]
-    mpos = np.flatnonzero(diff.reshape(-1))
-    mvals = mv.reshape(-1, 2)[mpos]
-    mpos_p, mval_p = sparse_pad(mpos, mvals, diff.size, min_bucket=256)
+    def mv_pack(mvarr):
+        base = mvarr[:, :, :, 0]                        # [B, F, M, 2]
+        diff = (mvarr != base[:, :, :, None]).any(-1)   # [B, F, M, 16]
+        mpos = np.flatnonzero(diff.reshape(-1))
+        mvals = mvarr.reshape(-1, 2)[mpos]
+        return (base,) + sparse_pad(mpos, mvals, diff.size, min_bucket=256)
+
+    base, mpos_p, mval_p = mv_pack(mv)
+    if any_b:
+        base1, mpos1_p, mval1_p = mv_pack(mv1)
 
     return PackedBatch(
         u8=jnp.asarray(u8),
@@ -148,6 +177,17 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         coeff_pos=jnp.asarray(pos_p),
         ipcm=jnp.asarray(ipcm) if any_ipcm else None,
         weights=jnp.asarray(weights) if any_weights else None,
+        **(
+            {
+                "mv1_base": jnp.asarray(base1),
+                "mv1_exc_val": jnp.asarray(mval1_p),
+                "mv1_exc_pos": jnp.asarray(mpos1_p),
+                "refidx_l1": jnp.asarray(ridx1),
+                "bi_w": jnp.asarray(bi_w),
+            }
+            if any_b
+            else {}
+        ),
     )
 
 
@@ -173,12 +213,20 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16)
 
     # rebuild per-4x4 MVs: broadcast base, scatter exceptions
-    mv_flat = jnp.broadcast_to(
-        p.mv_base[:, :, :, None, :], (B, F, M, 16, 2)
-    ).reshape(B * F * M * 16, 2)
-    mv_flat = jnp.concatenate([mv_flat, jnp.zeros((1, 2), jnp.int16)])
-    mv_flat = mv_flat.at[p.mv_exc_pos].set(p.mv_exc_val)
-    mv16 = mv_flat[:-1].reshape(B, F, M, 16, 2)
+    def mv_unpack(mbase, epos, eval_):
+        flat = jnp.broadcast_to(
+            mbase[:, :, :, None, :], (B, F, M, 16, 2)
+        ).reshape(B * F * M * 16, 2)
+        flat = jnp.concatenate([flat, jnp.zeros((1, 2), jnp.int16)])
+        flat = flat.at[epos].set(eval_)
+        return flat[:-1].reshape(B, F, M, 16, 2)
+
+    mv16 = mv_unpack(p.mv_base, p.mv_exc_pos, p.mv_exc_val)
+    mv16_l1 = (
+        mv_unpack(p.mv1_base, p.mv1_exc_pos, p.mv1_exc_val)
+        if p.mv1_base is not None
+        else None
+    )
 
     # unpack the nnz bitmask back to 24 per-block flags (bS only needs
     # the boolean)
@@ -189,7 +237,7 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
 
     return GopArrays(
         frame_type=hdr[..., 0],
-        ref_map=hdr[..., 1:],
+        ref_map=hdr[..., 1:17],
         mb_kind=fields["mb_kind"],
         qp=fields["qp"],
         i4_modes=fields["i4_modes"],
@@ -209,4 +257,15 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         ipcm=p.ipcm,
         n_valid_frames=jnp.zeros((B,), jnp.int32),
         weights=p.weights,
+        **(
+            {
+                "mv_l1": mv16_l1,
+                "refidx_l1": p.refidx_l1.astype(jnp.int16),
+                "ref_map_l1": hdr[..., 17:33],
+                "is_ref": hdr[..., 33],
+                "bi_w": p.bi_w,
+            }
+            if p.mv1_base is not None
+            else {}
+        ),
     )

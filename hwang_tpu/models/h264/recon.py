@@ -52,6 +52,37 @@ def weights_or_identity(t) -> np.ndarray:
     return w
 
 
+def bipred_pair_weights(t) -> np.ndarray:
+    """Per (frame, refIdxL0, refIdxL1) bi-prediction weights [F,16,16,2].
+
+    Default average = (32, 32); implicit mode (weighted_bipred_idc == 2)
+    derives w0/w1 from POC distances (spec 8.4.2.3.1)."""
+    F = t.n_frames
+    w = np.full((F, 16, 16, 2), 32, np.int16)
+    if getattr(t, "bipred_idc", 0) != 2:
+        return w
+    for f in range(F):
+        if t.frame_type[f] != 1:
+            continue
+        for r0 in range(16):
+            s0 = t.ref_map[f, r0]
+            if s0 < 0:
+                continue
+            for r1 in range(16):
+                s1 = t.ref_map_l1[f, r1]
+                if s1 < 0:
+                    continue
+                td = int(np.clip(int(t.poc[s1]) - int(t.poc[s0]), -128, 127))
+                if td == 0:
+                    continue
+                tb = int(np.clip(int(t.poc[f]) - int(t.poc[s0]), -128, 127))
+                tx = (16384 + abs(td) // 2) // td
+                dsf = (tb * tx + 32) >> 8
+                if -64 <= dsf <= 128:
+                    w[f, r0, r1] = (64 - dsf, dsf)
+    return w
+
+
 def apply_weighted_pred(pred, w, o, log_wd):
     """Explicit weighted uni-prediction (8.4.2.3.2).  The rounding term
     (1 << log_wd) >> 1 is 0 at log_wd == 0, so one formula covers both
@@ -86,6 +117,13 @@ class GopArrays(NamedTuple):
     # (wy oy wu ou wv ov log2y log2c); identity rows (1,0,...,0,0) on
     # frames without pred weights; None when no frame in the span has any
     weights: jnp.ndarray | None = None
+    # B-slice fields (None when the span has no B frames):
+    mv_l1: jnp.ndarray | None = None       # [F, M, 16, 2]
+    refidx_l1: jnp.ndarray | None = None   # [F, M, 4]
+    ref_map_l1: jnp.ndarray | None = None  # [F, 16]
+    is_ref: jnp.ndarray | None = None      # [F] enters the reference ring
+    bi_w: jnp.ndarray | None = None        # [F, 16, 16, 2] (w0, w1) per
+                                           # (refIdxL0, refIdxL1) pair
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":
@@ -123,6 +161,17 @@ class GopArrays(NamedTuple):
             n_valid_frames=jnp.asarray(F, jnp.int32),
             weights=pad(weights_or_identity(t).astype(np.int32))
             if t.weight_flag is not None and t.weight_flag.any() else None,
+            **(
+                {
+                    "mv_l1": pad(t.mv_l1.astype(np.int32)),
+                    "refidx_l1": pad(t.refidx_l1.astype(np.int32)),
+                    "ref_map_l1": pad(t.ref_map_l1.astype(np.int32)),
+                    "is_ref": pad(t.frame_is_ref.astype(np.int32)),
+                    "bi_w": pad(bipred_pair_weights(t).astype(np.int32)),
+                }
+                if (t.frame_type == 1).any()
+                else {}
+            ),
         )
 
 

@@ -43,7 +43,9 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
 
     fields = {}
     names = [
-        f for f in GopArrays._fields if f not in ("n_valid_frames", "weights")
+        f for f in GopArrays._fields
+        if f not in ("n_valid_frames", "weights", "mv_l1", "refidx_l1",
+                     "ref_map_l1", "is_ref", "bi_w")
     ]
     for name in names:
         arrs = []
@@ -68,6 +70,25 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         fields["weights"] = jnp.asarray(w)
     else:
         fields["weights"] = None
+    if any((t.frame_type == 1).any() for t in tensors):
+        from .recon import bipred_pair_weights
+
+        def pad_stack(get, fill, shape_tail, dtype):
+            a = np.full((len(tensors), pad_frames) + shape_tail, fill, dtype)
+            for b, t in enumerate(tensors):
+                a[b, : t.n_frames] = get(t)
+            return jnp.asarray(a.astype(np.int32))
+
+        fields["mv_l1"] = pad_stack(lambda t: t.mv_l1, 0, (
+            tensors[0].n_mbs, 16, 2), np.int32)
+        fields["refidx_l1"] = pad_stack(lambda t: t.refidx_l1, -1, (
+            tensors[0].n_mbs, 4), np.int32)
+        fields["ref_map_l1"] = pad_stack(lambda t: t.ref_map_l1, -1, (16,),
+                                         np.int32)
+        fields["is_ref"] = pad_stack(lambda t: t.frame_is_ref, 1, (),
+                                     np.int32)
+        fields["bi_w"] = pad_stack(bipred_pair_weights, 32, (16, 16, 2),
+                                   np.int32)
     return GopArrays(**fields)
 
 
@@ -94,29 +115,29 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     B, M = fr["mb_kind"].shape
     H, W = mb_h * 16, mb_w * 16
     planes_y, ring_u, ring_v, ring_ids = ring  # ring_u holds BOTH chroma
-    # plane sets ([B, R, 2, 64, Hcp, Wcp]); ring_v unused in this layout
+    # plane sets; ring_v unused in this layout.  ring_ids is [B, R].
+
+    def mc_pass(refidx, ref_map, mv):
+        """One motion-compensation pass -> (pred_y, pred_u, pred_v) raw."""
+        span_ref = jnp.take_along_axis(
+            ref_map, jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
+        ).reshape(B, M, 4)
+        slot8 = jnp.argmax(
+            ring_ids[:, None, None, :] == span_ref[..., None], axis=-1
+        )
+        mvx_blk = _assemble_b(mv[..., 0].reshape(B, M, 4, 4), mb_w, mb_h, 4)
+        mvy_blk = _assemble_b(mv[..., 1].reshape(B, M, 4, 4), mb_w, mb_h, 4)
+        slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
+        py = ops_mc.luma_mc_gather16_b(
+            planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
+        )
+        puv = ops_mc.chroma_mc_gather_pair_b(
+            ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
+        )
+        return py, puv[:, 0], puv[:, 1]
 
     refidx = fr["refidx"]                                     # [B, M, 4]
-    span_ref = jnp.take_along_axis(
-        fr["ref_map"], jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
-    ).reshape(B, M, 4)
-    slot8 = jnp.argmax(
-        ring_ids[None, None, None, :] == span_ref[..., None], axis=-1
-    )
-
-    mv = fr["mv"]
-    mvx_blk = _assemble_b(mv[..., 0].reshape(B, M, 4, 4), mb_w, mb_h, 4)
-    mvy_blk = _assemble_b(mv[..., 1].reshape(B, M, 4, 4), mb_w, mb_h, 4)
-    slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
-
-    pred_y = ops_mc.luma_mc_gather16_b(
-        planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
-    )
-    pred_uv = ops_mc.chroma_mc_gather_pair_b(
-        ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
-    )
-    pred_u = pred_uv[:, 0]
-    pred_v = pred_uv[:, 1]
+    pred_y, pred_u, pred_v = mc_pass(refidx, fr["ref_map"], fr["mv"])
 
     wts = fr.get("weights")
     if wts is not None:
@@ -138,6 +159,34 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
                                      wmap(7, 4))
         pred_v = apply_weighted_pred(pred_v, wmap(4, 4), wmap(5, 4),
                                      wmap(7, 4))
+
+    if fr.get("mv_l1") is not None:
+        # B frames: second MC pass over list 1, then per-pixel combine —
+        # bi-predicted blocks average with (w0, w1) from the POC pair
+        # table (implicit mode) or (32, 32); uni-L1 blocks take pred1.
+        refidx1 = fr["refidx_l1"]
+        p1_y, p1_u, p1_v = mc_pass(refidx1, fr["ref_map_l1"], fr["mv_l1"])
+        bidx = jnp.arange(B)[:, None, None]
+        wpair = fr["bi_w"][
+            bidx, jnp.clip(refidx, 0, 15), jnp.clip(refidx1, 0, 15)
+        ]                                                     # [B, M, 4, 2]
+
+        def emap(a, rep):  # [B, M, 4] per-8x8 -> pixel map
+            return _rep2(_assemble_b(a.reshape(B, M, 2, 2), mb_w, mb_h, 2),
+                         rep)
+
+        has1_y = emap(refidx1 >= 0, 8)
+        has0_y = emap(refidx >= 0, 8)
+        w0_y, w1_y = emap(wpair[..., 0], 8), emap(wpair[..., 1], 8)
+        bi_y = jnp.clip((pred_y * w0_y + p1_y * w1_y + 32) >> 6, 0, 255)
+        pred_y = jnp.where(has1_y, jnp.where(has0_y, bi_y, p1_y), pred_y)
+        has1_c = emap(refidx1 >= 0, 4)
+        has0_c = emap(refidx >= 0, 4)
+        w0_c, w1_c = emap(wpair[..., 0], 4), emap(wpair[..., 1], 4)
+        bi_u = jnp.clip((pred_u * w0_c + p1_u * w1_c + 32) >> 6, 0, 255)
+        bi_v = jnp.clip((pred_v * w0_c + p1_v * w1_c + 32) >> 6, 0, 255)
+        pred_u = jnp.where(has1_c, jnp.where(has0_c, bi_u, p1_u), pred_u)
+        pred_v = jnp.where(has1_c, jnp.where(has0_c, bi_v, p1_v), pred_v)
 
     Y = jnp.clip(pred_y + _assemble_b(luma_res, mb_w, mb_h, 16), 0, 255)
     U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
@@ -474,7 +523,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     ring_y0 = jnp.zeros((B, R, 16, H + 2 * m, W + 2 * m), jnp.uint8)
     ring_u0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m, 2), jnp.uint8)
     ring_v0 = jnp.zeros((B, R, 1, 1), jnp.uint8)  # unused (kept for arity)
-    ring_ids0 = jnp.full((R,), -1, jnp.int32)
+    ring_ids0 = jnp.full((B, R), -1, jnp.int32)
 
     def frame_step(carry, f):
         ring_y, ring_u, ring_v, ring_ids, pos = carry
@@ -491,6 +540,11 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
             "avail": i32(g.avail),
             "weights": i32(g.weights) if g.weights is not None else None,
+            "mv_l1": i32(g.mv_l1) if g.mv_l1 is not None else None,
+            "refidx_l1": i32(g.refidx_l1) if g.refidx_l1 is not None else None,
+            "ref_map_l1":
+                i32(g.ref_map_l1) if g.ref_map_l1 is not None else None,
+            "bi_w": i32(g.bi_w) if g.bi_w is not None else None,
         }
         qp = fr["qp"]
         qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
@@ -510,14 +564,15 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         Y, U, V = intra_stage_skewed(
             Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
         )
-        refidx = fr["refidx"]
-        span_ref = jnp.where(
-            refidx >= 0,
-            jnp.take_along_axis(
-                fr["ref_map"], jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
-            ).reshape(B, M, 4),
-            -1,
-        )
+        def resolve(refidx, ref_map):
+            return jnp.where(
+                refidx >= 0,
+                jnp.take_along_axis(
+                    ref_map, jnp.clip(refidx, 0, 15).reshape(B, -1), axis=1
+                ).reshape(B, M, 4),
+                -1,
+            )
+
         meta = {
             "qp": qp,
             "kind": fr["mb_kind"],
@@ -527,7 +582,10 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "avail": fr["avail"],
             "nnz": i32(g.nnz),
             "mv": fr["mv"],
-            "ref": span_ref,
+            "ref": resolve(fr["refidx"], fr["ref_map"]),
+            "mv1": fr["mv_l1"],
+            "ref1": resolve(fr["refidx_l1"], fr["ref_map_l1"])
+            if fr["refidx_l1"] is not None else None,
         }
         Y, U, V = deblock_stage_skewed(
             Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
@@ -536,23 +594,32 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
 
+        # reference ring update, per clip: only frames marked as references
+        # enter the ring (B streams interleave non-ref frames), and the
+        # write position advances per clip independently
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
-        ring_y = jax.lax.dynamic_update_slice(
-            ring_y, planes[:, None], (0, pos, 0, 0, 0)
+        bidx = jnp.arange(B)
+        isr = (
+            g.is_ref[:, f].astype(bool)
+            if g.is_ref is not None
+            else jnp.ones((B,), bool)
         )
-        ring_u = jax.lax.dynamic_update_slice(
-            ring_u, cplanes[:, None], (0, pos, 0, 0, 0)
+        ring_y = ring_y.at[bidx, pos].set(
+            jnp.where(isr[:, None, None, None], planes, ring_y[bidx, pos])
         )
-        ring_ids = jax.lax.dynamic_update_slice(
-            ring_ids, f[None].astype(jnp.int32), (pos,)
+        ring_u = ring_u.at[bidx, pos].set(
+            jnp.where(isr[:, None, None, None], cplanes, ring_u[bidx, pos])
         )
-        pos = (pos + 1) % R
+        ring_ids = ring_ids.at[bidx, pos].set(
+            jnp.where(isr, f.astype(jnp.int32), ring_ids[bidx, pos])
+        )
+        pos = (pos + isr.astype(jnp.int32)) % R
         return (ring_y, ring_u, ring_v, ring_ids, pos), (Y, U, V)
 
     _, (Ys, Us, Vs) = jax.lax.scan(
         frame_step,
-        (ring_y0, ring_u0, ring_v0, ring_ids0, jnp.asarray(0, jnp.int32)),
+        (ring_y0, ring_u0, ring_v0, ring_ids0, jnp.zeros((B,), jnp.int32)),
         jnp.arange(F),
     )
     # scan stacks on axis 0 (frames): -> [B, F, H, W]

@@ -128,6 +128,8 @@ class _Track:
     sync_samples: Optional[np.ndarray] = None       # uint64 [k], 0-based
     has_stss: bool = False
     stsc_runs: Optional[np.ndarray] = None          # [k,3] raw stsc entries
+    has_reorder: bool = False  # ctts with nonzero offsets (B frames):
+                               # decode order != display order
 
 
 class MP4IndexCreator:
@@ -282,6 +284,7 @@ class MP4IndexCreator:
             sample_sizes=sizes,
             keyframe_indices=sync,
             metadata_bytes=t.extradata,
+            has_reorder=t.has_reorder,
         )
         self._done = True
 
@@ -449,6 +452,17 @@ class MP4IndexCreator:
                 raw = np.frombuffer(body.read(4 * count), ">u4").astype(np.uint64)
                 t.sync_samples = raw - 1  # 1-based -> 0-based
                 t.has_stss = True
+            elif typ == "ctts":
+                # composition offsets: any spread in sample_offset means
+                # the stream reorders (B frames)
+                _fullbox(body)
+                count = body.u32()
+                raw = np.frombuffer(body.read(8 * count), ">u4").reshape(
+                    count, 2
+                )
+                offs = raw[:, 1].astype(np.int64)
+                t.has_reorder = bool(count > 0 and
+                                     (offs != offs[0]).any())
         # expand stsc runs into per-chunk sample counts
         if t.chunk_offsets is not None:
             nchunks = len(t.chunk_offsets)
@@ -530,7 +544,10 @@ class MP4IndexCreator:
                     sizes[i] = body.u32() if flags & 0x000200 else -1
                     sflags[i] = body.u32() if flags & 0x000400 else -1
                     if flags & 0x000800:
-                        body.u32()  # composition time offset (s32 in v1)
+                        # composition time offset (s32 in v1): any nonzero
+                        # offset means decode order != display order
+                        if body.u32() != 0 and self._track is not None:
+                            self._track.has_reorder = True
                 truns.append((data_offset, first_flags, sizes, durations, sflags))
 
         if track_id is None or self._track is None:

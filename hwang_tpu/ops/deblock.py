@@ -56,8 +56,8 @@ def _bs_between(meta, mb_q, mb_p, blk_q, blk_p, is_mb_edge):
     """Boundary strength between 4x4 blocks blk_q (of mb_q) and blk_p (of
     mb_p); all arrays broadcastable.  Spec 8.7.2.1 (progressive)."""
     kind = meta["kind"]
-    intra_q = kind[mb_q] >= 2
-    intra_p = kind[mb_p] >= 2
+    intra_q = (kind[mb_q] >= 2) & (kind[mb_q] <= 4)
+    intra_p = (kind[mb_p] >= 2) & (kind[mb_p] <= 4)
     nnz_q = jnp.take_along_axis(meta["nnz"][mb_q], blk_q[..., None], -1)[..., 0]
     nnz_p = jnp.take_along_axis(meta["nnz"][mb_p], blk_p[..., None], -1)[..., 0]
     blk8_q = (blk_q // 8) * 2 + (blk_q % 4) // 2
@@ -452,10 +452,12 @@ def deblock_frame(Y, U, V, meta, mb_w: int, mb_h: int,
 
 def _bs_between_b(meta, mb_q, mb_p, blk_q, blk_p, is_mb_edge):
     """Batched boundary strength: meta arrays have leading [B]; the index
-    arrays are shared across the batch."""
+    arrays are shared across the batch.  Covers P and (when meta carries
+    "mv1"/"ref1") B motion: prediction-count, picture-set and per-pairing
+    MV comparisons of spec 8.7.2.1."""
     kind = meta["kind"]                           # [B, M]
-    intra_q = kind[:, mb_q] >= 2                  # [B, ...]
-    intra_p = kind[:, mb_p] >= 2
+    intra_q = (kind[:, mb_q] >= 2) & (kind[:, mb_q] <= 4)
+    intra_p = (kind[:, mb_p] >= 2) & (kind[:, mb_p] <= 4)
     nnz_q = meta["nnz"][:, mb_q, blk_q]
     nnz_p = meta["nnz"][:, mb_p, blk_p]
     blk8_q = (blk_q // 8) * 2 + (blk_q % 4) // 2
@@ -464,18 +466,39 @@ def _bs_between_b(meta, mb_q, mb_p, blk_q, blk_p, is_mb_edge):
     ref_p = meta["ref"][:, mb_p, blk8_p]
     mv_q = meta["mv"][:, mb_q, blk_q]             # [B, ..., 2]
     mv_p = meta["mv"][:, mb_p, blk_p]
-    mv_far = (
-        (jnp.abs(mv_q[..., 0] - mv_p[..., 0]) >= 4)
-        | (jnp.abs(mv_q[..., 1] - mv_p[..., 1]) >= 4)
-    )
+
+    def far(a, b):
+        return (jnp.abs(a[..., 0] - b[..., 0]) >= 4) | (
+            jnp.abs(a[..., 1] - b[..., 1]) >= 4
+        )
+
+    if meta.get("mv1") is None:
+        mv_bs = jnp.where((ref_q != ref_p) | far(mv_q, mv_p), 1, 0)
+    else:
+        ref1_q = meta["ref1"][:, mb_q, blk8_q]
+        ref1_p = meta["ref1"][:, mb_p, blk8_p]
+        mv1_q = meta["mv1"][:, mb_q, blk_q]
+        mv1_p = meta["mv1"][:, mb_p, blk_p]
+        bi_q = ref1_q >= 0
+        bi_p = ref1_p >= 0
+        uni_ok = (ref_q == ref_p) & ~far(mv_q, mv_p)
+        straight = (ref_q == ref_p) & (ref1_q == ref1_p) & \
+            ~far(mv_q, mv_p) & ~far(mv1_q, mv1_p)
+        crossed = (ref_q == ref1_p) & (ref1_q == ref_p) & \
+            ~far(mv_q, mv1_p) & ~far(mv1_q, mv_p)
+        mv_bs = jnp.where(
+            bi_q != bi_p,
+            1,
+            jnp.where(
+                bi_q,
+                jnp.where(straight | crossed, 0, 1),
+                jnp.where(uni_ok, 0, 1),
+            ),
+        )
     return jnp.where(
         intra_q | intra_p,
         jnp.where(is_mb_edge[None], 4, 3),
-        jnp.where(
-            (nnz_q > 0) | (nnz_p > 0),
-            2,
-            jnp.where((ref_q != ref_p) | mv_far, 1, 0),
-        ),
+        jnp.where((nnz_q > 0) | (nnz_p > 0), 2, mv_bs),
     )
 
 

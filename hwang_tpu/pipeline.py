@@ -85,7 +85,10 @@ class ClipBatchDecoder:
             intervals = slice_into_video_intervals(vi, rows)
             with open(path, "rb") as f:
                 for (start, end), valid in intervals:
-                    end = min(end, max(valid) + 1)  # trim unused tail
+                    if vi.has_reorder is False:
+                        # trim unused tail (only valid when decode order
+                        # == display order, i.e. no B reordering)
+                        end = min(end, max(valid) + 1)
                     off0 = int(vi.sample_offsets[start])
                     last = end - 1
                     off1 = int(vi.sample_offsets[last]) + int(
@@ -200,9 +203,12 @@ class ClipBatchDecoder:
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
             for k, i in enumerate(idxs):
+                # display -> decode mapping within the span (B reordering)
+                t = tensors[i]
+                perm = np.argsort(t.poc[: t.n_frames], kind="stable")
                 for row in jobs[i].valid:
                     sel_b.append(k)
-                    sel_f.append(row - jobs[i].start)
+                    sel_f.append(int(perm[row - jobs[i].start]))
                     index.append((jobs[i].clip, row))
             sb = jnp.asarray(sel_b)
             sf = jnp.asarray(sel_f)

@@ -99,6 +99,9 @@ class VideoIndex:
         default_factory=lambda: np.zeros(0, np.uint64)
     )
     metadata_bytes: bytes = b""
+    # decode order != display order (from mp4 ctts; not serialized — None
+    # when unknown, e.g. an index loaded from file)
+    has_reorder: "bool | None" = None
 
     def __post_init__(self):
         self.sample_offsets = np.asarray(self.sample_offsets, np.uint64)

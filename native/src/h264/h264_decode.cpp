@@ -2551,11 +2551,6 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    "with profile=main or 8x8dct=0");
           return -1;
         }
-        if (sc.sh.slice_type == SLICE_B && !getenv("HWANG_H264_B")) {
-          // B bring-up is env-gated until bit-exact end-to-end
-          snprintf(p->errbuf, sizeof(p->errbuf), "B slices not supported yet");
-          return -1;
-        }
         if (sc.sh.slice_type == SLICE_B && c.pps.weighted_bipred_idc == 1) {
           snprintf(p->errbuf, sizeof(p->errbuf),
                    "explicit B weighting (weighted_bipred_idc=1) not "

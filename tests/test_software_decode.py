@@ -136,15 +136,24 @@ def test_tpu_decoder_falls_back_for_hevc(small_hevc):
     assert np.array_equal(frames[1], oracle[10])
 
 
-def test_tpu_decoder_falls_back_for_cabac(bframes_h264):
+def test_tpu_decoder_handles_cabac_bframes(bframes_h264):
+    """CABAC + B-frames decode natively on the TPU path (no fallback);
+    YUV output is bit-exact vs the oracle."""
     import warnings
 
     from hwang_tpu import Decoder, VideoDecoderType
     from hwang_tpu.utils.fixtures import oracle_decode_all
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        with Decoder(bframes_h264, decoder_type=VideoDecoderType.TPU) as dec:
-            frames = dec.retrieve([5])
-    oracle = oracle_decode_all(bframes_h264)
-    assert np.array_equal(frames[0], oracle[5])
+    oracle = oracle_decode_all(bframes_h264, fmt="yuv")
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        with Decoder(bframes_h264, decoder_type=VideoDecoderType.TPU,
+                     output_format="yuv420") as dec:
+            frames = dec.retrieve([5, 23, 41])
+    assert not any("falling back" in str(w.message) for w in ws)
+    for i, r in enumerate([5, 23, 41]):
+        oy, ou, ov = oracle[r]
+        want = np.concatenate(
+            [oy.reshape(-1), ou.reshape(-1), ov.reshape(-1)]
+        )
+        assert np.array_equal(frames[i], want), f"frame {r}"

@@ -78,6 +78,24 @@ def test_tpu_weighted_pred_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+def test_tpu_bframes_bit_exact(tmp_path):
+    """x264-default-like stream (CABAC, bframes=3 adaptive, b-pyramid,
+    implicit weighted bipred) through the full TPU path: B entropy decode,
+    L1 motion compensation + bi-prediction on device, reference-ring
+    gating by frame_is_ref, and display-order output mapping."""
+    p = str(tmp_path / "bdef.mp4")
+    encode_video(
+        p, 16, 112, 80, profile="main", gop_size=16, crf=24, b_frames=3,
+        extra_opts="keyint=16:min-keyint=16:no-scenecut=1:ref=3:subme=7:"
+                   "weightp=0",
+    )
+    rows = [0, 3, 6, 9, 13, 15]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_odd_size_crop_bit_exact(tmp_path):
     """100x76 display inside 112x80 coded: frame_crop right/bottom."""
     p = str(tmp_path / "odd.mp4")
