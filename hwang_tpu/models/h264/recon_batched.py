@@ -559,11 +559,15 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
             luma_res16, chroma_res,
         )
+        import os as _os
+
         from .recon_skewed import deblock_stage_skewed, intra_stage_skewed
 
-        Y, U, V = intra_stage_skewed(
-            Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
-        )
+        _ablate = _os.environ.get("HWANG_ABLATE", "")
+        if _ablate != "inter":
+            Y, U, V = intra_stage_skewed(
+                Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
+            )
         def resolve(refidx, ref_map):
             return jnp.where(
                 refidx >= 0,
@@ -587,9 +591,10 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "ref1": resolve(fr["refidx_l1"], fr["ref_map_l1"])
             if fr["refidx_l1"] is not None else None,
         }
-        Y, U, V = deblock_stage_skewed(
-            Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
-        )
+        if _ablate not in ("inter", "nodb"):
+            Y, U, V = deblock_stage_skewed(
+                Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
+            )
         Y = Y.astype(jnp.uint8)
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
