@@ -68,6 +68,7 @@ class _GopOut(ctypes.Structure):
         ("beta_off", ctypes.c_void_p),
         ("ipcm", ctypes.c_void_p),
         ("intra_pred_avail", ctypes.c_void_p),
+        ("transform8", ctypes.c_void_p),
         ("frame_is_ref", ctypes.c_void_p),
         ("pred_weights", ctypes.c_void_p),
         ("weight_flag", ctypes.c_void_p),
@@ -149,6 +150,7 @@ class GopTensors:
     pred_weights: np.ndarray = None
     weight_flag: np.ndarray = None
     frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
+    transform8: np.ndarray = None    # [F,M] u8: 8x8 luma transform
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
 
     @property
@@ -236,6 +238,7 @@ class H264EntropyDecoder:
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
             frame_is_ref=z(F, np.uint8),
+            transform8=z((F, M), np.uint8),
             bipred_idc=self.bipred_idc,
         )
         def vp(a):
@@ -252,7 +255,7 @@ class H264EntropyDecoder:
             nnz=vp(t.nnz), deblock_idc=vp(t.deblock_idc),
             alpha_off=vp(t.alpha_off), beta_off=vp(t.beta_off),
             ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
-            frame_is_ref=vp(t.frame_is_ref),
+            frame_is_ref=vp(t.frame_is_ref), transform8=vp(t.transform8),
             pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
         )
 

@@ -84,6 +84,61 @@ def idct4x4(d: np.ndarray) -> np.ndarray:
     return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
 
 
+_DQ8_CLASS = np.array([0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1],
+                      np.int32).reshape(4, 4)
+_DQ8 = np.array([[20, 18, 32, 19, 25, 24], [22, 19, 35, 21, 28, 26],
+                 [26, 23, 42, 24, 33, 31], [28, 25, 45, 26, 35, 33],
+                 [32, 28, 51, 30, 40, 38], [36, 32, 58, 34, 46, 43]],
+                np.int32)
+
+
+def dequant8x8(coef: np.ndarray, qp: int) -> np.ndarray:
+    """8x8 dequant with the flat (16) scaling matrix (spec 8.5.13).
+    Shift reference 2 (calibrated against libavcodec like the 4x4/DC
+    paths): d = c * LS << (qp/6 - 2), feeding an IDCT that ends with
+    (x + 32) >> 6."""
+    ii, jj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    ls = _DQ8[qp % 6][_DQ8_CLASS[ii % 4, jj % 4]]
+    c = coef.astype(np.int64) * ls
+    if qp >= 12:
+        return (c << (qp // 6 - 2)).astype(np.int32)
+    shift = 2 - qp // 6
+    return ((c + (1 << (shift - 1))) >> shift).astype(np.int32)
+
+
+def _idct8_1d(x):
+    """One 8-point inverse transform stage (spec 8.5.12.3 butterflies);
+    x is [..., 8] along the transformed axis."""
+    x = [x[..., i] for i in range(8)]
+    a0 = x[0] + x[4]
+    a2 = x[0] - x[4]
+    a4 = (x[2] >> 1) - x[6]
+    a6 = x[2] + (x[6] >> 1)
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -x[3] + x[5] - x[7] - (x[7] >> 1)
+    a3 = x[1] + x[7] - x[3] - (x[3] >> 1)
+    a5 = -x[1] + x[7] + x[5] + (x[5] >> 1)
+    a7 = x[3] + x[5] + x[1] + (x[1] >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    return np.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                     b6 - b1, b4 - b3, b2 - b5, b0 - b7], axis=-1)
+
+
+def residual8x8(coef: np.ndarray, qp: int) -> np.ndarray:
+    """Dequant + 8x8 IDCT -> spatial residual [8,8] (rounded >> 6)."""
+    d = dequant8x8(coef, qp)
+    d[0, 0] += 32
+    d = _idct8_1d(d)       # horizontal (rows) first, like the 4x4 path
+    d = _idct8_1d(d.T).T   # then vertical (columns)
+    return d >> 6
+
+
 def residual4x4(coef: np.ndarray, qp: int) -> np.ndarray:
     """Full 4x4 residual: dequant + IDCT + rounding (x+32)>>6."""
     return (idct4x4(dequant4x4(coef, qp)) + 32) >> 6
@@ -324,6 +379,152 @@ def _chroma_predict(mode, left, top, topleft, have_l, have_t):
 # ---------------------------------------------------------------------------
 
 # raster order of 4x4 luma blocks within MB, x/y offsets
+def _i8x8_predict(mode, left, top16, topleft, have_l, have_t, have_tl):
+    """Predict one 8x8 intra block (spec 8.3.2): reference samples are
+    low-pass filtered first (8.3.2.2.1), then the 9 modes mirror the 4x4
+    formulas on the 8-wide block.  top16 holds p[x,-1] x=0..15 with the
+    top-right half already substituted (p[7,-1] replicated) when the
+    top-right region is unavailable."""
+    l = left.astype(np.int32)
+    t = top16.astype(np.int32)
+    tl = int(topleft)
+    # --- reference filtering ---
+    ft = np.zeros(16, np.int32)
+    fl = np.zeros(8, np.int32)
+    ftl = 0
+    if have_t:
+        ft[0] = ((tl + 2 * t[0] + t[1] + 2) >> 2) if have_tl else (
+            (3 * t[0] + t[1] + 2) >> 2)
+        ft[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if have_tl:
+        if have_l and have_t:
+            ftl = (t[0] + 2 * tl + l[0] + 2) >> 2
+        elif have_t:
+            ftl = (3 * tl + t[0] + 2) >> 2
+        elif have_l:
+            ftl = (3 * tl + l[0] + 2) >> 2
+        else:
+            ftl = tl
+    if have_l:
+        fl[0] = ((tl + 2 * l[0] + l[1] + 2) >> 2) if have_tl else (
+            (3 * l[0] + l[1] + 2) >> 2)
+        fl[1:7] = (l[0:6] + 2 * l[1:7] + l[2:8] + 2) >> 2
+        fl[7] = (l[6] + 3 * l[7] + 2) >> 2
+    t, l, tl = ft, fl, ftl
+
+    p = np.zeros((8, 8), np.int32)
+    if mode == 0:  # Vertical
+        p[:, :] = t[None, :8]
+    elif mode == 1:  # Horizontal
+        p[:, :] = l[:, None]
+    elif mode == 2:  # DC
+        if have_l and have_t:
+            dc = (int(l.sum()) + int(t[:8].sum()) + 8) >> 4
+        elif have_l:
+            dc = (int(l.sum()) + 4) >> 3
+        elif have_t:
+            dc = (int(t[:8].sum()) + 4) >> 3
+        else:
+            dc = 128
+        p[:, :] = dc
+    elif mode == 3:  # Diagonal down-left
+        for y in range(8):
+            for x in range(8):
+                i = x + y
+                if i == 14:
+                    p[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal down-right
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    i = x - y
+                    a = t[i - 2] if i >= 2 else tl
+                    b = t[i - 1] if i >= 1 else tl
+                    p[y, x] = (a + 2 * b + t[i] + 2) >> 2
+                elif x < y:
+                    i = y - x
+                    a = l[i - 2] if i >= 2 else tl
+                    b = l[i - 1] if i >= 1 else tl
+                    p[y, x] = (a + 2 * b + l[i] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-right
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = ((t[i - 1] if i >= 1 else tl) + t[i] + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    a = t[i - 2] if i >= 2 else tl
+                    b = t[i - 1] if i >= 1 else tl
+                    p[y, x] = (a + 2 * b + t[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    i = y - 2 * x - 1
+                    a = l[i]
+                    b = l[i - 1] if i >= 1 else tl
+                    cc = l[i - 2] if i >= 2 else tl
+                    p[y, x] = (a + 2 * b + cc + 2) >> 2
+    elif mode == 6:  # Horizontal-down
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = ((l[i - 1] if i >= 1 else tl) + l[i] + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    a = l[i - 2] if i >= 2 else tl
+                    b = l[i - 1] if i >= 1 else tl
+                    p[y, x] = (a + 2 * b + l[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+                else:
+                    i = x - 2 * y - 1
+                    a = t[i]
+                    b = t[i - 1] if i >= 1 else tl
+                    cc = t[i - 2] if i >= 2 else tl
+                    p[y, x] = (a + 2 * b + cc + 2) >> 2
+    elif mode == 7:  # Vertical-left
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z > 13:
+                    p[y, x] = l[7]
+                elif z == 13:
+                    p[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                elif z % 2 == 0:
+                    p[y, x] = (l[z >> 1] + l[(z >> 1) + 1] + 1) >> 1
+                else:
+                    i = z >> 1
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+    return p
+
+
+def _quad_coeff8(t, f, mb, q):
+    """Assemble the raster [8,8] coefficient block of quad q from its four
+    16-coeff 4x4 slots (rows 0-1 in slot0, 2-3 in slot1, ...)."""
+    b0 = (q >> 1) * 8 + (q & 1) * 2
+    rb = (b0, b0 + 1, b0 + 4, b0 + 5)
+    return np.concatenate(
+        [t.luma_ac[f, mb, k] for k in rb]
+    ).reshape(8, 8)
+
+
 _BLK_X = np.array([(b & 3) * 4 for b in range(16)])
 _BLK_Y = np.array([(b >> 2) * 4 for b in range(16)])
 
@@ -386,14 +587,27 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                               bipred_idc=getattr(t, "bipred_idc", 0))
             # add residuals
             if kind in (1, 6):
-                for b in range(16):
-                    coef = t.luma_ac[f, mb, b]
-                    if not coef.any():
-                        continue
-                    res = residual4x4(coef.reshape(4, 4), qp)
-                    bx, by = mx + _BLK_X[b], my + _BLK_Y[b]
-                    blk = Y[by : by + 4, bx : bx + 4].astype(np.int32) + res
-                    Y[by : by + 4, bx : bx + 4] = np.clip(blk, 0, 255)
+                t8 = bool(t.transform8 is not None and t.transform8[f, mb])
+                if t8:
+                    for q in range(4):
+                        coef = _quad_coeff8(t, f, mb, q)
+                        if not coef.any():
+                            continue
+                        res = residual8x8(coef, qp)
+                        bx = mx + (q & 1) * 8
+                        by = my + (q >> 1) * 8
+                        blk = Y[by : by + 8, bx : bx + 8].astype(np.int32)
+                        Y[by : by + 8, bx : bx + 8] = np.clip(blk + res,
+                                                              0, 255)
+                else:
+                    for b in range(16):
+                        coef = t.luma_ac[f, mb, b]
+                        if not coef.any():
+                            continue
+                        res = residual4x4(coef.reshape(4, 4), qp)
+                        bx, by = mx + _BLK_X[b], my + _BLK_Y[b]
+                        blk = Y[by : by + 4, bx : bx + 4].astype(np.int32) + res
+                        Y[by : by + 4, bx : bx + 4] = np.clip(blk, 0, 255)
                 _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc)
             continue
 
@@ -414,6 +628,38 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                     _BLK_Y[b] : _BLK_Y[b] + 4, _BLK_X[b] : _BLK_X[b] + 4
                 ] = (idct4x4(d) + 32) >> 6
             Y[my : my + 16, mx : mx + 16] = np.clip(pred + res16, 0, 255)
+        elif t.transform8 is not None and t.transform8[f, mb]:  # I 8x8
+            for q in range(4):  # raster quad order == decode order
+                qx, qy = q & 1, q >> 1
+                bx8, by8 = mx + qx * 8, my + qy * 8
+                bl = qx > 0 or have_l
+                bt = qy > 0 or have_t
+                if qy == 0:
+                    btr = (qx == 0 and have_t) or (qx == 1 and have_tr)
+                else:
+                    # block 2: above-right is quad 1 (decoded); block 3:
+                    # above-right is the right MB's row 7 (undecoded)
+                    btr = qx == 0
+                btl = (qx > 0 and qy > 0) or (qx == 0 and qy > 0 and have_l) \
+                    or (qy == 0 and qx > 0 and have_t) \
+                    or (qx == 0 and qy == 0 and have_tl)
+                left = (_get_edge(Y, bx8 - 1, by8, 8, 0, 1) if bl
+                        else np.zeros(8, np.uint8))
+                top8 = (_get_edge(Y, bx8, by8 - 1, 8, 1, 0) if bt
+                        else np.zeros(8, np.uint8))
+                if btr:
+                    tr8 = _get_edge(Y, bx8 + 8, by8 - 1, 8, 1, 0)
+                elif bt:
+                    tr8 = np.full(8, top8[7], np.uint8)
+                else:
+                    tr8 = np.zeros(8, np.uint8)
+                t16 = np.concatenate([top8, tr8])
+                tl = Y[by8 - 1, bx8 - 1] if btl else 0
+                mode = int(t.i4_modes[f, mb, qy * 8 + qx * 2])
+                pred = _i8x8_predict(mode, left, t16, tl, bl, bt, btl)
+                coef = _quad_coeff8(t, f, mb, q)
+                res = residual8x8(coef, qp)
+                Y[by8 : by8 + 8, bx8 : bx8 + 8] = np.clip(pred + res, 0, 255)
         else:  # I4x4
             for b in range(16):  # standard 4x4 decode order within MB
                 db = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15][b]
@@ -715,10 +961,13 @@ def deblock_frame(t, f, buf, chroma_qp_offset):
         a_off = int(t.alpha_off[f, mb])
         b_off = int(t.beta_off[f, mb])
 
+        t8 = bool(t.transform8 is not None and t.transform8[f, mb])
         # ---- vertical edges (filter left to right), luma
         for e in range(4):
             x = mx + 4 * e
             if e == 0 and not left_ok:
+                continue
+            if t8 and e in (1, 3):  # 8x8 transform: no 4x4-internal edges
                 continue
             nbr = left_mb if e == 0 else mb
             _filter_luma_edge(t, f, buf, mb, nbr, x, my, vertical=True,
@@ -727,6 +976,8 @@ def deblock_frame(t, f, buf, chroma_qp_offset):
         for e in range(4):
             y = my + 4 * e
             if e == 0 and not top_ok:
+                continue
+            if t8 and e in (1, 3):
                 continue
             nbr = top_mb if e == 0 else mb
             _filter_luma_edge(t, f, buf, mb, nbr, mx, y, vertical=False,

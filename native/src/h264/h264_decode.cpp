@@ -968,6 +968,8 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   memset(M.refidx1, -1, sizeof(M.refidx1));
   M.intra = 0;
   M.is_i4x4 = 0;
+  M.transform8x8 = 0;
+  bool allow_t8_inter = false;  // noSubMbPartSizeLessThan8x8Flag etc.
 
   bool is_p = sc.sh.slice_type == SLICE_P;
   bool is_b = sc.sh.slice_type == SLICE_B;
@@ -1001,6 +1003,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
     memset(M.mvd1, 0, sizeof(M.mvd1));
     M.all_direct = 0;
     memset(M.direct8, 0, sizeof(M.direct8));
+    allow_t8_inter = true;  // direct_8x8_inference enforced at slice level
     BPartInfo bp;
     if (bt == 0) {
       bp.all_direct = true;
@@ -1022,6 +1025,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
         }
         bp.pred[i] = kBSubTab[st].pred;
         bp.sub_shape[i] = kBSubTab[st].shape;
+        if (bp.pred[i] != 3 && bp.sub_shape[i] != 0) allow_t8_inter = false;
       }
     }
     auto read_ref = [&](int l, int, int) -> int {
@@ -1050,6 +1054,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
       default: nparts = 4; pw4 = 2; ph4 = 2; break;
     }
     int sub_type[4] = {0, 0, 0, 0};  // for 8x8: 0:8x8 1:8x4 2:4x8 3:4x4
+    allow_t8_inter = true;
     if (pt == 3 || pt == 4) {
       for (int i = 0; i < 4; i++) {
         sub_type[i] = br.ue();
@@ -1057,6 +1062,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
           c.err = "bad sub_mb_type";
           return false;
         }
+        if (sub_type[i] != 0) allow_t8_inter = false;
       }
     }
     // ref indices
@@ -1130,25 +1136,42 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
       return false;
     }
   } else if (mb_type == 0) {
-    // ----- I_4x4 -----
+    // ----- I_NxN (4x4 or, in High profile, 8x8) -----
     M.kind = MB_I4x4;
     M.intra = 1;
     M.is_i4x4 = 1;
-    for (int blk = 0; blk < 16; blk++) {
-      // decode order is the standard 4x4 block order (zigzag of 8x8 quads);
-      // we iterate in that order but store raster.
-      static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
+    static const uint8_t dec2raster16[16] = {0, 1, 4, 5, 2,  3,  6,  7,
                                              8, 9, 12, 13, 10, 11, 14, 15};
-      int rblk = dec2raster[blk];
-      int pred = predict_intra4x4_mode(c, mb, rblk);
-      int mode;
-      if (br.u1()) {
-        mode = pred;
-      } else {
-        int rem = br.u(3);
-        mode = rem < pred ? rem : rem + 1;
+    if (c.pps.transform_8x8_mode) M.transform8x8 = (uint8_t)br.u1();
+    if (M.transform8x8) {
+      // 4 intra 8x8 modes; the mode prediction reuses the 4x4 process at
+      // each 8x8's top-left corner (modes replicated into all 4 slots)
+      for (int q = 0; q < 4; q++) {
+        int corner = dec2raster16[q * 4];
+        int pred = predict_intra4x4_mode(c, mb, corner);
+        int mode;
+        if (br.u1()) {
+          mode = pred;
+        } else {
+          int rem = br.u(3);
+          mode = rem < pred ? rem : rem + 1;
+        }
+        for (int k = 0; k < 4; k++)
+          M.i4_modes[dec2raster16[q * 4 + k]] = (int8_t)mode;
       }
-      M.i4_modes[rblk] = (int8_t)mode;
+    } else {
+      for (int blk = 0; blk < 16; blk++) {
+        int rblk = dec2raster16[blk];
+        int pred = predict_intra4x4_mode(c, mb, rblk);
+        int mode;
+        if (br.u1()) {
+          mode = pred;
+        } else {
+          int rem = br.u(3);
+          mode = rem < pred ? rem : rem + 1;
+        }
+        M.i4_modes[rblk] = (int8_t)mode;
+      }
     }
     int cm = br.ue();
     if (cm > 3 || br.error()) {
@@ -1209,6 +1232,11 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   int cbp_luma = cbp & 15;
   int cbp_chroma = (cbp >> 4) & 3;
 
+  // transform_size_8x8_flag for inter MBs (7.3.5)
+  if (!M.intra && cbp_luma != 0 && c.pps.transform_8x8_mode &&
+      allow_t8_inter)
+    M.transform8x8 = (uint8_t)br.u1();
+
   // ----- mb_qp_delta -----
   if (cbp != 0 || M.kind == MB_I16x16) {
     int delta = br.se();
@@ -1235,6 +1263,33 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   // luma AC / 4x4 blocks, in standard decode order over 8x8 quads
   static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
                                          8, 9, 12, 13, 10, 11, 14, 15};
+  if (M.transform8x8) {
+    // 8x8 transform (CAVLC): each coded 8x8 is 4 interleaved 4x4 CAVLC
+    // blocks — coefficient i of sub-block k sits at 8x8 scan index 4i+k
+    // (7.4.5.3.3).  Stored raster-order, 16 coeffs per quad 4x4 slot.
+    for (int q = 0; q < 4; q++) {
+      if (!(cbp_luma & (1 << q))) continue;
+      int16_t s8[64] = {0};
+      for (int k = 0; k < 4; k++) {
+        int rblk = dec2raster[q * 4 + k];
+        int nc = luma_nc(c, mb, rblk);
+        int tc = decode_residual_block(br, nc, 16, scan_buf);
+        if (tc < 0) {
+          c.err = "luma 8x8 residual error at mb " + std::to_string(mb);
+          return false;
+        }
+        M.nnz[rblk] = (uint8_t)tc;
+        for (int i = 0; i < 16; i++) s8[4 * i + k] = scan_buf[i];
+      }
+      int16_t r8[64] = {0};
+      for (int j = 0; j < 64; j++) r8[kZigzag8x8[j]] = s8[j];
+      for (int k = 0; k < 4; k++) {
+        int slot = dec2raster[q * 4 + k];
+        memcpy(out->luma_ac + (base * 16 + slot) * 16, r8 + k * 16,
+               16 * sizeof(int16_t));
+      }
+    }
+  } else {
   for (int b8 = 0; b8 < 4; b8++) {
     if (!(cbp_luma & (1 << b8))) continue;
     for (int b4 = 0; b4 < 4; b4++) {
@@ -1255,6 +1310,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
       for (int i = 0; i < max_coeff; i++)
         dst[kZigzag4x4[i + start]] = scan_buf[i];
     }
+  }
   }
   // chroma DC (2x2 per component) when any chroma coded
   if (cbp_chroma) {
@@ -1288,6 +1344,20 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   out->mb_kind[base] = M.kind;
   out->qp[base] = M.qp;
   memcpy(out->nnz + base * 24, M.nnz, 24);
+  out->transform8[base] = M.transform8x8;
+  if (M.transform8x8) {
+    // deblock semantics: a 4x4 block "has coefficients" iff its covering
+    // 8x8 does (M.nnz keeps the interleave counts for CAVLC contexts)
+    for (int q = 0; q < 4; q++) {
+      int b0 = (q >> 1) * 8 + (q & 1) * 2;
+      int any = M.nnz[b0] | M.nnz[b0 + 1] | M.nnz[b0 + 4] | M.nnz[b0 + 5];
+      uint8_t v = any ? 1 : 0;
+      out->nnz[base * 24 + b0] = v;
+      out->nnz[base * 24 + b0 + 1] = v;
+      out->nnz[base * 24 + b0 + 4] = v;
+      out->nnz[base * 24 + b0 + 5] = v;
+    }
+  }
   if (M.kind == MB_I4x4)
     memcpy(out->i4_modes + base * 16, M.i4_modes, 16);
   if (!M.intra) {
@@ -1444,6 +1514,58 @@ int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
   return n;
 }
 
+// 8x8 luma residual decode (ctxBlockCat 5): no coded_block_flag (the cbp
+// bit implies it); significance/last contexts run through the Table 9-43
+// position maps.  Writes RASTER-order coefficients into r8[64].
+int cabac_residual8x8(Ctx& c, Cabac& cb, CabacContexts& cx, int16_t* r8) {
+  int16_t s8[64] = {0};  // scan order
+  int pos[64];
+  int n = 0;
+  bool got_last = false;
+  for (int i = 0; i < 63; i++) {
+    if (cb.decode(&cx.s[402 + kSig8x8Map[i]])) {
+      pos[n++] = i;
+      if (cb.decode(&cx.s[417 + kLast8x8Map[i]])) {
+        got_last = true;
+        break;
+      }
+    }
+  }
+  if (!got_last) pos[n++] = 63;
+  uint8_t* absc = &cx.s[426];
+  int num_eq1 = 0, num_gt1 = 0;
+  for (int j = n - 1; j >= 0; j--) {
+    int m1 = 0;
+    int inc0 = num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
+    if (cb.decode(&absc[inc0])) {
+      m1 = 1;
+      int incn = 5 + (num_gt1 < 4 ? num_gt1 : 4);
+      while (m1 < 14 && cb.decode(&absc[incn])) m1++;
+      if (m1 == 14) {
+        int k = 0;
+        while (cb.bypass()) {
+          m1 += 1 << k;
+          k++;
+          if (k > 24) {
+            c.err = "coeff EG0 overflow (8x8)";
+            return -1;
+          }
+        }
+        while (k--) m1 += cb.bypass() << k;
+      }
+      num_gt1++;
+    } else {
+      num_eq1++;
+    }
+    int level = m1 + 1;
+    if (cb.bypass()) level = -level;
+    s8[pos[j]] = (int16_t)level;
+  }
+  memset(r8, 0, 64 * sizeof(int16_t));
+  for (int j = 0; j < 64; j++) r8[kZigzag8x8[j]] = s8[j];
+  return n;
+}
+
 // mvd component decode: UEG3 with uCoff=9 + bypass sign (9.3.2.3).
 // `ctx_base` is 40 (x) or 47 (y); `amvd` = |mvdA| + |mvdB|.
 int cabac_mvd(Ctx& c, Cabac& cb, CabacContexts& cx, int ctx_base, int amvd) {
@@ -1483,6 +1605,8 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   M.cbp = 0;
   M.cbf = 0;
   M.chroma_mode = 0;
+  M.transform8x8 = 0;
+  bool allow_t8_inter = false;
 
   bool is_p = sc.sh.slice_type == SLICE_P;
   int num_ref = sc.sh.num_ref_idx_l0_active;
@@ -1572,6 +1696,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     memset(M.refidx1, -1, sizeof(M.refidx1));
     M.all_direct = 0;
     memset(M.direct8, 0, sizeof(M.direct8));
+    allow_t8_inter = true;  // direct_8x8_inference enforced at slice level
     BPartInfo bp;
     if (bt == 0) {
       bp.all_direct = true;
@@ -1609,6 +1734,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
         }
         bp.pred[i] = kBSubTab[st].pred;
         bp.sub_shape[i] = kBSubTab[st].shape;
+        if (bp.pred[i] != 3 && bp.sub_shape[i] != 0) allow_t8_inter = false;
       }
     }
     // 9.3.3.1.1.6: a neighbor partition coded in direct mode does not
@@ -1655,6 +1781,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     int pt = mb_type - 100;  // 0:16x16 1:16x8 2:8x16 3:8x8
     M.kind = MB_INTER;
     int sub_type[4] = {0, 0, 0, 0};
+    allow_t8_inter = true;
     if (pt == 3) {
       for (int i = 0; i < 4; i++) {
         // sub_mb_type tree (Table 9-38, ctx 21-23)
@@ -1665,6 +1792,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
         } else {
           sub_type[i] = cb.decode(&cx.s[23]) ? 2 : 3;  // 4x8 : 4x4
         }
+        if (sub_type[i] != 0) allow_t8_inter = false;
       }
     }
     // ref_idx per partition (unary, ctx 54-59; 9.3.3.1.1.6), assigned
@@ -1758,25 +1886,39 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     }
     if (!c.err.empty()) return false;
   } else if (mb_type == 0) {
-    // ----- I_4x4 -----
+    // ----- I_NxN (4x4 or 8x8) -----
     M.kind = MB_I4x4;
     M.intra = 1;
     M.is_i4x4 = 1;
     static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
                                            8, 9, 12, 13, 10, 11, 14, 15};
-    for (int blk = 0; blk < 16; blk++) {
-      int rblk = dec2raster[blk];
-      int pred = predict_intra4x4_mode(c, mb, rblk);
-      int mode;
-      if (cb.decode(&cx.s[68])) {
-        mode = pred;
-      } else {
-        int rem = cb.decode(&cx.s[69]);  // FL3, LSB first
-        rem += 2 * cb.decode(&cx.s[69]);
-        rem += 4 * cb.decode(&cx.s[69]);
-        mode = rem < pred ? rem : rem + 1;
+    if (c.pps.transform_8x8_mode) {
+      // transform_size_8x8_flag (ctx 399-401; 9.3.3.1.1.10)
+      int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+      int inc = (a >= 0 && c.mbs[a].transform8x8 ? 1 : 0) +
+                (b >= 0 && c.mbs[b].transform8x8 ? 1 : 0);
+      M.transform8x8 = (uint8_t)cb.decode(&cx.s[399 + inc]);
+    }
+    auto read_mode = [&](int pred) {
+      if (cb.decode(&cx.s[68])) return pred;
+      int rem = cb.decode(&cx.s[69]);  // FL3, LSB first
+      rem += 2 * cb.decode(&cx.s[69]);
+      rem += 4 * cb.decode(&cx.s[69]);
+      return rem < pred ? rem : rem + 1;
+    };
+    if (M.transform8x8) {
+      for (int q = 0; q < 4; q++) {
+        int corner = dec2raster[q * 4];
+        int mode = read_mode(predict_intra4x4_mode(c, mb, corner));
+        for (int k = 0; k < 4; k++)
+          M.i4_modes[dec2raster[q * 4 + k]] = (int8_t)mode;
       }
-      M.i4_modes[rblk] = (int8_t)mode;
+    } else {
+      for (int blk = 0; blk < 16; blk++) {
+        int rblk = dec2raster[blk];
+        M.i4_modes[rblk] = (int8_t)read_mode(
+            predict_intra4x4_mode(c, mb, rblk));
+      }
     }
   } else if (mb_type <= 24) {
     M.kind = MB_I16x16;
@@ -1855,6 +1997,15 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   int cbp_luma = cbp & 15;
   int cbp_chroma = (cbp >> 4) & 3;
 
+  // transform_size_8x8_flag for inter MBs (ctx 399-401)
+  if (!M.intra && cbp_luma != 0 && c.pps.transform_8x8_mode &&
+      allow_t8_inter) {
+    int a = nb_mb(c, mb, -1, 0), b = nb_mb(c, mb, 0, -1);
+    int inc = (a >= 0 && c.mbs[a].transform8x8 ? 1 : 0) +
+              (b >= 0 && c.mbs[b].transform8x8 ? 1 : 0);
+    M.transform8x8 = (uint8_t)cb.decode(&cx.s[399 + inc]);
+  }
+
   // ----- mb_qp_delta (ctx 60-63; 9.3.3.1.1.5) -----
   if (cbp != 0 || M.kind == MB_I16x16) {
     int ctx = last_qp_delta != 0 ? 1 : 0;
@@ -1884,6 +2035,25 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   }
   static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
                                          8, 9, 12, 13, 10, 11, 14, 15};
+  if (M.transform8x8) {
+    for (int q = 0; q < 4; q++) {
+      if (!(cbp_luma & (1 << q))) continue;
+      int16_t r8[64];
+      int tc = cabac_residual8x8(c, cb, cx, r8);
+      if (tc < 0) return false;
+      int b0 = (q >> 1) * 8 + (q & 1) * 2;
+      // cbf/nnz of all four covered 4x4s (neighbor contexts + deblock)
+      for (int d : {0, 1, 4, 5}) {
+        M.nnz[b0 + d] = tc ? 1 : 0;
+        if (tc) M.cbf |= 1u << (b0 + d);
+      }
+      for (int k = 0; k < 4; k++) {
+        int slot = dec2raster[q * 4 + k];
+        memcpy(out->luma_ac + (base * 16 + slot) * 16, r8 + k * 16,
+               16 * sizeof(int16_t));
+      }
+    }
+  } else {
   for (int b8 = 0; b8 < 4; b8++) {
     if (!(cbp_luma & (1 << b8))) continue;
     for (int b4 = 0; b4 < 4; b4++) {
@@ -1899,6 +2069,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
       for (int i = 0; i < max_coeff; i++)
         dst[kZigzag4x4[i + start]] = scan_buf[i];
     }
+  }
   }
   if (cbp_chroma) {
     for (int comp = 0; comp < 2; comp++) {
@@ -1923,6 +2094,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   out->mb_kind[base] = M.kind;
   out->qp[base] = M.qp;
   memcpy(out->nnz + base * 24, M.nnz, 24);
+  out->transform8[base] = M.transform8x8;
   if (M.kind == MB_I4x4) memcpy(out->i4_modes + base * 16, M.i4_modes, 16);
   if (!M.intra) {
     memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
@@ -2545,7 +2717,8 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    fidx, c.err.c_str());
           return -1;
         }
-        if (c.pps.transform_8x8_mode) {
+        if (c.pps.transform_8x8_mode && !getenv("HWANG_H264_8X8")) {
+          // 8x8 bring-up is env-gated until bit-exact end-to-end
           snprintf(p->errbuf, sizeof(p->errbuf),
                    "8x8 transform (High profile) not supported; encode "
                    "with profile=main or 8x8dct=0");

@@ -165,6 +165,7 @@ struct GopOut {
   uint8_t* intra_pred_avail = nullptr; // [F*M] neighbor availability bits
                                        // bit0=left bit1=top bit2=topright bit3=topleft
                                        // (constrained_intra aware)
+  uint8_t* transform8 = nullptr;     // [F*M] 1 = 8x8 luma transform
   uint8_t* frame_is_ref = nullptr;   // [F] nal_ref_idc != 0 (DPB entry)
   int16_t* pred_weights = nullptr;   // [F*16*8] per (frame, refIdxL0):
                                      // wy oy wu ou wv ov log2y log2c
