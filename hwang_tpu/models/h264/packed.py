@@ -64,6 +64,7 @@ class PackedBatch(NamedTuple):
     mv1_exc_pos: jnp.ndarray | None = None
     refidx_l1: jnp.ndarray | None = None  # [B, F, M, 4] int8
     bi_w: jnp.ndarray | None = None       # [B, F, 16, 16, 2] int16
+    transform8: jnp.ndarray | None = None  # [B, F, M] uint8 (High profile)
 
 
 _COEFF_BLOCKS = 26
@@ -94,6 +95,10 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         weights = np.broadcast_to(
             _IDENTITY_WEIGHT, (B, F, 16, 8)
         ).copy()
+    any_t8 = any(
+        t.transform8 is not None and t.transform8.any() for t in tensors
+    )
+    t8 = np.zeros((B, F, M), np.uint8) if any_t8 else None
     any_b = any((t.frame_type == 1).any() for t in tensors)
     mv1 = ridx1 = bi_w = None
     if any_b:
@@ -128,6 +133,8 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
             mv1[b, :n] = t.mv_l1
             ridx1[b, :n] = t.refidx_l1
             bi_w[b, :n] = bipred_pair_weights(t)
+        if any_t8:
+            t8[b, :n] = t.transform8
         coeff[b, :n, :, :16] = t.luma_ac
         coeff[b, :n, :, 16:24] = t.chroma_ac.reshape(n, M, 8, 16)
         coeff[b, :n, :, 24] = t.luma_dc
@@ -177,6 +184,7 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         coeff_pos=jnp.asarray(pos_p),
         ipcm=jnp.asarray(ipcm) if any_ipcm else None,
         weights=jnp.asarray(weights) if any_weights else None,
+        **({"transform8": jnp.asarray(t8)} if any_t8 else {}),
         **(
             {
                 "mv1_base": jnp.asarray(base1),
@@ -257,6 +265,11 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         ipcm=p.ipcm,
         n_valid_frames=jnp.zeros((B,), jnp.int32),
         weights=p.weights,
+        **(
+            {"transform8": p.transform8.astype(jnp.int16)}
+            if p.transform8 is not None
+            else {}
+        ),
         **(
             {
                 "mv_l1": mv16_l1,

@@ -124,6 +124,7 @@ class GopArrays(NamedTuple):
     is_ref: jnp.ndarray | None = None      # [F] enters the reference ring
     bi_w: jnp.ndarray | None = None        # [F, 16, 16, 2] (w0, w1) per
                                            # (refIdxL0, refIdxL1) pair
+    transform8: jnp.ndarray | None = None  # [F, M] 8x8 luma transform flag
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":
@@ -161,6 +162,11 @@ class GopArrays(NamedTuple):
             n_valid_frames=jnp.asarray(F, jnp.int32),
             weights=pad(weights_or_identity(t).astype(np.int32))
             if t.weight_flag is not None and t.weight_flag.any() else None,
+            **(
+                {"transform8": pad(t.transform8.astype(np.int32))}
+                if t.transform8 is not None and t.transform8.any()
+                else {}
+            ),
             **(
                 {
                     "mv_l1": pad(t.mv_l1.astype(np.int32)),

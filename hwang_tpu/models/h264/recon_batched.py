@@ -45,7 +45,7 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
     names = [
         f for f in GopArrays._fields
         if f not in ("n_valid_frames", "weights", "mv_l1", "refidx_l1",
-                     "ref_map_l1", "is_ref", "bi_w")
+                     "ref_map_l1", "is_ref", "bi_w", "transform8")
     ]
     for name in names:
         arrs = []
@@ -70,6 +70,13 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         fields["weights"] = jnp.asarray(w)
     else:
         fields["weights"] = None
+    if any(t.transform8 is not None and t.transform8.any() for t in tensors):
+        a = np.zeros((len(tensors), pad_frames, tensors[0].n_mbs), np.int32)
+        for b, t in enumerate(tensors):
+            a[b, : t.n_frames] = t.transform8
+        fields["transform8"] = jnp.asarray(a)
+    else:
+        fields["transform8"] = None
     if any((t.frame_type == 1).any() for t in tensors):
         from .recon import bipred_pair_weights
 
@@ -540,6 +547,8 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
             "avail": i32(g.avail),
             "weights": i32(g.weights) if g.weights is not None else None,
+            "transform8":
+                i32(g.transform8) if g.transform8 is not None else None,
             "mv_l1": i32(g.mv_l1) if g.mv_l1 is not None else None,
             "refidx_l1": i32(g.refidx_l1) if g.refidx_l1 is not None else None,
             "ref_map_l1":
@@ -553,6 +562,13 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         luma_res16, luma_blocks = luma_residual_b(
             i32(g.luma_ac), i32(g.luma_dc), qp, is_i16
         )
+        res8 = None
+        if g.transform8 is not None:
+            from ...ops.transforms_batched import luma_residual8_b
+
+            res8_asm, res8 = luma_residual8_b(i32(g.luma_ac), qp)
+            t8m = fr["transform8"].astype(bool)[..., None, None]
+            luma_res16 = jnp.where(t8m, res8_asm, luma_res16)
         chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc), qpc)
 
         Y, U, V = _inter_stage_b(
@@ -566,7 +582,8 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         _ablate = _os.environ.get("HWANG_ABLATE", "")
         if _ablate != "inter":
             Y, U, V = intra_stage_skewed(
-                Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res
+                Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res,
+                res8=res8,
             )
         def resolve(refidx, ref_map):
             return jnp.where(
@@ -590,6 +607,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "mv1": fr["mv_l1"],
             "ref1": resolve(fr["refidx_l1"], fr["ref_map_l1"])
             if fr["refidx_l1"] is not None else None,
+            "t8": fr["transform8"],
         }
         if _ablate not in ("inter", "nodb"):
             Y, U, V = deblock_stage_skewed(

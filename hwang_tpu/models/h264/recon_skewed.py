@@ -55,8 +55,10 @@ def _lane_mask(mb_w: int, mb_h: int):
 
 
 def intra_stage_skewed(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
-                       chroma_res):
-    """Y [B,H,W] int32 (inter-reconstructed); returns updated planes."""
+                       chroma_res, res8=None):
+    """Y [B,H,W] int32 (inter-reconstructed); returns updated planes.
+    res8 [B,M,4,8,8] (High-profile 8x8 residuals) enables the intra 8x8
+    path for MBs flagged in fr["transform8"]."""
     B = Y.shape[0]
     n_steps = skew_width(mb_w, mb_h)
     lanes = jnp.asarray(_lane_mask(mb_w, mb_h))
@@ -80,6 +82,9 @@ def intra_stage_skewed(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     res16_s = _skew_pad(luma_res16.reshape(B, -1, 256), mb_w, mb_h)
     resb_s = _skew_pad(luma_blocks.reshape(B, -1, 16, 16), mb_w, mb_h)
     cres_s = _skew_pad(chroma_res.reshape(B, -1, 2, 64), mb_w, mb_h)
+    if res8 is not None:
+        t8_s = _skew_pad(fr["transform8"][..., None], mb_w, mb_h)[..., 0]
+        res8_s = _skew_pad(res8.reshape(B, -1, 4, 64), mb_w, mb_h)
 
     def col(a, t, n=1):
         start = (0, 0, t) + (0,) * (a.ndim - 3)
@@ -163,6 +168,68 @@ def intra_stage_skewed(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
                 )
 
             mbpix = jnp.where(is_i4[..., None, None], T[:, :, 1:, 1:17], mb16)
+
+            if res8 is not None:
+                # ---- intra 8x8 path (High profile): 4 quads in raster
+                # order on a 17x25 canvas (tl + 16 top + 8 top-right)
+                t8 = col(t8_s, t + _LEAD)[:, :, 0] != 0
+                tr8 = TRn[..., 15, :8]
+                strip8 = jnp.concatenate(
+                    [tl[..., None], top16, tr8], axis=-1
+                )                                      # [B, mb_h, 25]
+                T8 = jnp.zeros((B, mb_h, 17, 25), jnp.int32)
+                T8 = T8.at[:, :, 0, :].set(strip8)
+                T8 = T8.at[:, :, 1:, 0].set(left16)
+                res8c = col(res8_s, t + _LEAD)[:, :, 0].reshape(
+                    B, mb_h, 4, 8, 8
+                )
+                for q in range(4):
+                    qx, qy = q & 1, q >> 1
+                    r0, c0 = 8 * qy, 8 * qx
+                    left8 = T8[:, :, r0 + 1 : r0 + 9, c0]
+                    top16b = T8[:, :, r0, c0 + 1 : c0 + 17]
+                    tlb = T8[:, :, r0, c0]
+                    bl = (qx > 0) | have_l
+                    bt = (qy > 0) | have_t
+                    if qy == 0:
+                        btr = ((qx == 0) & have_t) | ((qx == 1) & have_tr)
+                    else:
+                        btr = jnp.broadcast_to(
+                            jnp.asarray(qx == 0), bl.shape
+                        )
+                    if q == 0:
+                        btl = have_tl
+                    elif q == 1:
+                        btl = have_t
+                    elif q == 2:
+                        btl = have_l
+                    else:
+                        btl = jnp.broadcast_to(jnp.asarray(True), bl.shape)
+                    # top-right sample substitution before filtering
+                    top16_eff = jnp.where(
+                        btr[..., None],
+                        top16b,
+                        jnp.concatenate(
+                            [top16b[..., :8],
+                             jnp.repeat(top16b[..., 7:8], 8, axis=-1)],
+                            axis=-1,
+                        ),
+                    )
+                    mode8 = modes4[..., (qy * 2) * 4 + qx * 2]
+                    pred8 = ops_intra.predict_i8x8(
+                        flat(mode8), flat(left8), flat(top16_eff),
+                        flat(tlb), flat(bl), flat(bt), flat(btl),
+                    ).reshape(B, mb_h, 8, 8)
+                    blk8 = jnp.clip(pred8 + res8c[:, :, q], 0, 255)
+                    T8 = jax.lax.dynamic_update_slice(
+                        T8, blk8, (0, 0, r0 + 1, c0 + 1)
+                    )
+                mbpix = jnp.where(
+                    (is_i4 & t8)[..., None, None],
+                    T8[:, :, 1:, 1:17],
+                    mbpix,
+                )
+
             newcur = jnp.where(w_any[..., None, None], mbpix, CUR)
             Sy = jax.lax.dynamic_update_slice(
                 Sy, newcur.reshape(B, mb_h, 1, 256), (0, 0, t + _LEAD, 0)

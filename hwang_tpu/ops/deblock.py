@@ -548,6 +548,12 @@ def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
     gate_v = (enabled[:, :, None] & (jnp.asarray(e[None, None, :] != 0)
                                      | left_ok[:, :, None]))
     bs_v = jnp.where(gate_v[..., None], bs_v, 0)
+    if meta.get("t8") is not None:
+        # 8x8 transform: internal luma edges 1 and 3 are not filtered
+        t8e = (meta["t8"] != 0)[:, :, None, None] & jnp.asarray(
+            (e % 2 == 1)[None, None, :, None]
+        )
+        bs_v = jnp.where(t8e, 0, bs_v)
     qp_p_v = jnp.where(jnp.asarray(e[None, None, :] == 0),
                        qp[:, left][:, :, None], qp[:, :, None])
     qp_avg_v = (qp[:, :, None] + qp_p_v + 1) >> 1                     # [B,M,4]
@@ -571,6 +577,11 @@ def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
     gate_h = (enabled[:, :, None] & (jnp.asarray(e[None, None, :] != 0)
                                      | top_ok[:, :, None]))
     bs_h = jnp.where(gate_h[..., None], bs_h, 0)
+    if meta.get("t8") is not None:
+        t8e = (meta["t8"] != 0)[:, :, None, None] & jnp.asarray(
+            (e % 2 == 1)[None, None, :, None]
+        )
+        bs_h = jnp.where(t8e, 0, bs_h)
     qp_p_h = jnp.where(jnp.asarray(e[None, None, :] == 0),
                        qp[:, top][:, :, None], qp[:, :, None])
     qp_avg_h = (qp[:, :, None] + qp_p_h + 1) >> 1

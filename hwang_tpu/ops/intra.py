@@ -275,3 +275,174 @@ def predict_chroma(mode, left, top, topleft, have_l, have_t):
     return jnp.take_along_axis(
         allm, mode.astype(jnp.int32)[:, None, None, None], axis=1
     )[:, 0]
+
+
+def predict_i8x8(mode, left, top16, topleft, have_l, have_t, have_tl):
+    """Predict 8x8 blocks (spec 8.3.2) — High-profile intra 8x8.
+
+    mode: [N] int; left: [N,8]; top16: [N,16] (p[x,-1] x=0..15, the
+    top-right half already substituted when unavailable); topleft: [N];
+    have_*: [N] bool.  Reference samples are low-pass filtered here
+    (8.3.2.2.1).  Returns [N,8,8] int32.  Ground truth:
+    ref_recon._i8x8_predict.
+    """
+    N = mode.shape[0]
+    l0 = left.astype(jnp.int32)
+    t0 = top16.astype(jnp.int32)
+    tl0 = topleft.astype(jnp.int32)
+
+    # --- reference sample filtering ---
+    ft = jnp.zeros((N, 16), jnp.int32)
+    ft = ft.at[:, 0].set(
+        jnp.where(
+            have_tl,
+            (tl0 + 2 * t0[:, 0] + t0[:, 1] + 2) >> 2,
+            (3 * t0[:, 0] + t0[:, 1] + 2) >> 2,
+        )
+    )
+    ft = ft.at[:, 1:15].set(
+        (t0[:, 0:14] + 2 * t0[:, 1:15] + t0[:, 2:16] + 2) >> 2
+    )
+    ft = ft.at[:, 15].set((t0[:, 14] + 3 * t0[:, 15] + 2) >> 2)
+    ftl = jnp.where(
+        have_l & have_t,
+        (t0[:, 0] + 2 * tl0 + l0[:, 0] + 2) >> 2,
+        jnp.where(
+            have_t,
+            (3 * tl0 + t0[:, 0] + 2) >> 2,
+            jnp.where(have_l, (3 * tl0 + l0[:, 0] + 2) >> 2, tl0),
+        ),
+    )
+    fl = jnp.zeros((N, 8), jnp.int32)
+    fl = fl.at[:, 0].set(
+        jnp.where(
+            have_tl,
+            (tl0 + 2 * l0[:, 0] + l0[:, 1] + 2) >> 2,
+            (3 * l0[:, 0] + l0[:, 1] + 2) >> 2,
+        )
+    )
+    fl = fl.at[:, 1:7].set((l0[:, 0:6] + 2 * l0[:, 1:7] + l0[:, 2:8] + 2) >> 2)
+    fl = fl.at[:, 7].set((l0[:, 6] + 3 * l0[:, 7] + 2) >> 2)
+    t, l, tl = ft, fl, ftl
+
+    def px(rows):
+        return jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )
+
+    m0 = jnp.broadcast_to(t[:, None, :8], (N, 8, 8))
+    m1 = jnp.broadcast_to(l[:, :, None], (N, 8, 8))
+
+    suml = l.sum(axis=1)
+    sumt = t[:, :8].sum(axis=1)
+    dc = jnp.where(
+        have_l & have_t, (suml + sumt + 8) >> 4,
+        jnp.where(have_l, (suml + 4) >> 3,
+                  jnp.where(have_t, (sumt + 4) >> 3, 128)),
+    )
+    m2 = jnp.broadcast_to(dc[:, None, None], (N, 8, 8))
+
+    def T(i):  # filtered top with index -1 = filtered topleft
+        return tl if i < 0 else t[:, i]
+
+    def L(i):
+        return tl if i < 0 else l[:, i]
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            i = x + y
+            if i == 14:
+                row.append((t[:, 14] + 3 * t[:, 15] + 2) >> 2)
+            else:
+                row.append((t[:, i] + 2 * t[:, i + 1] + t[:, i + 2] + 2) >> 2)
+        rows.append(row)
+    m3 = px(rows)
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            if x > y:
+                i = x - y
+                row.append((T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2)
+            elif x < y:
+                i = y - x
+                row.append((L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2)
+            else:
+                row.append((T(0) + 2 * tl + L(0) + 2) >> 2)
+        rows.append(row)
+    m4 = px(rows)
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            z = 2 * x - y
+            if z >= 0 and z % 2 == 0:
+                i = x - (y >> 1)
+                row.append((T(i - 1) + T(i) + 1) >> 1)
+            elif z >= 0:
+                i = x - (y >> 1)
+                row.append((T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2)
+            elif z == -1:
+                row.append((L(0) + 2 * tl + T(0) + 2) >> 2)
+            else:
+                i = y - 2 * x - 1
+                row.append((L(i) + 2 * L(i - 1) + L(i - 2) + 2) >> 2)
+        rows.append(row)
+    m5 = px(rows)
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            z = 2 * y - x
+            if z >= 0 and z % 2 == 0:
+                i = y - (x >> 1)
+                row.append((L(i - 1) + L(i) + 1) >> 1)
+            elif z >= 0:
+                i = y - (x >> 1)
+                row.append((L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2)
+            elif z == -1:
+                row.append((T(0) + 2 * tl + L(0) + 2) >> 2)
+            else:
+                i = x - 2 * y - 1
+                row.append((T(i) + 2 * T(i - 1) + T(i - 2) + 2) >> 2)
+        rows.append(row)
+    m6 = px(rows)
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            i = x + (y >> 1)
+            if y % 2 == 0:
+                row.append((t[:, i] + t[:, i + 1] + 1) >> 1)
+            else:
+                row.append((t[:, i] + 2 * t[:, i + 1] + t[:, i + 2] + 2) >> 2)
+        rows.append(row)
+    m7 = px(rows)
+
+    rows = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            z = x + 2 * y
+            if z > 13:
+                row.append(l[:, 7])
+            elif z == 13:
+                row.append((l[:, 6] + 3 * l[:, 7] + 2) >> 2)
+            elif z % 2 == 0:
+                row.append((l[:, z >> 1] + l[:, (z >> 1) + 1] + 1) >> 1)
+            else:
+                i = z >> 1
+                row.append((l[:, i] + 2 * l[:, i + 1] + l[:, i + 2] + 2) >> 2)
+        rows.append(row)
+    m8 = px(rows)
+
+    allm = jnp.stack([m0, m1, m2, m3, m4, m5, m6, m7, m8], axis=1)
+    return jnp.take_along_axis(
+        allm, mode.astype(jnp.int32)[:, None, None, None], axis=1
+    )[:, 0]

@@ -2717,13 +2717,6 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    fidx, c.err.c_str());
           return -1;
         }
-        if (c.pps.transform_8x8_mode && !getenv("HWANG_H264_8X8")) {
-          // 8x8 bring-up is env-gated until bit-exact end-to-end
-          snprintf(p->errbuf, sizeof(p->errbuf),
-                   "8x8 transform (High profile) not supported; encode "
-                   "with profile=main or 8x8dct=0");
-          return -1;
-        }
         if (sc.sh.slice_type == SLICE_B && c.pps.weighted_bipred_idc == 1) {
           snprintf(p->errbuf, sizeof(p->errbuf),
                    "explicit B weighting (weighted_bipred_idc=1) not "

@@ -122,6 +122,16 @@ def test_cabac_detected(tmp_path):
     assert dec.is_cabac
 
 
+def test_high_profile_8x8_bit_exact(tmp_path):
+    """High profile with the 8x8 transform, both entropy modes."""
+    for name, extra in (("h8_cabac", ""), ("h8_cavlc", ":cabac=0")):
+        p = str(tmp_path / f"{name}.mp4")
+        encode_video(p, 6, 64, 48, profile="high", gop_size=6, crf=22,
+                     extra_opts="keyint=6:min-keyint=6:no-scenecut=1:"
+                                f"bframes=0:weightp=0:ref=2:subme=7{extra}")
+        assert_exact(p)
+
+
 def test_cabac_ip_bit_exact(tmp_path):
     """CABAC entropy decode (h264_cabac.h + the CABAC MB layer) on an I/P
     main-profile stream with partitions and multi-ref."""

@@ -96,6 +96,24 @@ def test_tpu_bframes_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+def test_tpu_high_profile_bit_exact(tmp_path):
+    """True x264-default stream (HIGH profile: 8x8 transform + CABAC +
+    B-pyramid) through the full TPU path: intra 8x8 with filtered
+    references, 8x8 dequant/IDCT, interleaved/cat-5 residuals, and the
+    8x8 deblock edge rules."""
+    p = str(tmp_path / "high.mp4")
+    encode_video(
+        p, 16, 112, 80, profile="high", gop_size=16, crf=24, b_frames=3,
+        extra_opts="keyint=16:min-keyint=16:no-scenecut=1:ref=3:subme=7:"
+                   "weightp=0",
+    )
+    rows = [0, 3, 7, 10, 15]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_odd_size_crop_bit_exact(tmp_path):
     """100x76 display inside 112x80 coded: frame_crop right/bottom."""
     p = str(tmp_path / "odd.mp4")
