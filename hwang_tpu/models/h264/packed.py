@@ -80,7 +80,11 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     mv = np.zeros((B, F, M, 16, 2), np.int16)
     hdr = np.zeros((B, F, 34), np.int16)
     hdr[:, :, 17:33] = -1
-    coeff = np.zeros((B, F, M, _COEFF_BLOCKS, 16), np.int16)
+    # sparse coefficient extraction per source tensor (never materialize
+    # the dense [B,F,M,26,16] space on the host — it is ~25x the real
+    # data and dominated the pack cost)
+    cpos_parts: list = []
+    cval_parts: list = []
     any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
     ipcm = (
         np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
@@ -135,10 +139,22 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
             bi_w[b, :n] = bipred_pair_weights(t)
         if any_t8:
             t8[b, :n] = t.transform8
-        coeff[b, :n, :, :16] = t.luma_ac
-        coeff[b, :n, :, 16:24] = t.chroma_ac.reshape(n, M, 8, 16)
-        coeff[b, :n, :, 24] = t.luma_dc
-        coeff[b, :n, :, 25, :8] = t.chroma_dc.reshape(n, M, 8)
+        # sparse positions into the unified [B,F,M,26,16] coeff space
+        mb_stride = _COEFF_BLOCKS * 16
+        base_bf = (b * F) * M * mb_stride
+        for arr, blk0 in (
+            (t.luma_ac.reshape(n, M, 256), 0),
+            (t.chroma_ac.reshape(n, M, 128), 16 * 16),
+            (t.luma_dc.reshape(n, M, 16), 24 * 16),
+            (t.chroma_dc.reshape(n, M, 8), 25 * 16),
+        ):
+            p = np.flatnonzero(arr)
+            if len(p) == 0:
+                continue
+            w = arr.shape[-1]
+            fm, k = p // w, p % w
+            cpos_parts.append(base_bf + fm * mb_stride + blk0 + k)
+            cval_parts.append(arr.reshape(-1)[p])
         if any_ipcm:
             ipcm[b, :n] = t.ipcm
         if any_weights:
@@ -157,9 +173,14 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         val_p[:k] = vals
         return pos_p, val_p
 
-    flat = coeff.reshape(-1)
-    pos = np.flatnonzero(flat)
-    pos_p, val_p = sparse_pad(pos, flat[pos], flat.size)
+    total_coeff = B * F * M * _COEFF_BLOCKS * 16
+    if cpos_parts:
+        pos = np.concatenate(cpos_parts)
+        vals = np.concatenate(cval_parts)
+    else:
+        pos = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.int16)
+    pos_p, val_p = sparse_pad(pos, vals, total_coeff)
 
     # MV transport: per-MB base (first 4x4 block) + sparse exceptions for
     # the blocks of sub-partitioned MBs (most MBs are single-partition)
