@@ -110,6 +110,10 @@ def _declare(lib):
     lib.hw_h264_max_refs.argtypes = [c.c_void_p]
     lib.hw_h264_bipred_idc.restype = c.c_int
     lib.hw_h264_bipred_idc.argtypes = [c.c_void_p]
+    lib.hw_h264_scaling.restype = c.c_int
+    lib.hw_h264_scaling.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint8)
+    ]
     _declared = True
 
 
@@ -152,6 +156,8 @@ class GopTensors:
     frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
     transform8: np.ndarray = None    # [F,M] u8: 8x8 luma transform
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
+    scaling_w4: np.ndarray = None  # [6,16] raster weights (None = flat 16)
+    scaling_w8: np.ndarray = None  # [2,64] 8x8 intra/inter weights
 
     @property
     def n_mbs(self) -> int:
@@ -184,6 +190,16 @@ class H264EntropyDecoder:
         self.chroma_qp_offset = self._lib.hw_h264_chroma_qp_offset(self._h)
         self.max_num_ref_frames = self._lib.hw_h264_max_refs(self._h)
         self.bipred_idc = self._lib.hw_h264_bipred_idc(self._h)
+        w4 = np.zeros((6, 16), np.uint8)
+        w8 = np.zeros((2, 64), np.uint8)
+        nonflat = self._lib.hw_h264_scaling(
+            self._h,
+            w4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        self.has_scaling = bool(nonflat)
+        self.scaling_w4 = w4 if nonflat else None
+        self.scaling_w8 = w8 if nonflat else None
 
     def close(self):
         if self._h:
@@ -240,6 +256,8 @@ class H264EntropyDecoder:
             frame_is_ref=z(F, np.uint8),
             transform8=z((F, M), np.uint8),
             bipred_idc=self.bipred_idc,
+            scaling_w4=self.scaling_w4,
+            scaling_w8=self.scaling_w8,
         )
         def vp(a):
             return a.ctypes.data_as(ctypes.c_void_p)

@@ -57,13 +57,20 @@ def chroma_qp(qp_luma: int, offset: int) -> int:
     return int(_CHROMA_QP_MAP[qpi])
 
 
-def dequant4x4(coef: np.ndarray, qp: int) -> np.ndarray:
+def dequant4x4(coef: np.ndarray, qp: int, w=None) -> np.ndarray:
     """Dequantize a 4x4 block (coef in raster order; DC included for
-    non-I16 blocks).  Spec 8.5.12.1 with flat scaling matrices: LevelScale
-    = 16 * normAdjust, so d = c * V << (qp/6) feeding an IDCT that ends
-    with (x+32)>>6.  Calibrated bit-exact against libavcodec."""
+    non-I16 blocks).  Spec 8.5.12.1: LevelScale = weight * normAdjust
+    with shift reference 4; flat weight 16 reduces exactly to
+    d = c * V << (qp/6) (calibrated bit-exact against libavcodec).
+    `w` is the per-position weight matrix [4,4] (scaling lists)."""
     v = _V[qp % 6][_POS_CLASS]
-    return (coef.astype(np.int32) * v) << (qp // 6)
+    if w is None:
+        return (coef.astype(np.int32) * v) << (qp // 6)
+    c = coef.astype(np.int64) * (v.astype(np.int64) * w)
+    q6 = qp // 6
+    if qp >= 24:
+        return (c << (q6 - 4)).astype(np.int32)
+    return ((c + (1 << (3 - q6))) >> (4 - q6)).astype(np.int32)
 
 
 def idct4x4(d: np.ndarray) -> np.ndarray:
@@ -92,17 +99,18 @@ _DQ8 = np.array([[20, 18, 32, 19, 25, 24], [22, 19, 35, 21, 28, 26],
                 np.int32)
 
 
-def dequant8x8(coef: np.ndarray, qp: int) -> np.ndarray:
-    """8x8 dequant with the flat (16) scaling matrix (spec 8.5.13).
-    Shift reference 2 (calibrated against libavcodec like the 4x4/DC
-    paths): d = c * LS << (qp/6 - 2), feeding an IDCT that ends with
-    (x + 32) >> 6."""
+def dequant8x8(coef: np.ndarray, qp: int, w=None) -> np.ndarray:
+    """8x8 dequant (spec 8.5.13): LevelScale = weight * normAdjust8x8 at
+    shift reference 6; flat weight 16 reduces exactly to
+    d = c * V8 << (qp/6 - 2) (calibrated against libavcodec).
+    `w` [8,8] raster weights (scaling list 6/7)."""
     ii, jj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
-    ls = _DQ8[qp % 6][_DQ8_CLASS[ii % 4, jj % 4]]
+    v8 = _DQ8[qp % 6][_DQ8_CLASS[ii % 4, jj % 4]].astype(np.int64)
+    ls = v8 * (16 if w is None else w)
     c = coef.astype(np.int64) * ls
-    if qp >= 12:
-        return (c << (qp // 6 - 2)).astype(np.int32)
-    shift = 2 - qp // 6
+    if qp >= 36:
+        return (c << (qp // 6 - 6)).astype(np.int32)
+    shift = 6 - qp // 6
     return ((c + (1 << (shift - 1))) >> shift).astype(np.int32)
 
 
@@ -130,21 +138,22 @@ def _idct8_1d(x):
                      b6 - b1, b4 - b3, b2 - b5, b0 - b7], axis=-1)
 
 
-def residual8x8(coef: np.ndarray, qp: int) -> np.ndarray:
+def residual8x8(coef: np.ndarray, qp: int, w=None) -> np.ndarray:
     """Dequant + 8x8 IDCT -> spatial residual [8,8] (rounded >> 6)."""
-    d = dequant8x8(coef, qp)
+    d = dequant8x8(coef, qp, w)
     d[0, 0] += 32
     d = _idct8_1d(d)       # horizontal (rows) first, like the 4x4 path
     d = _idct8_1d(d.T).T   # then vertical (columns)
     return d >> 6
 
 
-def residual4x4(coef: np.ndarray, qp: int) -> np.ndarray:
+def residual4x4(coef: np.ndarray, qp: int, w=None) -> np.ndarray:
     """Full 4x4 residual: dequant + IDCT + rounding (x+32)>>6."""
-    return (idct4x4(dequant4x4(coef, qp)) + 32) >> 6
+    return (idct4x4(dequant4x4(coef, qp, w)) + 32) >> 6
 
 
-def luma_dc_transform(dc_raster: np.ndarray, qp: int) -> np.ndarray:
+def luma_dc_transform(dc_raster: np.ndarray, qp: int,
+                      w00: int = 16) -> np.ndarray:
     """I16x16 luma DC: 4x4 inverse Hadamard then scale (spec 8.5.10)."""
     c = dc_raster.reshape(4, 4).astype(np.int32)
     H = np.array(
@@ -152,24 +161,25 @@ def luma_dc_transform(dc_raster: np.ndarray, qp: int) -> np.ndarray:
         np.int32,
     )
     f = H @ c @ H.T
-    v = int(_V[qp % 6][0])
-    # LevelScale = 16*normAdjust and the Hadamard gain give an effective
-    # shift reference of 2 (spec 8.5.10 with flat matrices).
-    if qp >= 12:
-        dc = (f * v) << (qp // 6 - 2)
+    ls = int(_V[qp % 6][0]) * w00
+    # LevelScale = weight*normAdjust at shift reference 6 (spec 8.5.10);
+    # flat weight 16 reduces exactly to (f*V) << (qp/6 - 2).
+    if qp >= 36:
+        dc = (f * ls) << (qp // 6 - 6)
     else:
-        shift = 2 - qp // 6
-        dc = (f * v + (1 << (shift - 1))) >> shift
+        shift = 6 - qp // 6
+        dc = (f * ls + (1 << (shift - 1))) >> shift
     return dc  # [4,4] DC value per 4x4 block (block-grid raster)
 
 
-def chroma_dc_transform(dc: np.ndarray, qpc: int) -> np.ndarray:
+def chroma_dc_transform(dc: np.ndarray, qpc: int,
+                        w00: int = 16) -> np.ndarray:
     """2x2 chroma DC inverse transform + scale (spec 8.5.11)."""
     c = dc.reshape(2, 2).astype(np.int32)
     f = np.array([[1, 1], [1, -1]], np.int32)
     t = f @ c @ f
-    v = int(_V[qpc % 6][0])
-    return ((t * v) << (qpc // 6)) >> 1
+    ls = int(_V[qpc % 6][0]) * w00
+    return ((t * ls) << (qpc // 6)) >> 5
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +573,12 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
     mbw, mbh = t.mb_width, t.mb_height
     Y, U, V = buf.Y, buf.U, buf.V
 
+    sw4 = getattr(t, "scaling_w4", None)
+    sw8 = getattr(t, "scaling_w8", None)
+
+    def w4(lst):
+        return None if sw4 is None else sw4[lst].reshape(4, 4).astype(np.int64)
+
     for mb in range(mbw * mbh):
         mx, my = (mb % mbw) * 16, (mb // mbw) * 16
         cx, cy = mx // 2, my // 2
@@ -593,7 +609,9 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                         coef = _quad_coeff8(t, f, mb, q)
                         if not coef.any():
                             continue
-                        res = residual8x8(coef, qp)
+                        res = residual8x8(
+                            coef, qp,
+                            None if sw8 is None else sw8[1].reshape(8, 8))
                         bx = mx + (q & 1) * 8
                         by = my + (q >> 1) * 8
                         blk = Y[by : by + 8, bx : bx + 8].astype(np.int32)
@@ -604,11 +622,12 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                         coef = t.luma_ac[f, mb, b]
                         if not coef.any():
                             continue
-                        res = residual4x4(coef.reshape(4, 4), qp)
+                        res = residual4x4(coef.reshape(4, 4), qp, w4(3))
                         bx, by = mx + _BLK_X[b], my + _BLK_Y[b]
                         blk = Y[by : by + 4, bx : bx + 4].astype(np.int32) + res
                         Y[by : by + 4, bx : bx + 4] = np.clip(blk, 0, 255)
-                _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc)
+                _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc,
+                                      intra=False)
             continue
 
         # ----- intra -----
@@ -619,10 +638,12 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
             pred = _i16_predict(int(t.i16_mode[f, mb]), left, top, tl,
                                 have_l, have_t)
             # DC transform
-            dcs = luma_dc_transform(t.luma_dc[f, mb], qp)
+            dcs = luma_dc_transform(
+                t.luma_dc[f, mb], qp,
+                16 if sw4 is None else int(sw4[0][0]))
             res16 = np.zeros((16, 16), np.int32)
             for b in range(16):
-                d = dequant4x4(t.luma_ac[f, mb, b].reshape(4, 4), qp)
+                d = dequant4x4(t.luma_ac[f, mb, b].reshape(4, 4), qp, w4(0))
                 d[0, 0] = dcs[b >> 2, b & 3]
                 res16[
                     _BLK_Y[b] : _BLK_Y[b] + 4, _BLK_X[b] : _BLK_X[b] + 4
@@ -658,7 +679,8 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                 mode = int(t.i4_modes[f, mb, qy * 8 + qx * 2])
                 pred = _i8x8_predict(mode, left, t16, tl, bl, bt, btl)
                 coef = _quad_coeff8(t, f, mb, q)
-                res = residual8x8(coef, qp)
+                res = residual8x8(
+                    coef, qp, None if sw8 is None else sw8[0].reshape(8, 8))
                 Y[by8 : by8 + 8, bx8 : bx8 + 8] = np.clip(pred + res, 0, 255)
         else:  # I4x4
             for b in range(16):  # standard 4x4 decode order within MB
@@ -690,7 +712,8 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
                 tl = Y[by - 1, bx - 1] if btl else 0
                 pred = _i4x4_predict(int(t.i4_modes[f, mb, db]), left, top,
                                      tl, tr, bl, bt, btl, btr)
-                res = residual4x4(t.luma_ac[f, mb, db].reshape(4, 4), qp)
+                res = residual4x4(t.luma_ac[f, mb, db].reshape(4, 4), qp,
+                                  w4(0))
                 Y[by : by + 4, bx : bx + 4] = np.clip(pred + res, 0, 255)
 
         # chroma intra
@@ -705,7 +728,7 @@ def _recon_frame(t, f, buf, ref_frames, chroma_qp_offset):
         pv = _chroma_predict(cmode, lc_v, tc_v, tlv, have_l, have_t)
         U[cy : cy + 8, cx : cx + 8] = np.clip(pu, 0, 255)
         V[cy : cy + 8, cx : cx + 8] = np.clip(pv, 0, 255)
-        _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc)
+        _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc, intra=True)
 
 
 def _decoded_before(x4a, y4a, x4b, y4b):
@@ -717,12 +740,17 @@ def _decoded_before(x4a, y4a, x4b, y4b):
     return ia < ib
 
 
-def _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc):
+def _add_chroma_residuals(t, f, mb, U, V, cx, cy, qpc, intra=True):
+    sw4 = getattr(t, "scaling_w4", None)
     for comp, plane in ((0, U), (1, V)):
-        dcs = chroma_dc_transform(t.chroma_dc[f, mb, comp], qpc)
+        lst = (1 if intra else 4) + comp
+        w = None if sw4 is None else sw4[lst].reshape(4, 4).astype(np.int64)
+        dcs = chroma_dc_transform(
+            t.chroma_dc[f, mb, comp], qpc,
+            16 if sw4 is None else int(sw4[lst][0]))
         for b in range(4):
             coef = t.chroma_ac[f, mb, comp, b]
-            d = dequant4x4(coef.reshape(4, 4), qpc)
+            d = dequant4x4(coef.reshape(4, 4), qpc, w)
             d[0, 0] = dcs[b >> 1, b & 1]
             if not d.any():
                 continue

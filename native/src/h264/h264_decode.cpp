@@ -162,6 +162,22 @@ int decode_residual_block(BitReader& br, int nC, int max_coeff,
 // Parameter set parsing
 // ---------------------------------------------------------------------------
 
+// Default scaling matrices (spec Table 7-3/7-4), raster order.
+static const uint8_t kDef4Intra[16] = {6, 13, 20, 28, 13, 20, 28, 32,
+                                       20, 28, 32, 37, 28, 32, 37, 42};
+static const uint8_t kDef4Inter[16] = {10, 14, 20, 24, 14, 20, 24, 27,
+                                       20, 24, 27, 30, 24, 27, 30, 34};
+static const uint8_t kDef8Intra[64] = {
+    6, 10, 13, 16, 18, 23, 25, 27, 10, 11, 16, 18, 23, 25, 27, 29,
+    13, 16, 18, 23, 25, 27, 29, 31, 16, 18, 23, 25, 27, 29, 31, 33,
+    18, 23, 25, 27, 29, 31, 33, 36, 23, 25, 27, 29, 31, 33, 36, 38,
+    25, 27, 29, 31, 33, 36, 38, 40, 27, 29, 31, 33, 36, 38, 40, 42};
+static const uint8_t kDef8Inter[64] = {
+    9, 13, 15, 17, 19, 21, 22, 24, 13, 13, 17, 19, 21, 22, 24, 25,
+    15, 17, 19, 21, 22, 24, 25, 27, 17, 19, 21, 22, 24, 25, 27, 28,
+    19, 21, 22, 24, 25, 27, 28, 30, 21, 22, 24, 25, 27, 28, 30, 32,
+    22, 24, 25, 27, 28, 30, 32, 33, 24, 25, 27, 28, 30, 32, 33, 35};
+
 void parse_scaling_list(BitReader& br, uint8_t* list, int size,
                         const uint8_t* fallback, bool* use_default) {
   int last = 8, next = 8;
@@ -198,8 +214,27 @@ bool parse_sps(BitReader& br, SPS& sps, std::string& err) {
     sps.qpprime_y_zero_transform_bypass = br.u1();
     sps.seq_scaling_matrix_present = br.u1();
     if (sps.seq_scaling_matrix_present) {
-      err = "seq scaling matrices not supported yet";
-      return false;
+      // 8 lists for 4:2:0; fall-back rule A (Table 7-2)
+      for (int i = 0; i < 8; i++) {
+        uint8_t* dst = i < 6 ? sps.scaling4[i] : sps.scaling8[i - 6];
+        int size = i < 6 ? 16 : 64;
+        const uint8_t* def = i == 0   ? kDef4Intra
+                             : i == 3 ? kDef4Inter
+                             : i == 6 ? kDef8Intra
+                             : i == 7 ? kDef8Inter
+                                      : nullptr;  // 1,2,4,5: previous list
+        if (br.u1()) {
+          bool use_default = false;
+          parse_scaling_list(br, dst, size, nullptr, &use_default);
+          if (use_default)
+            memcpy(dst, i < 3 ? kDef4Intra : (i < 6 ? kDef4Inter
+                    : (i == 6 ? kDef8Intra : kDef8Inter)), size);
+        } else if (def) {
+          memcpy(dst, def, size);
+        } else {
+          memcpy(dst, sps.scaling4[i - 1], size);
+        }
+      }
     }
   }
   sps.log2_max_frame_num = br.ue() + 4;
@@ -244,7 +279,8 @@ bool parse_sps(BitReader& br, SPS& sps, std::string& err) {
   return true;
 }
 
-bool parse_pps(BitReader& br, PPS& pps, std::string& err) {
+bool parse_pps(BitReader& br, PPS& pps, const std::map<int, SPS>& sps_map,
+               std::string& err) {
   pps.pic_parameter_set_id = br.ue();
   pps.seq_parameter_set_id = br.ue();
   pps.entropy_coding_mode = br.u1();
@@ -265,15 +301,55 @@ bool parse_pps(BitReader& br, PPS& pps, std::string& err) {
   pps.constrained_intra_pred = br.u1();
   pps.redundant_pic_cnt_present = br.u1();
   pps.second_chroma_qp_index_offset = pps.chroma_qp_index_offset;
+  auto sit = sps_map.find(pps.seq_parameter_set_id);
+  const SPS* sps = sit != sps_map.end() ? &sit->second : nullptr;
+  bool sps_scal = sps && sps->seq_scaling_matrix_present;
   if (br.more_rbsp_data()) {
     pps.transform_8x8_mode = br.u1();
     pps.pic_scaling_matrix_present = br.u1();
     if (pps.pic_scaling_matrix_present) {
-      err = "pic scaling matrices not supported yet";
-      return false;
+      int n_lists = 6 + (pps.transform_8x8_mode ? 2 : 0);
+      for (int i = 0; i < n_lists; i++) {
+        uint8_t* dst = i < 6 ? pps.scaling4[i] : pps.scaling8[i - 6];
+        int size = i < 6 ? 16 : 64;
+        // fall-back rule B: lists 0/3/6/7 take the SPS list when the SPS
+        // carries matrices, else the default; others take the previous
+        const uint8_t* fb = nullptr;
+        if (i == 0) fb = sps_scal ? sps->scaling4[0] : kDef4Intra;
+        else if (i == 3) fb = sps_scal ? sps->scaling4[3] : kDef4Inter;
+        else if (i == 6) fb = sps_scal ? sps->scaling8[0] : kDef8Intra;
+        else if (i == 7) fb = sps_scal ? sps->scaling8[1] : kDef8Inter;
+        if (br.u1()) {
+          bool use_default = false;
+          parse_scaling_list(br, dst, size, nullptr, &use_default);
+          if (use_default)
+            memcpy(dst, i < 3 ? kDef4Intra : (i < 6 ? kDef4Inter
+                    : (i == 6 ? kDef8Intra : kDef8Inter)), size);
+        } else if (fb) {
+          memcpy(dst, fb, size);
+        } else {
+          memcpy(dst, pps.scaling4[i - 1], size);
+        }
+      }
     }
     pps.second_chroma_qp_index_offset = br.se();
   }
+  // effective weight tables for this PPS (flat 16 when no matrices)
+  if (pps.pic_scaling_matrix_present) {
+    // 8x8 lists only present when transform_8x8_mode; else inherit
+    if (!pps.transform_8x8_mode) {
+      memcpy(pps.scaling8[0], sps_scal ? sps->scaling8[0] : kDef8Intra, 64);
+      memcpy(pps.scaling8[1], sps_scal ? sps->scaling8[1] : kDef8Inter, 64);
+    }
+  } else if (sps_scal) {
+    memcpy(pps.scaling4, sps->scaling4, sizeof(pps.scaling4));
+    memcpy(pps.scaling8[0], sps->scaling8[0], 64);
+    memcpy(pps.scaling8[1], sps->scaling8[1], 64);
+  } else {
+    memset(pps.scaling4, 16, sizeof(pps.scaling4));
+    memset(pps.scaling8, 16, sizeof(pps.scaling8));
+  }
+  pps.has_scaling = pps.pic_scaling_matrix_present || sps_scal;
   if (br.error()) {
     err = "PPS parse overrun";
     return false;
@@ -2491,7 +2567,7 @@ bool parse_avcc(Ctx& c, const uint8_t* data, int len) {
     auto rbsp = strip_ep(data + pos + 1, l - 1);
     BitReader br(rbsp.data(), rbsp.size());
     PPS pps;
-    if (!parse_pps(br, pps, c.err)) return false;
+    if (!parse_pps(br, pps, c.sps_map, c.err)) return false;
     c.pps_map[pps.pic_parameter_set_id] = pps;
     pos += l;
   }
@@ -2633,6 +2709,24 @@ HW_API int hw_h264_chroma_qp_offset(void* h) {
   return p->c.pps_map.begin()->second.chroma_qp_index_offset;
 }
 
+// Copy the effective scaling weight tables of the first PPS into
+// w4 [6*16] and w8 [2*64] (raster order).  Returns 1 when any entry is
+// non-flat (!= 16), else 0.
+HW_API int hw_h264_scaling(void* h, uint8_t* w4, uint8_t* w8) {
+  auto* p = static_cast<PublicCtx*>(h);
+  if (p->c.pps_map.empty()) return 0;
+  const PPS& pps = p->c.pps_map.begin()->second;
+  memcpy(w4, pps.scaling4, 6 * 16);
+  memcpy(w8, pps.scaling8[0], 64);
+  memcpy(w8 + 64, pps.scaling8[1], 64);
+  if (!pps.has_scaling) return 0;
+  for (int i = 0; i < 96; i++)
+    if (w4[i] != 16) return 1;
+  for (int i = 0; i < 128; i++)
+    if (w8[i] != 16) return 1;
+  return 0;
+}
+
 HW_API int hw_h264_bipred_idc(void* h) {
   auto* p = static_cast<PublicCtx*>(h);
   if (p->c.pps_map.empty()) return 0;
@@ -2702,7 +2796,7 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
           c.sps_map[sps.seq_parameter_set_id] = sps;
         } else {
           PPS pps;
-          if (!parse_pps(br, pps, c.err)) {
+          if (!parse_pps(br, pps, c.sps_map, c.err)) {
             snprintf(p->errbuf, sizeof(p->errbuf), "PPS: %s", c.err.c_str());
             return -1;
           }

@@ -75,8 +75,9 @@ struct PPS {
   // More-data extensions (High profile)
   bool transform_8x8_mode = false;
   bool pic_scaling_matrix_present = false;
-  uint8_t scaling4[6][16];
-  uint8_t scaling8[6][64];
+  bool has_scaling = false;   // effective tables below are non-flat-capable
+  uint8_t scaling4[6][16];    // effective per-list 4x4 weights (raster)
+  uint8_t scaling8[6][64];    // [0]=8x8 intra, [1]=8x8 inter
   int second_chroma_qp_index_offset = 0;  // defaults to chroma_qp_index_offset
 };
 

@@ -132,6 +132,21 @@ def test_high_profile_8x8_bit_exact(tmp_path):
         assert_exact(p)
 
 
+def test_scaling_matrices_bit_exact(tmp_path):
+    """Non-flat scaling matrices (x264 --cqm jvt): SPS/PPS list parsing
+    with fall-back rules and weight-aware dequant at spec shift
+    references (4x4 ref 4, DC/8x8 ref 6)."""
+    for name, extra in (("cqm_cabac", ""), ("cqm_cavlc", ":cabac=0")):
+        p = str(tmp_path / f"{name}.mp4")
+        encode_video(p, 6, 96, 80, profile="high", gop_size=6, crf=24,
+                     extra_opts="keyint=6:min-keyint=6:no-scenecut=1:"
+                                f"bframes=0:weightp=0:ref=2:cqm=jvt{extra}")
+        idx = index_video(p)
+        dec = H264EntropyDecoder(idx.metadata_bytes)
+        assert dec.has_scaling
+        assert_exact(p)
+
+
 def test_cabac_ip_bit_exact(tmp_path):
     """CABAC entropy decode (h264_cabac.h + the CABAC MB layer) on an I/P
     main-profile stream with partitions and multi-ref."""
