@@ -41,11 +41,6 @@ class TpuSpanDecoder:
         from ..models.h264.entropy import H264EntropyDecoder
 
         self.entropy = H264EntropyDecoder(extradata)
-        if self.entropy.has_scaling:
-            raise HwangError(
-                "non-flat scaling matrices not supported by the device "
-                "reconstruction yet; falling back to SOFTWARE"
-            )
         # ring size: the stream's DPB requirement (SPS max_num_ref_frames)
         self.n_refs = n_refs or max(1, min(self.entropy.max_num_ref_frames, 8))
         self.mb_width = self.entropy.mb_width

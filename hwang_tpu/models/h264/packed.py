@@ -65,6 +65,8 @@ class PackedBatch(NamedTuple):
     refidx_l1: jnp.ndarray | None = None  # [B, F, M, 4] int8
     bi_w: jnp.ndarray | None = None       # [B, F, 16, 16, 2] int16
     transform8: jnp.ndarray | None = None  # [B, F, M] uint8 (High profile)
+    scaling_w4: jnp.ndarray | None = None   # [B, 6, 16] uint8 weights
+    scaling_w8: jnp.ndarray | None = None   # [B, 2, 64]
 
 
 _COEFF_BLOCKS = 26
@@ -102,6 +104,17 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     any_t8 = any(
         t.transform8 is not None and t.transform8.any() for t in tensors
     )
+    any_scal = any(
+        getattr(t, "scaling_w4", None) is not None for t in tensors
+    )
+    sw4 = sw8 = None
+    if any_scal:
+        sw4 = np.full((B, 6, 16), 16, np.uint8)
+        sw8 = np.full((B, 2, 64), 16, np.uint8)
+        for b, t in enumerate(tensors):
+            if getattr(t, "scaling_w4", None) is not None:
+                sw4[b] = t.scaling_w4
+                sw8[b] = t.scaling_w8
     t8 = np.zeros((B, F, M), np.uint8) if any_t8 else None
     any_b = any((t.frame_type == 1).any() for t in tensors)
     mv1 = ridx1 = bi_w = None
@@ -207,6 +220,11 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         weights=jnp.asarray(weights) if any_weights else None,
         **({"transform8": jnp.asarray(t8)} if any_t8 else {}),
         **(
+            {"scaling_w4": jnp.asarray(sw4), "scaling_w8": jnp.asarray(sw8)}
+            if any_scal
+            else {}
+        ),
+        **(
             {
                 "mv1_base": jnp.asarray(base1),
                 "mv1_exc_val": jnp.asarray(mval1_p),
@@ -289,6 +307,14 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         **(
             {"transform8": p.transform8.astype(jnp.int16)}
             if p.transform8 is not None
+            else {}
+        ),
+        **(
+            {
+                "scaling_w4": p.scaling_w4.astype(jnp.int16),
+                "scaling_w8": p.scaling_w8.astype(jnp.int16),
+            }
+            if p.scaling_w4 is not None
             else {}
         ),
         **(

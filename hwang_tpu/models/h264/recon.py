@@ -125,6 +125,8 @@ class GopArrays(NamedTuple):
     bi_w: jnp.ndarray | None = None        # [F, 16, 16, 2] (w0, w1) per
                                            # (refIdxL0, refIdxL1) pair
     transform8: jnp.ndarray | None = None  # [F, M] 8x8 luma transform flag
+    scaling_w4: jnp.ndarray | None = None  # [6, 16] scaling weights (raster)
+    scaling_w8: jnp.ndarray | None = None  # [2, 64] 8x8 intra/inter weights
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":
@@ -165,6 +167,14 @@ class GopArrays(NamedTuple):
             **(
                 {"transform8": pad(t.transform8.astype(np.int32))}
                 if t.transform8 is not None and t.transform8.any()
+                else {}
+            ),
+            **(
+                {
+                    "scaling_w4": jnp.asarray(t.scaling_w4.astype(np.int32)),
+                    "scaling_w8": jnp.asarray(t.scaling_w8.astype(np.int32)),
+                }
+                if getattr(t, "scaling_w4", None) is not None
                 else {}
             ),
             **(

@@ -45,7 +45,8 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
     names = [
         f for f in GopArrays._fields
         if f not in ("n_valid_frames", "weights", "mv_l1", "refidx_l1",
-                     "ref_map_l1", "is_ref", "bi_w", "transform8")
+                     "ref_map_l1", "is_ref", "bi_w", "transform8",
+                     "scaling_w4", "scaling_w8")
     ]
     for name in names:
         arrs = []
@@ -70,6 +71,18 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         fields["weights"] = jnp.asarray(w)
     else:
         fields["weights"] = None
+    if any(getattr(t, "scaling_w4", None) is not None for t in tensors):
+        sw4 = np.full((len(tensors), 6, 16), 16, np.int32)
+        sw8 = np.full((len(tensors), 2, 64), 16, np.int32)
+        for b, t in enumerate(tensors):
+            if getattr(t, "scaling_w4", None) is not None:
+                sw4[b] = t.scaling_w4
+                sw8[b] = t.scaling_w8
+        fields["scaling_w4"] = jnp.asarray(sw4)
+        fields["scaling_w8"] = jnp.asarray(sw8)
+    else:
+        fields["scaling_w4"] = None
+        fields["scaling_w8"] = None
     if any(t.transform8 is not None and t.transform8.any() for t in tensors):
         a = np.zeros((len(tensors), pad_frames, tensors[0].n_mbs), np.int32)
         for b, t in enumerate(tensors):
@@ -558,18 +571,25 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         qp = fr["qp"]
         qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
         is_i16 = fr["mb_kind"] == 3
+        intra = (fr["mb_kind"] >= 2) & (fr["mb_kind"] <= 4)
+        w4 = g.scaling_w4.astype(jnp.int32) if g.scaling_w4 is not None \
+            else None
+        w8 = g.scaling_w8.astype(jnp.int32) if g.scaling_w8 is not None \
+            else None
 
         luma_res16, luma_blocks = luma_residual_b(
-            i32(g.luma_ac), i32(g.luma_dc), qp, is_i16
+            i32(g.luma_ac), i32(g.luma_dc), qp, is_i16, intra=intra, w4=w4
         )
         res8 = None
         if g.transform8 is not None:
             from ...ops.transforms_batched import luma_residual8_b
 
-            res8_asm, res8 = luma_residual8_b(i32(g.luma_ac), qp)
+            res8_asm, res8 = luma_residual8_b(i32(g.luma_ac), qp,
+                                              intra=intra, w8=w8)
             t8m = fr["transform8"].astype(bool)[..., None, None]
             luma_res16 = jnp.where(t8m, res8_asm, luma_res16)
-        chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc), qpc)
+        chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc),
+                                       qpc, intra=intra, w4=w4)
 
         Y, U, V = _inter_stage_b(
             fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,

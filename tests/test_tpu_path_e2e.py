@@ -114,6 +114,23 @@ def test_tpu_high_profile_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+def test_tpu_scaling_matrices_bit_exact(tmp_path):
+    """Non-flat scaling matrices (x264 --cqm jvt) through the full TPU
+    path: per-clip weight tables in the transport, weight-aware dequant
+    with per-MB intra/inter list selection on device."""
+    p = str(tmp_path / "cqm.mp4")
+    encode_video(
+        p, 8, 96, 80, profile="high", gop_size=8, crf=24,
+        extra_opts="keyint=8:min-keyint=8:no-scenecut=1:bframes=0:"
+                   "weightp=0:ref=2:cqm=jvt",
+    )
+    rows = [0, 3, 5, 7]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_odd_size_crop_bit_exact(tmp_path):
     """100x76 display inside 112x80 coded: frame_crop right/bottom."""
     p = str(tmp_path / "odd.mp4")
