@@ -65,7 +65,17 @@ class TpuSpanDecoder:
         from ..models.h264.packed import pack_gop_batch
         from ..models.h264.recon_batched import decode_gop_packed
 
+        from ..models.h264.entropy import explicit_b_weighted
+
         t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
+        if explicit_b_weighted(t):
+            # host entropy decode handles explicit-B weight tables, but
+            # the device reconstruction does not apply them yet; error
+            # out so Decoder.retrieve fails over to SOFTWARE
+            raise HwangError(
+                "explicit B weighting (weighted_bipred_idc=1) not yet "
+                "applied on the TPU path"
+            )
         g = pack_gop_batch([t], _bucket(t.n_frames))
         Ys, Us, Vs = decode_gop_packed(
             g, self.mb_width, self.mb_height,

@@ -72,6 +72,7 @@ class _GopOut(ctypes.Structure):
         ("frame_is_ref", ctypes.c_void_p),
         ("pred_weights", ctypes.c_void_p),
         ("weight_flag", ctypes.c_void_p),
+        ("pred_weights_l1", ctypes.c_void_p),
     ]
 
 
@@ -153,6 +154,8 @@ class GopTensors:
     # (wy oy wu ou wv ov log2y log2c); weight_flag [F] gates application
     pred_weights: np.ndarray = None
     weight_flag: np.ndarray = None
+    # [F,16,8] per refIdxL1, filled on explicit-B frames (bipred_idc == 1)
+    pred_weights_l1: np.ndarray = None
     frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
     transform8: np.ndarray = None    # [F,M] u8: 8x8 luma transform
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
@@ -162,6 +165,17 @@ class GopTensors:
     @property
     def n_mbs(self) -> int:
         return self.mb_width * self.mb_height
+
+
+def explicit_b_weighted(t: "GopTensors") -> bool:
+    """True when the span has explicit-B weighted frames
+    (weighted_bipred_idc == 1) — entropy-decoded but not yet applied by
+    the device reconstruction."""
+    return (
+        t.bipred_idc == 1
+        and t.weight_flag is not None
+        and bool(((t.frame_type == 1) & (t.weight_flag != 0)).any())
+    )
 
 
 class H264EntropyDecoder:
@@ -253,6 +267,7 @@ class H264EntropyDecoder:
             ipcm=z((F, M, 384), np.uint8),
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
+            pred_weights_l1=z((F, 16, 8), np.int16),
             frame_is_ref=z(F, np.uint8),
             transform8=z((F, M), np.uint8),
             bipred_idc=self.bipred_idc,
@@ -275,6 +290,7 @@ class H264EntropyDecoder:
             ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
             frame_is_ref=vp(t.frame_is_ref), transform8=vp(t.transform8),
             pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
+            pred_weights_l1=vp(t.pred_weights_l1),
         )
 
         dptr, downer = as_u8p(data)

@@ -911,32 +911,57 @@ def _inter_predict_mb(t, f, mb, buf, ref_frames, bipred_idc=0):
                 _luma_mc_block(ref.Y, bx, by, 4, 4, mvx, mvy).astype(np.int32),
                 _chroma_mc_block(ref.U, cbx, cby, 2, 2, mvx, mvy).astype(np.int32),
                 _chroma_mc_block(ref.V, cbx, cby, 2, 2, mvx, mvy).astype(np.int32),
-                ref_idx, span_ref,
+                ref_idx, span_ref, lst,
             ))
         if not preds:
             raise ValueError(f"inter MB {mb} frame {f}: no prediction")
+        weighted = t.weight_flag is not None and t.weight_flag[f]
         if len(preds) == 1:
-            py, pu, pv, ref_idx, _ = preds[0]
-            if t.weight_flag is not None and t.weight_flag[f]:
-                # explicit weighted prediction, uni-pred (8.4.2.3.2)
+            py, pu, pv, ref_idx, _, lst = preds[0]
+            if weighted:
+                # explicit weighted prediction, uni-pred (8.4.2.3.2);
+                # list-1-only B blocks take the L1 table
+                table = (
+                    t.pred_weights_l1 if lst == 1 else t.pred_weights
+                )
                 wy, oy, wu, ou, wv, ov, ly, lc = (
-                    int(v) for v in t.pred_weights[f, ref_idx]
+                    int(v) for v in table[f, ref_idx]
                 )
                 py = _weight_pred(py, wy, oy, ly)
                 pu = _weight_pred(pu, wu, ou, lc)
                 pv = _weight_pred(pv, wv, ov, lc)
         else:
-            # bi-prediction: default average or implicit POC weights
-            (py0, pu0, pv0, _, sr0), (py1, pu1, pv1, _, sr1) = preds
-            if bipred_idc == 2:
-                w0, w1 = _implicit_bi_weight(
-                    int(t.poc[f]), int(t.poc[sr0]), int(t.poc[sr1])
+            (py0, pu0, pv0, r0, sr0, _), (py1, pu1, pv1, r1, sr1, _) = preds
+            if bipred_idc == 1 and weighted:
+                # explicit weighted bi-prediction (8.4.2.3.2, eq 8-272):
+                # per-list weights combined at logWD+1 with averaged offset
+                wy0, oy0, wu0, ou0, wv0, ov0, ly, lc = (
+                    int(v) for v in t.pred_weights[f, r0]
                 )
+                wy1, oy1, wu1, ou1, wv1, ov1, _, _ = (
+                    int(v) for v in t.pred_weights_l1[f, r1]
+                )
+
+                def bi(p0, p1, w0, w1, o0, o1, lwd):
+                    v = ((p0 * w0 + p1 * w1 + (1 << lwd)) >> (lwd + 1)) + (
+                        (o0 + o1 + 1) >> 1
+                    )
+                    return np.clip(v, 0, 255)
+
+                py = bi(py0, py1, wy0, wy1, oy0, oy1, ly)
+                pu = bi(pu0, pu1, wu0, wu1, ou0, ou1, lc)
+                pv = bi(pv0, pv1, wv0, wv1, ov0, ov1, lc)
             else:
-                w0 = w1 = 32
-            py = np.clip((py0 * w0 + py1 * w1 + 32) >> 6, 0, 255)
-            pu = np.clip((pu0 * w0 + pu1 * w1 + 32) >> 6, 0, 255)
-            pv = np.clip((pv0 * w0 + pv1 * w1 + 32) >> 6, 0, 255)
+                # default average or implicit POC weights
+                if bipred_idc == 2:
+                    w0, w1 = _implicit_bi_weight(
+                        int(t.poc[f]), int(t.poc[sr0]), int(t.poc[sr1])
+                    )
+                else:
+                    w0 = w1 = 32
+                py = np.clip((py0 * w0 + py1 * w1 + 32) >> 6, 0, 255)
+                pu = np.clip((pu0 * w0 + pu1 * w1 + 32) >> 6, 0, 255)
+                pv = np.clip((pv0 * w0 + pv1 * w1 + 32) >> 6, 0, 255)
         buf.Y[by : by + 4, bx : bx + 4] = py.astype(np.uint8)
         buf.U[cby : cby + 2, cbx : cbx + 2] = pu.astype(np.uint8)
         buf.V[cby : cby + 2, cbx : cbx + 2] = pv.astype(np.uint8)

@@ -150,7 +150,15 @@ class ClipBatchDecoder:
             dec = decs.get(ex)
             if dec is None:
                 dec = decs[ex] = H264EntropyDecoder(ex)
-            return dec.decode_gop(job.data, job.offsets, job.sizes)
+            t = dec.decode_gop(job.data, job.offsets, job.sizes)
+            from .models.h264.entropy import explicit_b_weighted
+
+            if explicit_b_weighted(t):
+                raise HwangError(
+                    "explicit B weighting (weighted_bipred_idc=1) not "
+                    "yet applied on the TPU path"
+                )
+            return t
 
         with prof.span("entropy_decode"):
             tensors = list(self._pool.map(host_decode, jobs))

@@ -2582,12 +2582,22 @@ bool parse_avcc(Ctx& c, const uint8_t* data, int len) {
 }
 
 int poc_of_frame(Ctx& c, const SliceHeader& sh) {
-  // pic_order_cnt_type 0 (spec 8.2.1.1), frames only
-  if (c.sps.pic_order_cnt_type == 2) return 2 * sh.frame_num;
-  if (c.sps.pic_order_cnt_type == 1) {
-    // simplified: x264 rarely uses type 1; fall back to frame_num order
-    return 2 * sh.frame_num;
+  if (c.sps.pic_order_cnt_type != 0) {
+    // Types 1/2 derive POC from frame_num, which WRAPS at MaxFrameNum:
+    // maintain FrameNumOffset per spec 8.2.1.3 (type 1 is approximated
+    // as frame_num order — x264 emits types 0/2 — but stays wrap-safe).
+    int max_fn = 1 << c.sps.log2_max_frame_num;
+    if (sh.is_idr) {
+      c.frame_num_offset = 0;
+    } else if (c.prev_frame_num >= 0 && c.prev_frame_num > sh.frame_num) {
+      c.frame_num_offset += max_fn;
+    }
+    c.prev_frame_num = sh.frame_num;
+    int poc = 2 * (c.frame_num_offset + sh.frame_num);
+    if (c.sps.pic_order_cnt_type == 2 && sh.nal_ref_idc == 0) poc -= 1;
+    return poc;
   }
+  // pic_order_cnt_type 0 (spec 8.2.1.1), frames only
   int max_lsb = 1 << c.sps.log2_max_poc_lsb;
   if (sh.is_idr) {
     c.prev_poc_msb = 0;
@@ -2759,6 +2769,7 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
   }
   c.dpb.clear();
   c.prev_frame_num = -1;
+  c.frame_num_offset = 0;
   c.prev_poc_msb = c.prev_poc_lsb = 0;
   c.mbs.assign(c.n_mbs, MbState());
 
@@ -2811,10 +2822,11 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                    fidx, c.err.c_str());
           return -1;
         }
-        if (sc.sh.slice_type == SLICE_B && c.pps.weighted_bipred_idc == 1) {
+        if (sc.sh.slice_type == SLICE_B && c.pps.weighted_bipred_idc == 1 &&
+            sc.sh.has_pred_weights && !out->pred_weights_l1) {
           snprintf(p->errbuf, sizeof(p->errbuf),
-                   "explicit B weighting (weighted_bipred_idc=1) not "
-                   "supported; use implicit or weightb=0");
+                   "explicit B weighting present but caller has no "
+                   "L1 weight buffer");
           return -1;
         }
         if (sc.sh.slice_type == SLICE_B && !c.sps.direct_8x8_inference) {
@@ -2842,6 +2854,15 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
                 dst[6] = (int16_t)sc.sh.luma_log2_denom;
                 dst[7] = (int16_t)sc.sh.chroma_log2_denom;
               }
+              if (sc.sh.slice_type == SLICE_B && out->pred_weights_l1) {
+                for (int i = 0; i < 16; i++) {
+                  int16_t* dst =
+                      out->pred_weights_l1 + ((size_t)fidx * 16 + i) * 8;
+                  memcpy(dst, sc.sh.wt1[i], 6 * sizeof(int16_t));
+                  dst[6] = (int16_t)sc.sh.luma_log2_denom;
+                  dst[7] = (int16_t)sc.sh.chroma_log2_denom;
+                }
+              }
             }
           } else if (sc.sh.has_pred_weights) {
             snprintf(p->errbuf, sizeof(p->errbuf),
@@ -2854,6 +2875,9 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
         } else if (sc.sh.has_pred_weights != first_sh.has_pred_weights ||
                    (sc.sh.has_pred_weights &&
                     (memcmp(sc.sh.wt, first_sh.wt, sizeof(sc.sh.wt)) != 0 ||
+                     (sc.sh.slice_type == SLICE_B &&
+                      memcmp(sc.sh.wt1, first_sh.wt1,
+                             sizeof(sc.sh.wt1)) != 0) ||
                      sc.sh.luma_log2_denom != first_sh.luma_log2_denom ||
                      sc.sh.chroma_log2_denom != first_sh.chroma_log2_denom))) {
           // weights are shipped per frame; per-slice divergence (never

@@ -172,6 +172,9 @@ struct GopOut {
                                      // wy oy wu ou wv ov log2y log2c
                                      // (explicit weighted prediction 8.4.2.3)
   uint8_t* weight_flag = nullptr;    // [F] 1 = apply weighted prediction
+  int16_t* pred_weights_l1 = nullptr;  // [F*16*8] per (frame, refIdxL1);
+                                       // only filled on explicit-B frames
+                                       // (weighted_bipred_idc == 1)
 };
 
 }  // namespace hwh264

@@ -143,3 +143,20 @@ def test_tpu_odd_size_crop_bit_exact(tmp_path):
                  output_format="yuv420") as dec:
         out = dec.retrieve(rows)
     _assert_yuv_exact(p, rows, out)
+
+
+def test_tpu_frame_num_wrap_poc_type2(tmp_path):
+    """GOP longer than MaxFrameNum (2^log2_max_frame_num = 16 here) with
+    pic_order_cnt_type=2: POC must apply FrameNumOffset (spec 8.2.1.3)
+    across the frame_num wrap or display order scrambles mid-span.
+    Regression: frames past the wrap were emitted in garbage order."""
+    p = str(tmp_path / "wrap.mp4")
+    # x264 defaults (no bframes arg) select poc_type 2 and
+    # log2_max_frame_num 4; 30-frame GOP crosses the wrap at frame 16
+    encode_video(p, 60, 96, 80, profile="high", gop_size=30, crf=25,
+                 extra_opts="keyint=30:min-keyint=30:no-scenecut=1")
+    rows = [0, 17, 29, 45, 59]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
