@@ -630,9 +630,20 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "t8": fr["transform8"],
         }
         if _ablate not in ("inter", "nodb"):
-            Y, U, V = deblock_stage_skewed(
-                Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
+            from ...ops import deblock_pallas as _dbp
+
+            use_pallas = _os.environ.get(
+                "HWANG_DEBLOCK",
+                "pallas" if _dbp._is_tpu_backend() else "skewed",
             )
+            if use_pallas == "pallas" and _dbp.fits_vmem(mb_w, mb_h):
+                Y, U, V = _dbp.deblock_stage_pallas(
+                    Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
+                )
+            else:
+                Y, U, V = deblock_stage_skewed(
+                    Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
+                )
         Y = Y.astype(jnp.uint8)
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
