@@ -502,7 +502,7 @@ def _bs_between_b(meta, mb_q, mb_p, blk_q, blk_p, is_mb_edge):
     )
 
 
-def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
+def _mb_edge_params_b_gather(meta, mb_w, mb_h, chroma_qp_offset):
     """Batched mb_edge_params: meta arrays have a leading clip dim [B, M].
 
     Returns the same dict shape as mb_edge_params with [B, M, ...] arrays.
@@ -640,6 +640,276 @@ def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
     idx_b_ch = jnp.clip(qpc_avg_ch + b_off[:, :, None], 0, 51)
     ab_ch = jnp.stack([ALPHA[idx_a_ch], BETA[idx_b_ch]], -1)
     tc0_ch = TC0[idx_a_ch[..., None], jnp.clip(bs_ch, 1, 3) - 1]
+
+    return dict(
+        bs_v=bs_v, tc0_v=tc0_v, ab_v=ab_v,
+        bs_h=bs_h, tc0_h=tc0_h, ab_h=ab_h,
+        bs_cv=bs_cv, tc0_cv=tc0_cv, ab_cv=ab_cv,
+        bs_ch=bs_ch, tc0_ch=tc0_ch, ab_ch=ab_ch,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gather-free batched edge parameters
+# ---------------------------------------------------------------------------
+#
+# The straightforward implementation above (_mb_edge_params_b_gather)
+# indexes neighbors and lookup tables with fancy indexing, which XLA:TPU
+# lowers to general gathers (~85M elements/s): the parameter computation
+# alone cost ~52 ms per 32-clip frame batch — as much as the whole
+# deblocking stage.  This version uses only shifts (neighbor values),
+# static lane slices (block patterns) and one-hot reductions (alpha/beta/
+# tc0 tables), all of which stay on the VPU.
+
+
+def _nb_left(a, mb_w, mb_h):
+    """Left-neighbor MB values [B, M, ...] (column 0 garbage — callers
+    gate those edges with left_ok, matching the clamped-index original)."""
+    B = a.shape[0]
+    v = a.reshape((B, mb_h, mb_w) + a.shape[2:])
+    v = jnp.concatenate([v[:, :, :1], v[:, :, :-1]], axis=2)
+    return v.reshape(a.shape)
+
+
+def _nb_top(a, mb_w, mb_h):
+    B = a.shape[0]
+    v = a.reshape((B, mb_h, mb_w) + a.shape[2:])
+    v = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+    return v.reshape(a.shape)
+
+
+def _sel_last(a, idxs):
+    """a[..., idxs] for a static index list (slices + stack, no gather)."""
+    return jnp.stack([a[..., k] for k in idxs], axis=-1)
+
+
+def _sel_blk(mv, idxs):
+    """mv[:, :, idxs, :] for static idxs ([B, M, 16, 2] -> [B, M, n, 2])."""
+    return jnp.stack([mv[:, :, k] for k in idxs], axis=2)
+
+
+def _lut1(table, idx):
+    """table[idx] via one-hot reduction; table 1-D static."""
+    t = jnp.asarray(table, jnp.int32)
+    rng = jnp.arange(t.shape[0], dtype=jnp.int32)
+    return jnp.where(idx[..., None] == rng, t, 0).sum(-1)
+
+
+def _tc0_of(idx_a, bs):
+    """TC0[idx_a, clip(bs,1,3)-1] with idx_a [..., E] and bs [..., E, S]."""
+    T = jnp.asarray(_tc0_table(), jnp.int32)          # [52, 3]
+    rng = jnp.arange(T.shape[0], dtype=jnp.int32)
+    oh = idx_a[..., None] == rng                       # [..., E, 52]
+    t3 = jnp.where(oh[..., None], T, 0).sum(-2)        # [..., E, 3]
+    return jnp.where(
+        bs <= 1, t3[..., 0:1],
+        jnp.where(bs == 2, t3[..., 1:2], t3[..., 2:3]),
+    )
+
+
+def _bs_vals(kq, kp, nq, np_, rq, rp, mvq, mvp, b=None, is_mb_edge=False):
+    """Boundary strength from pre-fetched q/p values (spec 8.7.2.1).
+    `b` carries (r1q, r1p, mv1q, mv1p) for B motion when present."""
+    intra_q = (kq >= 2) & (kq <= 4)
+    intra_p = (kp >= 2) & (kp <= 4)
+
+    def far(a, c):
+        return (jnp.abs(a[..., 0] - c[..., 0]) >= 4) | (
+            jnp.abs(a[..., 1] - c[..., 1]) >= 4
+        )
+
+    if b is None:
+        mv_bs = jnp.where((rq != rp) | far(mvq, mvp), 1, 0)
+    else:
+        r1q, r1p, mv1q, mv1p = b
+        bi_q = r1q >= 0
+        bi_p = r1p >= 0
+        uni_ok = (rq == rp) & ~far(mvq, mvp)
+        straight = (rq == rp) & (r1q == r1p) & ~far(mvq, mvp) & ~far(mv1q, mv1p)
+        crossed = (rq == r1p) & (r1q == rp) & ~far(mvq, mv1p) & ~far(mv1q, mvp)
+        mv_bs = jnp.where(
+            bi_q != bi_p,
+            1,
+            jnp.where(
+                bi_q,
+                jnp.where(straight | crossed, 0, 1),
+                jnp.where(uni_ok, 0, 1),
+            ),
+        )
+    return jnp.where(
+        intra_q | intra_p,
+        4 if is_mb_edge else 3,
+        jnp.where((nq > 0) | (np_ > 0), 2, mv_bs),
+    )
+
+
+def mb_edge_params_b(meta, mb_w: int, mb_h: int, chroma_qp_offset: int):
+    """Batched per-MB edge parameters (gather-free; see module note).
+
+    Same output dict as _mb_edge_params_b_gather, bit-identical wherever
+    bS is nonzero (boundary-garbage neighbor values differ only at edges
+    that are gated to bS=0, where the filter is a no-op)."""
+    B, M = meta["qp"].shape
+    m = np.arange(M)
+    col = m % mb_w
+    row = m // mb_w
+    qp = meta["qp"].astype(jnp.int32)
+    idc = meta["idc"]
+    a_off = meta["a_off"].astype(jnp.int32)
+    b_off = meta["b_off"].astype(jnp.int32)
+    avail = meta["avail"]
+
+    has_left = jnp.asarray(col > 0)
+    has_top = jnp.asarray(row > 0)
+    left_ok = has_left[None] & ((idc != 2) | (((avail >> 4) & 1) == 1))
+    top_ok = has_top[None] & ((idc != 2) | (((avail >> 5) & 1) == 1))
+    enabled = idc != 1
+
+    kind = meta["kind"]
+    nnz = meta["nnz"]
+    ref = meta["ref"]
+    mv = meta["mv"]
+    has_b = meta.get("mv1") is not None
+    ref1 = meta.get("ref1")
+    mv1 = meta.get("mv1")
+
+    def nb(a, which):
+        return _nb_left(a, mb_w, mb_h) if which == "l" else _nb_top(
+            a, mb_w, mb_h
+        )
+
+    nbs = {}
+    for name, a in (("kind", kind), ("nnz", nnz), ("ref", ref), ("mv", mv),
+                    ("qp", qp)):
+        nbs[name] = a
+        nbs[name + "_l"] = nb(a, "l")
+        nbs[name + "_t"] = nb(a, "t")
+    if has_b:
+        for name, a in (("ref1", ref1), ("mv1", mv1)):
+            nbs[name] = a
+            nbs[name + "_l"] = nb(a, "l")
+            nbs[name + "_t"] = nb(a, "t")
+
+    ALPHA = _ALPHA
+    BETA = _BETA
+
+    def luma_dir(which):
+        """which='v' (left-neighbor MB edges) or 'h' (top)."""
+        sfx = "_l" if which == "v" else "_t"
+        per_e = []
+        for e in range(4):
+            mbedge = e == 0
+            src = sfx if mbedge else ""
+            if which == "v":
+                bq = [sg * 4 + e for sg in range(4)]
+                bp = [sg * 4 + (3 if mbedge else e - 1) for sg in range(4)]
+                b8q = [(sg // 2) * 2 + e // 2 for sg in range(4)]
+                b8p = [(sg // 2) * 2 + ((3 if mbedge else e - 1) // 2)
+                       for sg in range(4)]
+            else:
+                bq = [e * 4 + sg for sg in range(4)]
+                bp = [(3 if mbedge else e - 1) * 4 + sg for sg in range(4)]
+                b8q = [(e // 2) * 2 + sg // 2 for sg in range(4)]
+                b8p = [((3 if mbedge else e - 1) // 2) * 2 + sg // 2
+                       for sg in range(4)]
+            kq = kind[..., None]
+            kp = nbs["kind" + src][..., None]
+            nq = _sel_last(nnz, bq)
+            np2 = _sel_last(nbs["nnz" + src], bp)
+            rq = _sel_last(ref, b8q)
+            rp = _sel_last(nbs["ref" + src], b8p)
+            mvq = _sel_blk(mv, bq)
+            mvp = _sel_blk(nbs["mv" + src], bp)
+            bvals = None
+            if has_b:
+                bvals = (
+                    _sel_last(ref1, b8q), _sel_last(nbs["ref1" + src], b8p),
+                    _sel_blk(mv1, bq), _sel_blk(nbs["mv1" + src], bp),
+                )
+            per_e.append(_bs_vals(kq, kp, nq, np2, rq, rp, mvq, mvp,
+                                  bvals, mbedge))
+        bs = jnp.stack(per_e, axis=2)                  # [B, M, 4, 4]
+        ok = left_ok if which == "v" else top_ok
+        gate = enabled[:, :, None] & (
+            jnp.asarray(np.arange(4)[None, None, :] != 0) | ok[:, :, None]
+        )
+        bs = jnp.where(gate[..., None], bs, 0)
+        if meta.get("t8") is not None:
+            t8e = (meta["t8"] != 0)[:, :, None, None] & jnp.asarray(
+                (np.arange(4) % 2 == 1)[None, None, :, None]
+            )
+            bs = jnp.where(t8e, 0, bs)
+        qp_p = jnp.where(
+            jnp.asarray(np.arange(4)[None, None, :] == 0),
+            nbs["qp" + sfx][:, :, None], qp[:, :, None],
+        )
+        qp_avg = (qp[:, :, None] + qp_p + 1) >> 1
+        idx_a = jnp.clip(qp_avg + a_off[:, :, None], 0, 51)
+        idx_b = jnp.clip(qp_avg + b_off[:, :, None], 0, 51)
+        ab = jnp.stack([_lut1(ALPHA, idx_a), _lut1(BETA, idx_b)], -1)
+        tc0 = _tc0_of(idx_a, bs)
+        return bs, tc0, ab
+
+    bs_v, tc0_v, ab_v = luma_dir("v")
+    bs_h, tc0_h, ab_h = luma_dir("h")
+
+    qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
+    qpc_l = _nb_left(qpc, mb_w, mb_h)
+    qpc_t = _nb_top(qpc, mb_w, mb_h)
+
+    def chroma_dir(which):
+        sfx = "_l" if which == "v" else "_t"
+        per_e = []
+        for ce in range(2):
+            mbedge = ce == 0
+            src = sfx if mbedge else ""
+            if which == "v":
+                bq = [(k // 2) * 4 + 2 * ce for k in range(8)]
+                bp = [(k // 2) * 4 + (3 if mbedge else 1) for k in range(8)]
+                b8q = [2 * (k // 4) + ce for k in range(8)]
+                b8p = [2 * (k // 4) + ((3 if mbedge else 1) // 2)
+                       for k in range(8)]
+            else:
+                bq = [8 * ce + k // 2 for k in range(8)]
+                bp = [(12 if mbedge else 4) + k // 2 for k in range(8)]
+                b8q = [2 * ce + k // 4 for k in range(8)]
+                b8p = [(2 if mbedge else 0) + k // 4 for k in range(8)]
+            kq = kind[..., None]
+            kp = nbs["kind" + src][..., None]
+            nq = _sel_last(nnz, bq)
+            np2 = _sel_last(nbs["nnz" + src], bp)
+            rq = _sel_last(ref, b8q)
+            rp = _sel_last(nbs["ref" + src], b8p)
+            mvq = _sel_blk(mv, bq)
+            mvp = _sel_blk(nbs["mv" + src], bp)
+            bvals = None
+            if has_b:
+                bvals = (
+                    _sel_last(ref1, b8q), _sel_last(nbs["ref1" + src], b8p),
+                    _sel_blk(mv1, bq), _sel_blk(nbs["mv1" + src], bp),
+                )
+            per_e.append(_bs_vals(kq, kp, nq, np2, rq, rp, mvq, mvp,
+                                  bvals, mbedge))
+        bs = jnp.stack(per_e, axis=2)                  # [B, M, 2, 8]
+        ok = left_ok if which == "v" else top_ok
+        gate = enabled[:, :, None] & (
+            jnp.asarray(np.arange(2)[None, None, :] != 0) | ok[:, :, None]
+        )
+        bs = jnp.where(gate[..., None], bs, 0)
+        qpc_p = jnp.where(
+            jnp.asarray(np.arange(2)[None, None, :] == 0),
+            (qpc_l if which == "v" else qpc_t)[:, :, None],
+            qpc[:, :, None],
+        )
+        qpc_avg = (qpc[:, :, None] + qpc_p + 1) >> 1
+        idx_a = jnp.clip(qpc_avg + a_off[:, :, None], 0, 51)
+        idx_b = jnp.clip(qpc_avg + b_off[:, :, None], 0, 51)
+        ab = jnp.stack([_lut1(ALPHA, idx_a), _lut1(BETA, idx_b)], -1)
+        tc0 = _tc0_of(idx_a, bs)
+        return bs, tc0, ab
+
+    bs_cv, tc0_cv, ab_cv = chroma_dir("v")
+    bs_ch, tc0_ch, ab_ch = chroma_dir("h")
 
     return dict(
         bs_v=bs_v, tc0_v=tc0_v, ab_v=ab_v,
