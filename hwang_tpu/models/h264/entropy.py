@@ -115,6 +115,17 @@ def _declare(lib):
     lib.hw_h264_scaling.argtypes = [
         c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint8)
     ]
+    i64p = c.POINTER(c.c_int64)
+    i16p = c.POINTER(c.c_int16)
+    lib.hw_h264_pack_clip.restype = c.c_int
+    lib.hw_h264_pack_clip.argtypes = [
+        c.POINTER(_GopOut), c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_uint8), i16p, i16p,
+        i64p, i16p, c.c_int64, c.c_int64,
+        i64p, i16p, c.c_int64, c.c_int64,
+        i64p, i16p, c.c_int64, c.c_int64,
+        i64p,
+    ]
     _declared = True
 
 
@@ -165,6 +176,32 @@ class GopTensors:
     @property
     def n_mbs(self) -> int:
         return self.mb_width * self.mb_height
+
+
+def gopout_view(t: "GopTensors") -> "_GopOut":
+    """A _GopOut struct of pointers into a GopTensors' numpy arrays (for
+    native passes over already-decoded spans, e.g. hw_h264_pack_clip).
+    The struct does NOT own the arrays — keep `t` alive while using it."""
+    import ctypes as c
+
+    def vp(a):
+        return a.ctypes.data_as(c.c_void_p)
+
+    return _GopOut(
+        frame_type=vp(t.frame_type), poc=vp(t.poc), ref_map=vp(t.ref_map),
+        ref_map_l1=vp(t.ref_map_l1), mb_kind=vp(t.mb_kind), qp=vp(t.qp),
+        cbp=vp(t.cbp), i4_modes=vp(t.i4_modes), i16_mode=vp(t.i16_mode),
+        chroma_mode=vp(t.chroma_mode), mv=vp(t.mv), mv_l1=vp(t.mv_l1),
+        refidx=vp(t.refidx), refidx_l1=vp(t.refidx_l1),
+        luma_dc=vp(t.luma_dc), luma_ac=vp(t.luma_ac),
+        chroma_dc=vp(t.chroma_dc), chroma_ac=vp(t.chroma_ac),
+        nnz=vp(t.nnz), deblock_idc=vp(t.deblock_idc),
+        alpha_off=vp(t.alpha_off), beta_off=vp(t.beta_off),
+        ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
+        frame_is_ref=vp(t.frame_is_ref), transform8=vp(t.transform8),
+        pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
+        pred_weights_l1=vp(t.pred_weights_l1),
+    )
 
 
 def explicit_b_weighted(t: "GopTensors") -> bool:

@@ -73,20 +73,26 @@ _COEFF_BLOCKS = 26
 
 
 def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
-    """Pack entropy.GopTensors list (one per clip) for one upload."""
+    """Pack entropy.GopTensors list (one per clip) for one upload.
+
+    The per-MB syntax, MV base+exception and sparse-coefficient passes
+    run natively (hw_h264_pack_clip: one cache-friendly sweep per clip,
+    count then fill); the rare per-batch extras (IPCM, pred weights,
+    bi-prediction pair tables, scaling matrices) stay in numpy."""
+    import ctypes
+
+    from ...native import get_lib
+    from .entropy import _declare, gopout_view
+
     B = len(tensors)
     F = pad_frames
     M = tensors[0].mb_width * tensors[0].mb_height
+    lib = get_lib()
+    _declare(lib)
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
-    mv = np.zeros((B, F, M, 16, 2), np.int16)
     hdr = np.zeros((B, F, 34), np.int16)
     hdr[:, :, 17:33] = -1
-    # sparse coefficient extraction per source tensor (never materialize
-    # the dense [B,F,M,26,16] space on the host — it is ~25x the real
-    # data and dominated the pack cost)
-    cpos_parts: list = []
-    cval_parts: list = []
     any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
     ipcm = (
         np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
@@ -117,29 +123,80 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
                 sw8[b] = t.scaling_w8
     t8 = np.zeros((B, F, M), np.uint8) if any_t8 else None
     any_b = any((t.frame_type == 1).any() for t in tensors)
-    mv1 = ridx1 = bi_w = None
+    ridx1 = bi_w = None
     if any_b:
         from .recon import bipred_pair_weights
 
-        mv1 = np.zeros((B, F, M, 16, 2), np.int16)
         ridx1 = np.full((B, F, M, 4), -1, np.int8)
         bi_w = np.full((B, F, 16, 16, 2), 32, np.int16)
 
+    views = [gopout_view(t) for t in tensors]
+
+    def c_pack(b, bufs, counts_out):
+        """One native pass over clip b; bufs None => count mode."""
+        t = tensors[b]
+        if bufs is None:
+            u8p = mvbp = mv1bp = None
+            cp = cv = mp = mvv = m1p = m1v = None
+            ccap = mcap = m1cap = 0
+        else:
+            (u8p, mvbp, mv1bp, cp, cv, ccap, mp, mvv, mcap,
+             m1p, m1v, m1cap) = bufs
+        r = lib.hw_h264_pack_clip(
+            ctypes.byref(views[b]), t.n_frames, M, F,
+            u8p, mvbp, mv1bp,
+            cp, cv, ccap, b * F * M * _COEFF_BLOCKS * 16,
+            mp, mvv, mcap, b * F * M * 16,
+            m1p, m1v, m1cap, b * F * M * 16,
+            counts_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if r != 0:
+            raise RuntimeError("hw_h264_pack_clip overflow")
+
+    counts = np.zeros((B, 3), np.int64)
+    for b in range(B):
+        c_pack(b, None, counts[b])
+    coff = np.concatenate(([0], np.cumsum(counts[:, 0])))
+    moff = np.concatenate(([0], np.cumsum(counts[:, 1])))
+    m1off = np.concatenate(([0], np.cumsum(counts[:, 2])))
+
+    base = np.zeros((B, F, M, 2), np.int16)
+    pos = np.zeros(int(coff[-1]), np.int64)
+    vals = np.zeros(int(coff[-1]), np.int16)
+    mpos = np.zeros(int(moff[-1]), np.int64)
+    mvals = np.zeros((int(moff[-1]), 2), np.int16)
+    base1 = np.zeros((B, F, M, 2), np.int16) if any_b else None
+    m1pos_a = np.zeros(int(m1off[-1]), np.int64)
+    m1vals = np.zeros((int(m1off[-1]), 2), np.int16)
+
+    def p64(a, off=0):
+        return ctypes.cast(
+            ctypes.c_void_p(int(a.ctypes.data) + int(off) * 8),
+            ctypes.POINTER(ctypes.c_int64),
+        )
+
+    def p16(a, off=0):
+        return ctypes.cast(
+            ctypes.c_void_p(int(a.ctypes.data) + int(off) * 2),
+            ctypes.POINTER(ctypes.c_int16),
+        )
+
+    def pu8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    counts2 = np.zeros((B, 3), np.int64)
+    for b in range(B):
+        c_pack(b, (
+            pu8(u8[b]), p16(base, b * F * M * 2),
+            p16(base1, b * F * M * 2) if any_b else None,
+            p64(pos, coff[b]), p16(vals, coff[b]), int(counts[b, 0]),
+            p64(mpos, moff[b]), p16(mvals, 2 * moff[b]), int(counts[b, 1]),
+            p64(m1pos_a, m1off[b]), p16(m1vals, 2 * m1off[b]),
+            int(counts[b, 2]),
+        ), counts2[b])
+
     for b, t in enumerate(tensors):
         n = t.n_frames
-        off = 0
-        for name, width, bias in _U8_FIELDS:
-            if name == "nnzmask":
-                bits = (t.nnz > 0).astype(np.uint32)
-                packed = (bits << np.arange(24)[None, None, :]).sum(-1)
-                a = np.stack(
-                    [packed & 0xFF, (packed >> 8) & 0xFF, packed >> 16], -1
-                )
-            else:
-                a = getattr(t, name).astype(np.int16) + bias
-            u8[b, :n, :, off : off + width] = a.reshape(n, M, width)
-            off += width
-        mv[b, :n] = t.mv
         hdr[b, :n, 0] = t.frame_type
         hdr[b, :n, 1:17] = np.clip(t.ref_map, -1, 32766)
         hdr[b, :n, 17:33] = np.clip(t.ref_map_l1, -1, 32766)
@@ -147,27 +204,10 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
             t.frame_is_ref if t.frame_is_ref is not None else 1
         )
         if any_b:
-            mv1[b, :n] = t.mv_l1
             ridx1[b, :n] = t.refidx_l1
             bi_w[b, :n] = bipred_pair_weights(t)
         if any_t8:
             t8[b, :n] = t.transform8
-        # sparse positions into the unified [B,F,M,26,16] coeff space
-        mb_stride = _COEFF_BLOCKS * 16
-        base_bf = (b * F) * M * mb_stride
-        for arr, blk0 in (
-            (t.luma_ac.reshape(n, M, 256), 0),
-            (t.chroma_ac.reshape(n, M, 128), 16 * 16),
-            (t.luma_dc.reshape(n, M, 16), 24 * 16),
-            (t.chroma_dc.reshape(n, M, 8), 25 * 16),
-        ):
-            p = np.flatnonzero(arr)
-            if len(p) == 0:
-                continue
-            w = arr.shape[-1]
-            fm, k = p // w, p % w
-            cpos_parts.append(base_bf + fm * mb_stride + blk0 + k)
-            cval_parts.append(arr.reshape(-1)[p])
         if any_ipcm:
             ipcm[b, :n] = t.ipcm
         if any_weights:
@@ -187,26 +227,12 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         return pos_p, val_p
 
     total_coeff = B * F * M * _COEFF_BLOCKS * 16
-    if cpos_parts:
-        pos = np.concatenate(cpos_parts)
-        vals = np.concatenate(cval_parts)
-    else:
-        pos = np.zeros(0, np.int64)
-        vals = np.zeros(0, np.int16)
     pos_p, val_p = sparse_pad(pos, vals, total_coeff)
-
-    # MV transport: per-MB base (first 4x4 block) + sparse exceptions for
-    # the blocks of sub-partitioned MBs (most MBs are single-partition)
-    def mv_pack(mvarr):
-        base = mvarr[:, :, :, 0]                        # [B, F, M, 2]
-        diff = (mvarr != base[:, :, :, None]).any(-1)   # [B, F, M, 16]
-        mpos = np.flatnonzero(diff.reshape(-1))
-        mvals = mvarr.reshape(-1, 2)[mpos]
-        return (base,) + sparse_pad(mpos, mvals, diff.size, min_bucket=256)
-
-    base, mpos_p, mval_p = mv_pack(mv)
+    total_mv = B * F * M * 16
+    mpos_p, mval_p = sparse_pad(mpos, mvals, total_mv, min_bucket=256)
     if any_b:
-        base1, mpos1_p, mval1_p = mv_pack(mv1)
+        mpos1_p, mval1_p = sparse_pad(m1pos_a, m1vals, total_mv,
+                                      min_bucket=256)
 
     return PackedBatch(
         u8=jnp.asarray(u8),

@@ -1,0 +1,145 @@
+// Packed host->device transport: native fill of the per-clip portions.
+//
+// pack_gop_batch (hwang_tpu/models/h264/packed.py) assembles the three
+// upload buffers (small per-MB syntax, motion vectors, sparse residual
+// coefficients) from the entropy decoder's SoA tensors.  The numpy inner
+// loops cost ~2.2 s per 32-clip bench chunk (broadcast temporaries +
+// flatnonzero scans); this single cache-friendly sweep does the same work
+// in one pass per clip and runs GIL-free under ctypes, so the Python
+// thread pool parallelizes it across clips.
+//
+// Call once with u8 == NULL to count the sparse entries (coefficients,
+// MV exceptions), then again with buffers sized from the counts.
+// Positions are emitted into the caller's global index space via the
+// *_base offsets, matching packed.py's layout:
+//   coeff: [B, F_pad, M, 26, 16] flattened (blocks 0-15 luma AC,
+//          16-23 chroma AC, 24 luma DC, 25 chroma DC)
+//   mv:    [B, F_pad, M, 16] flattened per 4x4 block
+//
+// Reference parity note: the reference ships compressed bitstream to
+// FFmpeg/NVDEC; this transport is the TPU-native analog (SURVEY.md §7),
+// shipping entropy-decoded syntax in a few dense+sparse buffers.
+
+#include <cstdint>
+#include <cstring>
+
+#include "h264_types.h"
+
+#define HW_API extern "C" __attribute__((visibility("default")))
+
+using namespace hwh264;
+
+namespace {
+
+constexpr int U8_STRIDE = 31;
+constexpr int MB_STRIDE = 26 * 16;  // unified coeff lanes per MB
+
+}  // namespace
+
+// Returns 0 on success, -1 if a sparse buffer capacity was exceeded.
+// counts[0] = coefficient entries, counts[1] = L0 MV exceptions,
+// counts[2] = L1 MV exceptions.  Count-only mode when u8 == NULL.
+HW_API int hw_h264_pack_clip(
+    const GopOut* t, int n_frames, int n_mbs, int f_pad,
+    uint8_t* u8,            // [F_pad, M, 31] this clip's slice
+    int16_t* mv_base,       // [F_pad, M, 2]
+    int16_t* mv1_base,      // [F_pad, M, 2] or NULL (no B frames)
+    int64_t* cpos, int16_t* cval, int64_t ccap, int64_t cbase,
+    int64_t* mpos, int16_t* mval, int64_t mcap, int64_t mbase,
+    int64_t* m1pos, int16_t* m1val, int64_t m1cap, int64_t m1base,
+    int64_t* counts) {
+  const bool count_only = u8 == nullptr;
+  int64_t nc = 0, nm = 0, nm1 = 0;
+
+  for (int f = 0; f < n_frames; f++) {
+    for (int mb = 0; mb < n_mbs; mb++) {
+      const size_t fm = (size_t)f * n_mbs + mb;
+      if (!count_only) {
+        uint8_t* d = u8 + fm * U8_STRIDE;
+        d[0] = t->mb_kind[fm];
+        d[1] = (uint8_t)t->qp[fm];
+        d[2] = (uint8_t)(t->i16_mode[fm] + 1);
+        d[3] = (uint8_t)(t->chroma_mode[fm] + 1);
+        d[4] = t->deblock_idc[fm];
+        d[5] = t->intra_pred_avail[fm];
+        d[6] = (uint8_t)(t->alpha_off[fm] + 128);
+        d[7] = (uint8_t)(t->beta_off[fm] + 128);
+        const int8_t* i4 = t->i4_modes + fm * 16;
+        for (int k = 0; k < 16; k++) d[8 + k] = (uint8_t)(i4[k] + 1);
+        const int8_t* ri = t->refidx + fm * 4;
+        for (int k = 0; k < 4; k++) d[24 + k] = (uint8_t)(ri[k] + 1);
+        const uint8_t* nnz = t->nnz + fm * 24;
+        uint32_t bits = 0;
+        for (int k = 0; k < 24; k++) bits |= (uint32_t)(nnz[k] > 0) << k;
+        d[28] = bits & 0xFF;
+        d[29] = (bits >> 8) & 0xFF;
+        d[30] = bits >> 16;
+      }
+
+      // L0 motion: per-MB base (block 0) + sparse per-4x4 exceptions
+      const int16_t* mv = t->mv + fm * 32;
+      const int16_t bx = mv[0], by = mv[1];
+      if (!count_only) {
+        mv_base[fm * 2] = bx;
+        mv_base[fm * 2 + 1] = by;
+      }
+      for (int k = 1; k < 16; k++) {
+        if (mv[2 * k] != bx || mv[2 * k + 1] != by) {
+          if (!count_only) {
+            if (nm >= mcap) return -1;
+            mpos[nm] = mbase + ((int64_t)f * n_mbs + mb) * 16 + k;
+            mval[2 * nm] = mv[2 * k];
+            mval[2 * nm + 1] = mv[2 * k + 1];
+          }
+          nm++;
+        }
+      }
+      if (mv1_base || count_only) {
+        const int16_t* mv1 = t->mv_l1 ? t->mv_l1 + fm * 32 : nullptr;
+        if (mv1) {
+          const int16_t b1x = mv1[0], b1y = mv1[1];
+          if (!count_only) {
+            mv1_base[fm * 2] = b1x;
+            mv1_base[fm * 2 + 1] = b1y;
+          }
+          for (int k = 1; k < 16; k++) {
+            if (mv1[2 * k] != b1x || mv1[2 * k + 1] != b1y) {
+              if (!count_only) {
+                if (nm1 >= m1cap) return -1;
+                m1pos[nm1] = m1base + ((int64_t)f * n_mbs + mb) * 16 + k;
+                m1val[2 * nm1] = mv1[2 * k];
+                m1val[2 * nm1 + 1] = mv1[2 * k + 1];
+              }
+              nm1++;
+            }
+          }
+        }
+      }
+
+      // sparse coefficients into the unified [26, 16] per-MB lane space
+      const int64_t mb_off = cbase + ((int64_t)f * n_mbs + mb) * MB_STRIDE;
+      const int16_t* la = t->luma_ac + fm * 256;
+      const int16_t* ca = t->chroma_ac + fm * 128;
+      const int16_t* ld = t->luma_dc + fm * 16;
+      const int16_t* cd = t->chroma_dc + fm * 8;
+      const struct { const int16_t* a; int n; int o; } groups[4] = {
+          {la, 256, 0}, {ca, 128, 256}, {ld, 16, 384}, {cd, 8, 400}};
+      for (const auto& g : groups) {
+        for (int k = 0; k < g.n; k++) {
+          if (g.a[k] != 0) {
+            if (!count_only) {
+              if (nc >= ccap) return -1;
+              cpos[nc] = mb_off + g.o + k;
+              cval[nc] = g.a[k];
+            }
+            nc++;
+          }
+        }
+      }
+    }
+  }
+  counts[0] = nc;
+  counts[1] = nm;
+  counts[2] = nm1;
+  return 0;
+}
