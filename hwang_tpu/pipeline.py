@@ -49,7 +49,13 @@ class ClipBatchDecoder:
 
     def __init__(self, paths: Sequence[str], n_refs: int | None = None,
                  io_threads: int = 8, profiler=None):
+        import os
+
         from .utils.profiler import PROFILER
+
+        # more worker threads than cores is pure contention for the
+        # GIL-free native passes (this host often has ONE core)
+        io_threads = max(1, min(io_threads, os.cpu_count() or 1))
 
         self.profiler = profiler or PROFILER
         self.paths = list(paths)
@@ -161,7 +167,10 @@ class ClipBatchDecoder:
             return t
 
         with prof.span("entropy_decode"):
-            tensors = list(self._pool.map(host_decode, jobs))
+            if self._pool._max_workers == 1:
+                tensors = [host_decode(j) for j in jobs]
+            else:
+                tensors = list(self._pool.map(host_decode, jobs))
         prof.increment("spans_decoded", len(jobs))
         prof.increment(
             "frames_decoded", sum(t.n_frames for t in tensors)
@@ -181,7 +190,7 @@ class ClipBatchDecoder:
         H = mb_h * 16 - top - bottom
 
         # bound device memory: the unpacked coefficient tensor is
-        # B*F*M*26*16 int32; chunk the batch so it stays under ~1.5 GB.
+        # B*F*M*26*16 int16; chunk the batch so it stays under ~1.5 GB.
         # Chunks are equal-sized powers of two (padded by repeating the
         # last span) so a straggler chunk doesn't trigger a recompile and
         # pay full wavefront cost for a couple of clips.
@@ -190,7 +199,7 @@ class ClipBatchDecoder:
         index = []
         chunked: list[tuple[int, int, list[int], int]] = []
         for (fpad, cqo), idxs in buckets.items():
-            max_b = max(1, min(64, int(1.5e9 // (fpad * M * 26 * 16 * 4))))
+            max_b = max(1, min(64, int(1.5e9 // (fpad * M * 26 * 16 * 2))))
             n_chunks = -(-len(idxs) // max_b)
             per = -(-len(idxs) // n_chunks)
             bpad = 1 << (per - 1).bit_length()
