@@ -43,6 +43,7 @@ class TpuSpanDecoder:
         self.entropy = H264EntropyDecoder(extradata)
         # ring size: the stream's DPB requirement (SPS max_num_ref_frames)
         self.n_refs = n_refs or max(1, min(self.entropy.max_num_ref_frames, 8))
+        self.entropy.set_ring_slots(self.n_refs)
         self.mb_width = self.entropy.mb_width
         self.mb_height = self.entropy.mb_height
         self.crop = self.entropy.crop  # (left, top, right, bottom)
@@ -65,17 +66,7 @@ class TpuSpanDecoder:
         from ..models.h264.packed import pack_gop_batch
         from ..models.h264.recon_batched import decode_gop_packed
 
-        from ..models.h264.entropy import explicit_b_weighted
-
         t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
-        if explicit_b_weighted(t):
-            # host entropy decode handles explicit-B weight tables, but
-            # the device reconstruction does not apply them yet; error
-            # out so Decoder.retrieve fails over to SOFTWARE
-            raise HwangError(
-                "explicit B weighting (weighted_bipred_idc=1) not yet "
-                "applied on the TPU path"
-            )
         g = pack_gop_batch([t], _bucket(t.n_frames))
         Ys, Us, Vs = decode_gop_packed(
             g, self.mb_width, self.mb_height,

@@ -73,6 +73,7 @@ class _GopOut(ctypes.Structure):
         ("pred_weights", ctypes.c_void_p),
         ("weight_flag", ctypes.c_void_p),
         ("pred_weights_l1", ctypes.c_void_p),
+        ("ring_slot", ctypes.c_void_p),
     ]
 
 
@@ -117,6 +118,8 @@ def _declare(lib):
     ]
     i64p = c.POINTER(c.c_int64)
     i16p = c.POINTER(c.c_int16)
+    lib.hw_h264_set_ring_slots.restype = None
+    lib.hw_h264_set_ring_slots.argtypes = [c.c_void_p, c.c_int]
     lib.hw_h264_pack_clip.restype = c.c_int
     lib.hw_h264_pack_clip.argtypes = [
         c.POINTER(_GopOut), c.c_int, c.c_int, c.c_int,
@@ -167,6 +170,9 @@ class GopTensors:
     weight_flag: np.ndarray = None
     # [F,16,8] per refIdxL1, filled on explicit-B frames (bipred_idc == 1)
     pred_weights_l1: np.ndarray = None
+    # [F] device reference-ring slot this frame writes (-1 = non-ref);
+    # host-computed so long-term/MMCO retention maps onto the ring
+    ring_slot: np.ndarray = None
     frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
     transform8: np.ndarray = None    # [F,M] u8: 8x8 luma transform
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
@@ -200,7 +206,7 @@ def gopout_view(t: "GopTensors") -> "_GopOut":
         ipcm=vp(t.ipcm), intra_pred_avail=vp(t.avail),
         frame_is_ref=vp(t.frame_is_ref), transform8=vp(t.transform8),
         pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
-        pred_weights_l1=vp(t.pred_weights_l1),
+        pred_weights_l1=vp(t.pred_weights_l1), ring_slot=vp(t.ring_slot),
     )
 
 
@@ -249,8 +255,14 @@ class H264EntropyDecoder:
             w8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         self.has_scaling = bool(nonflat)
+        self._ring_slots = 0
         self.scaling_w4 = w4 if nonflat else None
         self.scaling_w8 = w8 if nonflat else None
+
+    def set_ring_slots(self, n: int):
+        """Mirror the device reference-ring size for slot allocation."""
+        self._ring_slots = n
+        self._lib.hw_h264_set_ring_slots(self._h, int(n))
 
     def close(self):
         if self._h:
@@ -305,6 +317,7 @@ class H264EntropyDecoder:
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
             pred_weights_l1=z((F, 16, 8), np.int16),
+            ring_slot=np.full(F, -1, np.int16),
             frame_is_ref=z(F, np.uint8),
             transform8=z((F, M), np.uint8),
             bipred_idc=self.bipred_idc,
@@ -328,6 +341,7 @@ class H264EntropyDecoder:
             frame_is_ref=vp(t.frame_is_ref), transform8=vp(t.transform8),
             pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
             pred_weights_l1=vp(t.pred_weights_l1),
+            ring_slot=vp(t.ring_slot),
         )
 
         dptr, downer = as_u8p(data)

@@ -50,8 +50,8 @@ class PackedBatch(NamedTuple):
     mv_base: jnp.ndarray   # [B, F, M, 2] int16 (the MB's first 4x4 MV)
     mv_exc_val: jnp.ndarray  # [Kv, 2] int16 sub-partition MV exceptions
     mv_exc_pos: jnp.ndarray  # [Kv] int32/int64 into [B*F*M*16] (+1 scratch)
-    hdr: jnp.ndarray       # [B, F, 34] int16 (frame_type, ref_map,
-                           # ref_map_l1, is_ref)
+    hdr: jnp.ndarray       # [B, F, 36] int16 (frame_type, ref_map,
+                           # ref_map_l1, is_ref, ring_slot, bi_explicit)
     coeff_val: jnp.ndarray  # [K] int16
     coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
     ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
@@ -65,6 +65,7 @@ class PackedBatch(NamedTuple):
     refidx_l1: jnp.ndarray | None = None  # [B, F, M, 4] int8
     bi_w: jnp.ndarray | None = None       # [B, F, 16, 16, 2] int16
     transform8: jnp.ndarray | None = None  # [B, F, M] uint8 (High profile)
+    weights_l1: jnp.ndarray | None = None   # [B, F, 16, 8] explicit-B L1
     scaling_w4: jnp.ndarray | None = None   # [B, 6, 16] uint8 weights
     scaling_w8: jnp.ndarray | None = None   # [B, 2, 64]
 
@@ -91,8 +92,9 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     _declare(lib)
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
-    hdr = np.zeros((B, F, 34), np.int16)
+    hdr = np.zeros((B, F, 36), np.int16)
     hdr[:, :, 17:33] = -1
+    hdr[:, :, 34] = -1
     any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
     ipcm = (
         np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
@@ -105,6 +107,16 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         from .recon import _IDENTITY_WEIGHT, weights_or_identity
 
         weights = np.broadcast_to(
+            _IDENTITY_WEIGHT, (B, F, 16, 8)
+        ).copy()
+    from .recon import explicit_b_frames, weights_l1_or_identity
+
+    any_expb = any(explicit_b_frames(t).any() for t in tensors)
+    weights_l1 = None
+    if any_expb:
+        from .recon import _IDENTITY_WEIGHT
+
+        weights_l1 = np.broadcast_to(
             _IDENTITY_WEIGHT, (B, F, 16, 8)
         ).copy()
     any_t8 = any(
@@ -203,6 +215,11 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         hdr[b, :n, 33] = (
             t.frame_is_ref if t.frame_is_ref is not None else 1
         )
+        if t.ring_slot is not None:
+            hdr[b, :n, 34] = t.ring_slot
+        if any_expb:
+            hdr[b, :n, 35] = explicit_b_frames(t)
+            weights_l1[b, :n] = weights_l1_or_identity(t)
         if any_b:
             ridx1[b, :n] = t.refidx_l1
             bi_w[b, :n] = bipred_pair_weights(t)
@@ -244,6 +261,9 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         coeff_pos=jnp.asarray(pos_p),
         ipcm=jnp.asarray(ipcm) if any_ipcm else None,
         weights=jnp.asarray(weights) if any_weights else None,
+        **(
+            {"weights_l1": jnp.asarray(weights_l1)} if any_expb else {}
+        ),
         **({"transform8": jnp.asarray(t8)} if any_t8 else {}),
         **(
             {"scaling_w4": jnp.asarray(sw4), "scaling_w8": jnp.asarray(sw8)}
@@ -323,6 +343,15 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         chroma_dc=coeff[:, :, :, 25, :8].reshape(B, F, M, 2, 4),
         chroma_ac=coeff[:, :, :, 16:24].reshape(B, F, M, 2, 4, 16),
         nnz=nnz24,
+        ring_slot=hdr[..., 34],
+        **(
+            {
+                "weights_l1": p.weights_l1,
+                "bi_explicit": hdr[..., 35],
+            }
+            if p.weights_l1 is not None
+            else {}
+        ),
         deblock_idc=fields["deblock_idc"],
         alpha_off=fields["alpha_off"],
         beta_off=fields["beta_off"],

@@ -44,12 +44,49 @@ _DEC_ORDER = (0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15)
 _IDENTITY_WEIGHT = np.array([1, 0, 1, 0, 1, 0, 0, 0], np.int16)
 
 
+def ring_slot_or_fifo(t) -> np.ndarray:
+    """Per-frame ring slots from the host decoder, or the legacy FIFO
+    allocation (slot = running ref count mod ring size is applied by the
+    caller; here -1 marks non-refs and refs count upward, reduced mod R
+    on device via clip — callers always mod by ring size)."""
+    rs = getattr(t, "ring_slot", None)
+    if rs is not None:
+        return rs
+    isr = (
+        t.frame_is_ref
+        if t.frame_is_ref is not None
+        else np.ones(t.n_frames, np.uint8)
+    )
+    out = np.full(t.n_frames, -1, np.int64)
+    k = 0
+    for f in range(t.n_frames):
+        if isr[f]:
+            out[f] = k
+            k += 1
+    return out
+
+
 def weights_or_identity(t) -> np.ndarray:
     """Per-frame pred weights with identity rows on unweighted frames, so
     the device applies one branch-free formula to every inter pixel."""
     w = t.pred_weights.copy()
     w[t.weight_flag == 0] = _IDENTITY_WEIGHT
     return w
+
+
+def weights_l1_or_identity(t) -> np.ndarray:
+    """Per-frame list-1 explicit weights with identity rows off
+    explicit-B frames."""
+    w = t.pred_weights_l1.copy()
+    w[explicit_b_frames(t) == 0] = _IDENTITY_WEIGHT
+    return w
+
+
+def explicit_b_frames(t) -> np.ndarray:
+    """[F] u8: 1 where the frame uses explicit B weighting."""
+    if getattr(t, "bipred_idc", 0) != 1 or t.weight_flag is None:
+        return np.zeros(t.n_frames, np.uint8)
+    return ((t.frame_type == 1) & (t.weight_flag != 0)).astype(np.uint8)
 
 
 def bipred_pair_weights(t) -> np.ndarray:
@@ -127,6 +164,13 @@ class GopArrays(NamedTuple):
     transform8: jnp.ndarray | None = None  # [F, M] 8x8 luma transform flag
     scaling_w4: jnp.ndarray | None = None  # [6, 16] scaling weights (raster)
     scaling_w8: jnp.ndarray | None = None  # [2, 64] 8x8 intra/inter weights
+    # [F] device reference-ring slot written by each frame (-1 = non-ref).
+    # Host-computed (mirrors DPB retention incl. MMCO/long-term refs).
+    ring_slot: jnp.ndarray | None = None
+    # explicit B weighting (weighted_bipred_idc == 1): per-refIdxL1 uni
+    # tables and the per-frame flag selecting the eq 8-272 bi combine
+    weights_l1: jnp.ndarray | None = None  # [F, 16, 8]
+    bi_explicit: jnp.ndarray | None = None  # [F] 1 = explicit bi combine
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":
@@ -161,6 +205,10 @@ class GopArrays(NamedTuple):
             beta_off=pad(t.beta_off.astype(np.int32)),
             avail=pad(t.avail.astype(np.int32)),
             ipcm=pad(t.ipcm.astype(np.int32)),
+            ring_slot=jnp.asarray(np.pad(
+                ring_slot_or_fifo(t).astype(np.int32), (0, P - F),
+                constant_values=-1,
+            )),
             n_valid_frames=jnp.asarray(F, jnp.int32),
             weights=pad(weights_or_identity(t).astype(np.int32))
             if t.weight_flag is not None and t.weight_flag.any() else None,
@@ -478,7 +526,7 @@ def decode_gop_core(g: GopArrays, mb_w: int, mb_h: int,
     ring_ids0 = jnp.full((R,), -1, jnp.int32)
 
     def frame_step(carry, f):
-        ring_y, ring_u, ring_v, ring_ids, pos = carry
+        ring_y, ring_u, ring_v, ring_ids = carry
         fr = {
             "mb_kind": g.mb_kind[f],
             "qp": g.qp[f],
@@ -538,25 +586,40 @@ def decode_gop_core(g: GopArrays, mb_w: int, mb_h: int,
         U = U.astype(jnp.uint8)
         V = V.astype(jnp.uint8)
 
-        # ring update (every decoded frame is a candidate reference; the
-        # sliding window keeps the last R)
+        # ring update at the host-assigned slot (mirrors DPB retention
+        # incl. MMCO / long-term references); slot -1 = non-reference
+        slot = g.ring_slot[f]
+        isr = slot >= 0
+        pos = jnp.where(isr, slot, 0) % R
         planes = ops_mc.luma_halfpel_planes(Y)
         pu = ops_mc.pad_plane(U)
         pv = ops_mc.pad_plane(V)
+        old_y = jax.lax.dynamic_slice(
+            ring_y, (pos, 0, 0, 0), (1,) + ring_y.shape[1:]
+        )
+        old_u = jax.lax.dynamic_slice(ring_u, (pos, 0, 0),
+                                      (1,) + ring_u.shape[1:])
+        old_v = jax.lax.dynamic_slice(ring_v, (pos, 0, 0),
+                                      (1,) + ring_v.shape[1:])
+        old_id = jax.lax.dynamic_slice(ring_ids, (pos,), (1,))
         ring_y = jax.lax.dynamic_update_slice(
-            ring_y, planes[None], (pos, 0, 0, 0)
+            ring_y, jnp.where(isr, planes[None], old_y), (pos, 0, 0, 0)
         )
-        ring_u = jax.lax.dynamic_update_slice(ring_u, pu[None], (pos, 0, 0))
-        ring_v = jax.lax.dynamic_update_slice(ring_v, pv[None], (pos, 0, 0))
+        ring_u = jax.lax.dynamic_update_slice(
+            ring_u, jnp.where(isr, pu[None], old_u), (pos, 0, 0)
+        )
+        ring_v = jax.lax.dynamic_update_slice(
+            ring_v, jnp.where(isr, pv[None], old_v), (pos, 0, 0)
+        )
         ring_ids = jax.lax.dynamic_update_slice(
-            ring_ids, f[None].astype(jnp.int32), (pos,)
+            ring_ids, jnp.where(isr, f[None].astype(jnp.int32), old_id),
+            (pos,),
         )
-        pos = (pos + 1) % R
-        return (ring_y, ring_u, ring_v, ring_ids, pos), (Y, U, V)
+        return (ring_y, ring_u, ring_v, ring_ids), (Y, U, V)
 
     _, (Ys, Us, Vs) = jax.lax.scan(
         frame_step,
-        (ring_y0, ring_u0, ring_v0, ring_ids0, jnp.asarray(0, jnp.int32)),
+        (ring_y0, ring_u0, ring_v0, ring_ids0),
         jnp.arange(F),
     )
     return Ys, Us, Vs

@@ -46,7 +46,8 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         f for f in GopArrays._fields
         if f not in ("n_valid_frames", "weights", "mv_l1", "refidx_l1",
                      "ref_map_l1", "is_ref", "bi_w", "transform8",
-                     "scaling_w4", "scaling_w8")
+                     "scaling_w4", "scaling_w8", "ring_slot",
+                     "weights_l1", "bi_explicit")
     ]
     for name in names:
         arrs = []
@@ -60,6 +61,12 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
     fields["n_valid_frames"] = jnp.asarray(
         np.array([t.n_frames for t in tensors], np.int32)
     )
+    from .recon import ring_slot_or_fifo
+
+    rs = np.full((len(tensors), pad_frames), -1, np.int32)
+    for b, t in enumerate(tensors):
+        rs[b, : t.n_frames] = ring_slot_or_fifo(t)
+    fields["ring_slot"] = jnp.asarray(rs)
     if any(t.weight_flag is not None and t.weight_flag.any() for t in tensors):
         from .recon import _IDENTITY_WEIGHT
 
@@ -99,6 +106,20 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
                 a[b, : t.n_frames] = get(t)
             return jnp.asarray(a.astype(np.int32))
 
+        from .recon import explicit_b_frames, weights_l1_or_identity
+
+        if any(explicit_b_frames(t).any() for t in tensors):
+            from .recon import _IDENTITY_WEIGHT
+
+            w1 = np.broadcast_to(
+                _IDENTITY_WEIGHT, (len(tensors), pad_frames, 16, 8)
+            ).copy().astype(np.int32)
+            be = np.zeros((len(tensors), pad_frames), np.int32)
+            for b, t in enumerate(tensors):
+                w1[b, : t.n_frames] = weights_l1_or_identity(t)
+                be[b, : t.n_frames] = explicit_b_frames(t)
+            fields["weights_l1"] = jnp.asarray(w1)
+            fields["bi_explicit"] = jnp.asarray(be)
         fields["mv_l1"] = pad_stack(lambda t: t.mv_l1, 0, (
             tensors[0].n_mbs, 16, 2), np.int32)
         fields["refidx_l1"] = pad_stack(lambda t: t.refidx_l1, -1, (
@@ -157,36 +178,51 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
         return py, puv[:, 0], puv[:, 1]
 
     refidx = fr["refidx"]                                     # [B, M, 4]
-    pred_y, pred_u, pred_v = mc_pass(refidx, fr["ref_map"], fr["mv"])
+    raw_y, raw_u, raw_v = mc_pass(refidx, fr["ref_map"], fr["mv"])
+    bidx = jnp.arange(B)[:, None, None]
+
+    from .recon import apply_weighted_pred
+
+    def wmaps(w8, rep_y, rep_c):
+        def m(k, rep):
+            blk = _assemble_b(w8[..., k].reshape(B, M, 2, 2), mb_w, mb_h, 2)
+            return _rep2(blk, rep)
+        return m
 
     wts = fr.get("weights")
     if wts is not None:
-        # explicit weighted prediction (8.4.2.3.2): per-8x8 weight rows
-        # (indexed by refidx) expanded to pixel maps; identity rows on
-        # unweighted frames make the formula a no-op there
-        bi = jnp.arange(B)[:, None, None]
-        w8 = wts[bi, jnp.clip(refidx, 0, 15)]               # [B, M, 4, 8]
-
-        def wmap(k, rep):
-            blk = _assemble_b(w8[..., k].reshape(B, M, 2, 2), mb_w, mb_h, 2)
-            return _rep2(blk, rep)
-
-        from .recon import apply_weighted_pred
-
-        pred_y = apply_weighted_pred(pred_y, wmap(0, 8), wmap(1, 8),
-                                     wmap(6, 8))
-        pred_u = apply_weighted_pred(pred_u, wmap(2, 4), wmap(3, 4),
-                                     wmap(7, 4))
-        pred_v = apply_weighted_pred(pred_v, wmap(4, 4), wmap(5, 4),
-                                     wmap(7, 4))
+        # explicit weighted uni-prediction (8.4.2.3.2): per-8x8 weight
+        # rows (indexed by refIdxL0) expanded to pixel maps; identity
+        # rows on unweighted frames make the formula a no-op there.
+        # Bi-predicted blocks combine the RAW predictions instead.
+        w8 = wts[bidx, jnp.clip(refidx, 0, 15)]             # [B, M, 4, 8]
+        wm = wmaps(w8, 8, 4)
+        pred_y = apply_weighted_pred(raw_y, wm(0, 8), wm(1, 8), wm(6, 8))
+        pred_u = apply_weighted_pred(raw_u, wm(2, 4), wm(3, 4), wm(7, 4))
+        pred_v = apply_weighted_pred(raw_v, wm(4, 4), wm(5, 4), wm(7, 4))
+    else:
+        pred_y, pred_u, pred_v = raw_y, raw_u, raw_v
 
     if fr.get("mv_l1") is not None:
         # B frames: second MC pass over list 1, then per-pixel combine —
         # bi-predicted blocks average with (w0, w1) from the POC pair
-        # table (implicit mode) or (32, 32); uni-L1 blocks take pred1.
+        # table (implicit mode), (32, 32) default, or the explicit
+        # eq 8-272 combine of the per-list tables; uni-L1 blocks take
+        # (possibly explicitly weighted) pred1.
         refidx1 = fr["refidx_l1"]
         p1_y, p1_u, p1_v = mc_pass(refidx1, fr["ref_map_l1"], fr["mv_l1"])
-        bidx = jnp.arange(B)[:, None, None]
+        wts1 = fr.get("weights_l1")
+        if wts1 is not None:
+            w8b = wts1[bidx, jnp.clip(refidx1, 0, 15)]
+            wmb = wmaps(w8b, 8, 4)
+            uni1_y = apply_weighted_pred(p1_y, wmb(0, 8), wmb(1, 8),
+                                         wmb(6, 8))
+            uni1_u = apply_weighted_pred(p1_u, wmb(2, 4), wmb(3, 4),
+                                         wmb(7, 4))
+            uni1_v = apply_weighted_pred(p1_v, wmb(4, 4), wmb(5, 4),
+                                         wmb(7, 4))
+        else:
+            uni1_y, uni1_u, uni1_v = p1_y, p1_u, p1_v
         wpair = fr["bi_w"][
             bidx, jnp.clip(refidx, 0, 15), jnp.clip(refidx1, 0, 15)
         ]                                                     # [B, M, 4, 2]
@@ -195,18 +231,42 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
             return _rep2(_assemble_b(a.reshape(B, M, 2, 2), mb_w, mb_h, 2),
                          rep)
 
+        w0_y, w1_y = emap(wpair[..., 0], 8), emap(wpair[..., 1], 8)
+        bi_y = jnp.clip((raw_y * w0_y + p1_y * w1_y + 32) >> 6, 0, 255)
+        w0_c, w1_c = emap(wpair[..., 0], 4), emap(wpair[..., 1], 4)
+        bi_u = jnp.clip((raw_u * w0_c + p1_u * w1_c + 32) >> 6, 0, 255)
+        bi_v = jnp.clip((raw_v * w0_c + p1_v * w1_c + 32) >> 6, 0, 255)
+
+        if fr.get("bi_explicit") is not None and wts is not None \
+                and wts1 is not None:
+            # explicit bi (eq 8-272): per-list weights at logWD+1 with
+            # the averaged offset, selected per frame by bi_explicit
+            w8a = wts[bidx, jnp.clip(refidx, 0, 15)]
+            w8b2 = wts1[bidx, jnp.clip(refidx1, 0, 15)]
+            wma = wmaps(w8a, 8, 4)
+            wmb2 = wmaps(w8b2, 8, 4)
+
+            def bi_exp(p0, p1, ka, kc, lk, rep):
+                wa, oa = wma(ka, rep), wma(ka + 1, rep)
+                wb, ob = wmb2(ka, rep), wmb2(ka + 1, rep)
+                lwd = wma(lk, rep)
+                v = ((p0 * wa + p1 * wb + (1 << lwd)) >> (lwd + 1)) + (
+                    (oa + ob + 1) >> 1
+                )
+                return jnp.clip(v, 0, 255)
+
+            sel = (fr["bi_explicit"] > 0)[:, None, None]
+            bi_y = jnp.where(sel, bi_exp(raw_y, p1_y, 0, 1, 6, 8), bi_y)
+            bi_u = jnp.where(sel, bi_exp(raw_u, p1_u, 2, 3, 7, 4), bi_u)
+            bi_v = jnp.where(sel, bi_exp(raw_v, p1_v, 4, 5, 7, 4), bi_v)
+
         has1_y = emap(refidx1 >= 0, 8)
         has0_y = emap(refidx >= 0, 8)
-        w0_y, w1_y = emap(wpair[..., 0], 8), emap(wpair[..., 1], 8)
-        bi_y = jnp.clip((pred_y * w0_y + p1_y * w1_y + 32) >> 6, 0, 255)
-        pred_y = jnp.where(has1_y, jnp.where(has0_y, bi_y, p1_y), pred_y)
+        pred_y = jnp.where(has1_y, jnp.where(has0_y, bi_y, uni1_y), pred_y)
         has1_c = emap(refidx1 >= 0, 4)
         has0_c = emap(refidx >= 0, 4)
-        w0_c, w1_c = emap(wpair[..., 0], 4), emap(wpair[..., 1], 4)
-        bi_u = jnp.clip((pred_u * w0_c + p1_u * w1_c + 32) >> 6, 0, 255)
-        bi_v = jnp.clip((pred_v * w0_c + p1_v * w1_c + 32) >> 6, 0, 255)
-        pred_u = jnp.where(has1_c, jnp.where(has0_c, bi_u, p1_u), pred_u)
-        pred_v = jnp.where(has1_c, jnp.where(has0_c, bi_v, p1_v), pred_v)
+        pred_u = jnp.where(has1_c, jnp.where(has0_c, bi_u, uni1_u), pred_u)
+        pred_v = jnp.where(has1_c, jnp.where(has0_c, bi_v, uni1_v), pred_v)
 
     Y = jnp.clip(pred_y + _assemble_b(luma_res, mb_w, mb_h, 16), 0, 255)
     U = jnp.clip(pred_u + _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255)
@@ -546,7 +606,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     ring_ids0 = jnp.full((B, R), -1, jnp.int32)
 
     def frame_step(carry, f):
-        ring_y, ring_u, ring_v, ring_ids, pos = carry
+        ring_y, ring_u, ring_v, ring_ids = carry
         i32 = lambda a: a[:, f].astype(jnp.int32)
         fr = {
             "mb_kind": i32(g.mb_kind),
@@ -560,6 +620,11 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
             "avail": i32(g.avail),
             "weights": i32(g.weights) if g.weights is not None else None,
+            "weights_l1":
+                i32(g.weights_l1) if g.weights_l1 is not None else None,
+            "bi_explicit":
+                g.bi_explicit[:, f].astype(jnp.int32)
+                if g.bi_explicit is not None else None,
             "transform8":
                 i32(g.transform8) if g.transform8 is not None else None,
             "mv_l1": i32(g.mv_l1) if g.mv_l1 is not None else None,
@@ -654,11 +719,9 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
         bidx = jnp.arange(B)
-        isr = (
-            g.is_ref[:, f].astype(bool)
-            if g.is_ref is not None
-            else jnp.ones((B,), bool)
-        )
+        slot = g.ring_slot[:, f]                   # [B] host-assigned
+        isr = slot >= 0
+        pos = jnp.where(isr, slot, 0) % R
         ring_y = ring_y.at[bidx, pos].set(
             jnp.where(isr[:, None, None, None], planes, ring_y[bidx, pos])
         )
@@ -668,12 +731,11 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         ring_ids = ring_ids.at[bidx, pos].set(
             jnp.where(isr, f.astype(jnp.int32), ring_ids[bidx, pos])
         )
-        pos = (pos + isr.astype(jnp.int32)) % R
-        return (ring_y, ring_u, ring_v, ring_ids, pos), (Y, U, V)
+        return (ring_y, ring_u, ring_v, ring_ids), (Y, U, V)
 
     _, (Ys, Us, Vs) = jax.lax.scan(
         frame_step,
-        (ring_y0, ring_u0, ring_v0, ring_ids0, jnp.zeros((B,), jnp.int32)),
+        (ring_y0, ring_u0, ring_v0, ring_ids0),
         jnp.arange(F),
     )
     # scan stacks on axis 0 (frames): -> [B, F, H, W]

@@ -156,15 +156,8 @@ class ClipBatchDecoder:
             dec = decs.get(ex)
             if dec is None:
                 dec = decs[ex] = H264EntropyDecoder(ex)
-            t = dec.decode_gop(job.data, job.offsets, job.sizes)
-            from .models.h264.entropy import explicit_b_weighted
-
-            if explicit_b_weighted(t):
-                raise HwangError(
-                    "explicit B weighting (weighted_bipred_idc=1) not "
-                    "yet applied on the TPU path"
-                )
-            return t
+                dec.set_ring_slots(self.n_refs)
+            return dec.decode_gop(job.data, job.offsets, job.sizes)
 
         with prof.span("entropy_decode"):
             if self._pool._max_workers == 1:

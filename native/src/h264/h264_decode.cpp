@@ -410,11 +410,20 @@ struct Ctx {
   int cur_slice_id = 0;
   int qp_prev = 26;
 
-  // DPB (short-term refs, decode order, most recent first)
+  // DPB (short-term + long-term refs; short-term most recent first)
   std::vector<RefPic> dpb;
   int prev_frame_num = 0;
   int prev_poc_msb = 0, prev_poc_lsb = 0;
   int frame_num_offset = 0;
+  int max_long_term_idx = -1;   // MaxLongTermFrameIdx (-1 = none allowed)
+  // POC values restart at reset points (mid-span IDR, MMCO 5); emitted
+  // POCs get an epoch offset so display order stays globally sortable
+  // while internal deltas (implicit weighting, temporal direct) hold
+  int poc_epoch = 0;
+  int max_poc_emitted = 0;
+  // host model of the device reference ring: slot -> span index (-1 free)
+  int ring_slots = 0;           // 0 = default to sps.max_num_ref_frames
+  std::vector<int> ring_span;
 
   std::string err;
   bool trace = false;
@@ -2371,10 +2380,6 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
     if (idr) {
       sh.no_output_of_prior_pics = br.u1();
       sh.long_term_reference_flag = br.u1();
-      if (sh.long_term_reference_flag) {
-        c.err = "long-term references not supported";
-        return false;
-      }
     } else {
       sh.adaptive_ref_pic_marking = br.u1();
       if (sh.adaptive_ref_pic_marking) {
@@ -2388,10 +2393,6 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_ref_idc, bool idr,
           if (op == 4) v1 = br.ue();
           if (op > 6 || br.error()) {
             c.err = "bad MMCO op";
-            return false;
-          }
-          if (op != 1) {
-            c.err = "MMCO op " + std::to_string(op) + " not supported";
             return false;
           }
           sh.mmco_ops.push_back({op, {v1, v2}});
@@ -2461,8 +2462,27 @@ bool apply_list_mod(Ctx& c, const SliceHeader& sh,
       }
       l.resize(std::max(nIdx, (size_t)n_active));
     } else {
-      c.err = "long-term ref list modification not supported";
-      return false;
+      // idc == 2: long_term_pic_num (frames: == long_term_frame_idx)
+      int lt_num = (int)val;
+      RefPic target;
+      bool found = false;
+      for (auto& r : c.dpb)
+        if (r.long_term && r.long_term_idx == lt_num) {
+          target = r;
+          found = true;
+        }
+      if (!found) {
+        c.err = "ref list modification: long_term_pic_num not in DPB";
+        return false;
+      }
+      for (size_t i = l.size() - 1; i > refIdx; i--) l[i] = l[i - 1];
+      l[refIdx++] = target;
+      size_t nIdx = refIdx;
+      for (size_t i = refIdx; i < l.size(); i++) {
+        if (!(l[i].long_term && l[i].long_term_idx == lt_num))
+          l[nIdx++] = l[i];
+      }
+      l.resize(std::max(nIdx, (size_t)n_active));
     }
   }
   list = l;
@@ -2477,10 +2497,17 @@ bool build_ref_list_p(Ctx& c, SliceHeader& sh, std::vector<RefPic>& list0) {
     r.pic_num = r.frame_num > sh.frame_num ? r.frame_num - max_frame_num
                                            : r.frame_num;
   }
-  // initial list: descending pic_num
-  list0 = c.dpb;
-  std::sort(list0.begin(), list0.end(),
+  // initial list: short-term descending pic_num, then long-term
+  // ascending LongTermPicNum (spec 8.2.4.2.1)
+  std::vector<RefPic> st, lt;
+  for (auto& r : c.dpb) (r.long_term ? lt : st).push_back(r);
+  std::sort(st.begin(), st.end(),
             [](const RefPic& a, const RefPic& b) { return a.pic_num > b.pic_num; });
+  std::sort(lt.begin(), lt.end(), [](const RefPic& a, const RefPic& b) {
+    return a.long_term_idx < b.long_term_idx;
+  });
+  list0 = st;
+  list0.insert(list0.end(), lt.begin(), lt.end());
   if (!apply_list_mod(c, sh, sh.ref_list_mod_l0, sh.num_ref_idx_l0_active,
                       list0))
     return false;
@@ -2502,16 +2529,26 @@ bool build_ref_list_b(Ctx& c, SliceHeader& sh, int poc_cur,
     r.pic_num = r.frame_num > sh.frame_num ? r.frame_num - max_frame_num
                                            : r.frame_num;
   }
-  std::vector<RefPic> before, after;
-  for (auto& r : c.dpb) (r.poc < poc_cur ? before : after).push_back(r);
+  std::vector<RefPic> before, after, lt;
+  for (auto& r : c.dpb) {
+    if (r.long_term)
+      lt.push_back(r);
+    else
+      (r.poc < poc_cur ? before : after).push_back(r);
+  }
   std::sort(before.begin(), before.end(),
             [](const RefPic& a, const RefPic& b) { return a.poc > b.poc; });
   std::sort(after.begin(), after.end(),
             [](const RefPic& a, const RefPic& b) { return a.poc < b.poc; });
+  std::sort(lt.begin(), lt.end(), [](const RefPic& a, const RefPic& b) {
+    return a.long_term_idx < b.long_term_idx;
+  });
   list0 = before;
   list0.insert(list0.end(), after.begin(), after.end());
+  list0.insert(list0.end(), lt.begin(), lt.end());
   list1 = after;
   list1.insert(list1.end(), before.begin(), before.end());
+  list1.insert(list1.end(), lt.begin(), lt.end());
   if (list1.size() > 1) {
     bool same = list0.size() == list1.size();
     for (size_t i = 0; same && i < list0.size(); i++)
@@ -2584,8 +2621,7 @@ bool parse_avcc(Ctx& c, const uint8_t* data, int len) {
 int poc_of_frame(Ctx& c, const SliceHeader& sh) {
   if (c.sps.pic_order_cnt_type != 0) {
     // Types 1/2 derive POC from frame_num, which WRAPS at MaxFrameNum:
-    // maintain FrameNumOffset per spec 8.2.1.3 (type 1 is approximated
-    // as frame_num order — x264 emits types 0/2 — but stays wrap-safe).
+    // maintain FrameNumOffset per spec 8.2.1.3.
     int max_fn = 1 << c.sps.log2_max_frame_num;
     if (sh.is_idr) {
       c.frame_num_offset = 0;
@@ -2593,9 +2629,30 @@ int poc_of_frame(Ctx& c, const SliceHeader& sh) {
       c.frame_num_offset += max_fn;
     }
     c.prev_frame_num = sh.frame_num;
-    int poc = 2 * (c.frame_num_offset + sh.frame_num);
-    if (c.sps.pic_order_cnt_type == 2 && sh.nal_ref_idc == 0) poc -= 1;
-    return poc;
+    if (c.sps.pic_order_cnt_type == 2) {
+      int poc = 2 * (c.frame_num_offset + sh.frame_num);
+      if (sh.nal_ref_idc == 0) poc -= 1;
+      return poc;
+    }
+    // type 1 (spec 8.2.1.2), frames only
+    int64_t abs_fn = (int64_t)c.frame_num_offset + sh.frame_num;
+    if (sh.nal_ref_idc == 0 && abs_fn > 0) abs_fn -= 1;
+    const auto& offs = c.sps.offset_for_ref_frame;
+    int n_cycle = (int)offs.size();
+    int64_t expected = 0;
+    if (abs_fn > 0 && n_cycle > 0) {
+      int64_t cycle_cnt = (abs_fn - 1) / n_cycle;
+      int fn_in_cycle = (int)((abs_fn - 1) % n_cycle);
+      int64_t delta_per_cycle = 0;
+      for (int v : offs) delta_per_cycle += v;
+      expected = cycle_cnt * delta_per_cycle;
+      for (int i = 0; i <= fn_in_cycle; i++) expected += offs[i];
+    }
+    if (sh.nal_ref_idc == 0) expected += c.sps.offset_for_non_ref_pic;
+    int64_t top = expected + sh.delta_pic_order_cnt[0];
+    int64_t bottom = top + c.sps.offset_for_top_to_bottom_field +
+                     sh.delta_pic_order_cnt[1];
+    return (int)(top < bottom ? top : bottom);
   }
   // pic_order_cnt_type 0 (spec 8.2.1.1), frames only
   int max_lsb = 1 << c.sps.log2_max_poc_lsb;
@@ -2743,6 +2800,12 @@ HW_API int hw_h264_bipred_idc(void* h) {
   return p->c.pps_map.begin()->second.weighted_bipred_idc;
 }
 
+// Size of the device reference ring the host should mirror when
+// allocating slots (0 = default to SPS max_num_ref_frames).
+HW_API void hw_h264_set_ring_slots(void* h, int n) {
+  static_cast<PublicCtx*>(h)->c.ring_slots = n;
+}
+
 HW_API int hw_h264_max_refs(void* h) {
   auto* p = static_cast<PublicCtx*>(h);
   return p->c.have_active ? p->c.sps.max_num_ref_frames : 1;
@@ -2771,6 +2834,10 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
   c.prev_frame_num = -1;
   c.frame_num_offset = 0;
   c.prev_poc_msb = c.prev_poc_lsb = 0;
+  c.max_long_term_idx = -1;
+  c.ring_span.clear();
+  c.poc_epoch = 0;
+  c.max_poc_emitted = 0;
   c.mbs.assign(c.n_mbs, MbState());
 
   int fidx = 0;
@@ -2841,9 +2908,14 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
         }
         if (!got_slice) {
           // first slice of this access unit: frame-level bookkeeping
-          if (sc.sh.is_idr) c.dpb.clear();
+          if (sc.sh.is_idr) {
+            c.dpb.clear();
+            if (fidx > 0) c.poc_epoch = c.max_poc_emitted + 2;
+          }
           out->frame_type[fidx] = (uint8_t)sc.sh.slice_type;
-          out->poc[fidx] = poc_of_frame(c, sc.sh);
+          out->poc[fidx] = poc_of_frame(c, sc.sh) + c.poc_epoch;
+          if (out->poc[fidx] > c.max_poc_emitted)
+            c.max_poc_emitted = out->poc[fidx];
           if (out->frame_is_ref) out->frame_is_ref[fidx] = nal_ref_idc != 0;
           if (out->weight_flag) {
             out->weight_flag[fidx] = sc.sh.has_pred_weights ? 1 : 0;
@@ -2924,41 +2996,150 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
     }
 
     if (got_slice) {
-      // reference marking (spec 8.2.5): adaptive MMCO when signalled
-      // (x264 b-pyramid manages the B-ref with MMCO op 1), else sliding
-      // window
+      // reference marking (spec 8.2.5): IDR flags, full MMCO (1-6 with
+      // long-term references), else sliding window
       if (first_sh.nal_ref_idc != 0) {
-        if (first_sh.adaptive_ref_pic_marking) {
-          int max_frame_num = 1 << c.sps.log2_max_frame_num;
+        int max_frame_num = 1 << c.sps.log2_max_frame_num;
+        RefPic cur;
+        cur.span_index = fidx;
+        cur.frame_num = first_sh.frame_num;
+        cur.poc = out->poc[fidx];
+        if (first_sh.is_idr) {
+          c.dpb.clear();
+          if (first_sh.long_term_reference_flag) {
+            cur.long_term = true;
+            cur.long_term_idx = 0;
+            c.max_long_term_idx = 0;
+          } else {
+            c.max_long_term_idx = -1;
+          }
+          c.dpb.insert(c.dpb.begin(), cur);
+        } else if (first_sh.adaptive_ref_pic_marking) {
+          auto pic_num_of = [&](const RefPic& r) {
+            return r.frame_num > first_sh.frame_num
+                       ? r.frame_num - max_frame_num
+                       : r.frame_num;
+          };
           for (auto& [op, vals] : first_sh.mmco_ops) {
-            if (op != 1) continue;  // others rejected at parse
-            int pic_num_x = first_sh.frame_num - (int)(vals.first + 1);
-            for (size_t i = 0; i < c.dpb.size(); i++) {
-              int pn = c.dpb[i].frame_num > first_sh.frame_num
-                           ? c.dpb[i].frame_num - max_frame_num
-                           : c.dpb[i].frame_num;
-              if (pn == pic_num_x) {
-                c.dpb.erase(c.dpb.begin() + i);
-                break;
+            if (op == 1 || op == 3) {
+              int pic_num_x = first_sh.frame_num - (int)(vals.first + 1);
+              for (size_t i = 0; i < c.dpb.size(); i++) {
+                if (!c.dpb[i].long_term &&
+                    pic_num_of(c.dpb[i]) == pic_num_x) {
+                  if (op == 1) {
+                    c.dpb.erase(c.dpb.begin() + i);
+                  } else {
+                    // op 3: assign long_term_frame_idx (unmark any LT
+                    // already holding it, 8.2.5.4.3)
+                    int idx = (int)vals.second;
+                    for (size_t j = 0; j < c.dpb.size(); j++)
+                      if (c.dpb[j].long_term &&
+                          c.dpb[j].long_term_idx == idx) {
+                        c.dpb.erase(c.dpb.begin() + j);
+                        if (j < i) i--;
+                        break;
+                      }
+                    c.dpb[i].long_term = true;
+                    c.dpb[i].long_term_idx = idx;
+                  }
+                  break;
+                }
               }
+            } else if (op == 2) {
+              int lt_num = (int)vals.first;
+              for (size_t i = 0; i < c.dpb.size(); i++)
+                if (c.dpb[i].long_term &&
+                    c.dpb[i].long_term_idx == lt_num) {
+                  c.dpb.erase(c.dpb.begin() + i);
+                  break;
+                }
+            } else if (op == 4) {
+              c.max_long_term_idx = (int)vals.first - 1;
+              for (size_t i = c.dpb.size(); i-- > 0;)
+                if (c.dpb[i].long_term &&
+                    c.dpb[i].long_term_idx > c.max_long_term_idx)
+                  c.dpb.erase(c.dpb.begin() + i);
+            } else if (op == 5) {
+              c.dpb.clear();
+              c.max_long_term_idx = -1;
+              c.frame_num_offset = 0;
+              c.prev_frame_num = 0;
+              c.prev_poc_msb = c.prev_poc_lsb = 0;
+              // the MMCO5 picture is treated as having PicOrderCnt 0
+              // (8.2.1); emitted with the new epoch so ordering holds
+              c.poc_epoch = c.max_poc_emitted + 2;
+              out->poc[fidx] = c.poc_epoch;
+              if (out->poc[fidx] > c.max_poc_emitted)
+                c.max_poc_emitted = out->poc[fidx];
+              cur.poc = out->poc[fidx];
+              cur.frame_num = 0;
+            } else if (op == 6) {
+              int idx = (int)vals.first;
+              for (size_t i = c.dpb.size(); i-- > 0;)
+                if (c.dpb[i].long_term && c.dpb[i].long_term_idx == idx)
+                  c.dpb.erase(c.dpb.begin() + i);
+              cur.long_term = true;
+              cur.long_term_idx = idx;
             }
           }
-          RefPic r;
-          r.span_index = fidx;
-          r.frame_num = first_sh.frame_num;
-          r.poc = out->poc[fidx];
-          c.dpb.insert(c.dpb.begin(), r);
+          c.dpb.insert(c.dpb.begin(), cur);
           if ((int)c.dpb.size() > 16) c.dpb.resize(16);
         } else {
-          RefPic r;
-          r.span_index = fidx;
-          r.frame_num = first_sh.frame_num;
-          r.poc = out->poc[fidx];
-          c.dpb.insert(c.dpb.begin(), r);
+          // sliding window (8.2.5.3): evict the short-term ref with the
+          // smallest FrameNumWrap when full (long-term refs persist)
           int max_refs =
               c.sps.max_num_ref_frames > 0 ? c.sps.max_num_ref_frames : 1;
-          if ((int)c.dpb.size() > max_refs) c.dpb.resize(max_refs);
+          if ((int)c.dpb.size() >= max_refs) {
+            int victim = -1, victim_fnw = 0;
+            for (size_t i = 0; i < c.dpb.size(); i++) {
+              if (c.dpb[i].long_term) continue;
+              int fnw = c.dpb[i].frame_num > first_sh.frame_num
+                            ? c.dpb[i].frame_num - max_frame_num
+                            : c.dpb[i].frame_num;
+              if (victim < 0 || fnw < victim_fnw) {
+                victim = (int)i;
+                victim_fnw = fnw;
+              }
+            }
+            if (victim < 0) {
+              snprintf(p->errbuf, sizeof(p->errbuf),
+                       "DPB full of long-term references");
+              return -1;
+            }
+            c.dpb.erase(c.dpb.begin() + victim);
+          }
+          c.dpb.insert(c.dpb.begin(), cur);
         }
+        // device reference-ring placement: pick a slot whose occupant is
+        // no longer in the DPB (the host mirrors the on-device ring)
+        int n_slots = c.ring_slots > 0
+                          ? c.ring_slots
+                          : (c.sps.max_num_ref_frames > 0
+                                 ? c.sps.max_num_ref_frames
+                                 : 1);
+        if ((int)c.ring_span.size() != n_slots)
+          c.ring_span.assign(n_slots, -1);
+        int slot = -1;
+        for (int si = 0; si < n_slots; si++) {
+          int occ = c.ring_span[si];
+          bool live = false;
+          for (auto& r : c.dpb)
+            if (r.span_index == occ && r.span_index != fidx) live = true;
+          if (occ < 0 || !live) {
+            slot = si;
+            break;
+          }
+        }
+        if (slot < 0) {
+          snprintf(p->errbuf, sizeof(p->errbuf),
+                   "reference ring too small for this stream (need > %d)",
+                   n_slots);
+          return -1;
+        }
+        c.ring_span[slot] = fidx;
+        if (out->ring_slot) out->ring_slot[fidx] = (int16_t)slot;
+      } else if (out->ring_slot) {
+        out->ring_slot[fidx] = -1;
       }
       fidx++;
       // reset per-picture MB state

@@ -175,6 +175,8 @@ struct GopOut {
   int16_t* pred_weights_l1 = nullptr;  // [F*16*8] per (frame, refIdxL1);
                                        // only filled on explicit-B frames
                                        // (weighted_bipred_idc == 1)
+  int16_t* ring_slot = nullptr;        // [F] device reference-ring slot the
+                                       // frame writes (-1 = not a reference)
 };
 
 }  // namespace hwh264
