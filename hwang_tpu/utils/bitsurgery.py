@@ -683,3 +683,219 @@ def write_mp4(path: str, samples: list, keyframes: list, width: int,
         f.write(ftyp)
         f.write(moov)
         f.write(_box(b"mdat", mdat_payload))
+
+
+# ---------------------------------------------------------------------------
+# Raw I_PCM stream synthesis (the one MB type an encoder can emit without
+# any rate-distortion machinery).  x264 never produces I_PCM in practice,
+# so conformance coverage needs streams built from scratch.
+# ---------------------------------------------------------------------------
+
+
+class CabacEnc:
+    """Minimal CABAC encoder (spec 9.3.4): context bins, terminate,
+    flush — just enough to emit I_PCM macroblock headers."""
+
+    def __init__(self, writer: BitWriter):
+        self.w = writer
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+
+    def _put(self, b: int):
+        if self.first:
+            self.first = False
+        else:
+            self.w.u1(b)
+        while self.outstanding:
+            self.w.u1(1 - b)
+            self.outstanding -= 1
+
+    def _renorm(self):
+        while self.range < 256:
+            if self.low >= 512:
+                self._put(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.low <<= 1
+            self.range <<= 1
+
+    def encode(self, states: bytearray, idx: int, binval: int):
+        from ..models.h264 import entropy  # noqa: F401  (table source note)
+        s = states[idx]
+        state = s >> 1
+        mps = s & 1
+        rlps = _LPS_TABLE[state][(self.range >> 6) & 3]
+        self.range -= rlps
+        if binval != mps:
+            self.low += self.range
+            self.range = rlps
+            if state == 0:
+                mps = 1 - mps
+            states[idx] = (_TRANS_LPS[state] << 1) | mps
+        else:
+            states[idx] = (min(state + 1, 62) << 1) | mps
+        self._renorm()
+
+    def terminate(self, binval: int):
+        self.range -= 2
+        if binval:
+            self.low += self.range
+            self.range = 2
+            self._flush()
+        else:
+            self._renorm()
+
+    def _flush(self):
+        self.range = 2
+        self._renorm()
+        self._put((self.low >> 9) & 1)
+        # WriteBits(((low >> 7) & 3) | 1, 2)
+        v = ((self.low >> 7) & 3) | 1
+        self._put((v >> 1) & 1)
+        # second bit written directly (no outstanding handling needed)
+        self.w.u1(v & 1)
+
+    def restart(self):
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+
+
+# CABAC engine tables (spec 9.3.3.2.1 / Table 9-44 and state transitions),
+# mirrored from native/src/h264/h264_cabac_tables.h.
+def _load_cabac_tables():
+    import re
+
+    src = open(
+        __file__.replace("utils/bitsurgery.py",
+                         "../native/src/h264/h264_cabac_tables.h")
+        .replace("hwang_tpu/../", ""), "r").read()
+    def grab(name, n):
+        m = re.search(name + r"\[\]?[^{]*\{(.*?)\};", src, re.S)
+        vals = [int(x) for x in re.findall(r"\d+", m.group(1))]
+        return vals
+    lps = grab(r"kRangeTabLPS", 64 * 4)
+    lps = [lps[i * 4:(i + 1) * 4] for i in range(64)]
+    return lps, grab(r"kTransIdxLPS", 64)
+
+
+_LPS_TABLE, _TRANS_LPS = _load_cabac_tables()
+
+
+def _cabac_ctx_init(qp: int):
+    """Initial context states for I slices (cabac_init_idc n/a): spec
+    9.3.1.1 with the (m, n) of ctx 0..67 (we only use mb_type ctx 3-5)."""
+    # (m, n) for ctxIdx 0..10 (Table 9-12 subset; mb_type I contexts 3-7)
+    mn = {3: (20, -15), 4: (2, 54), 5: (3, 74), 6: (20, -15), 7: (2, 54)}
+    states = bytearray(1024)
+    for idx, (m, n) in mn.items():
+        pre = max(1, min(126, ((m * max(0, min(51, qp))) >> 4) + n))
+        if pre <= 63:
+            states[idx] = ((63 - pre) << 1) | 0
+        else:
+            states[idx] = ((pre - 64) << 1) | 1
+    return states
+
+
+def make_ipcm_mp4(path: str, n_frames: int, width: int, height: int,
+                  cabac: bool = False, seed: int = 0):
+    """Write an MP4 whose every macroblock is I_PCM (raw samples).
+
+    Exercises the raw-passthrough path and, under CABAC, the engine
+    flush / byte-align / re-init around pcm samples (spec 9.3.1.2).
+    Returns the per-frame YUV planes for direct comparison.
+    """
+    import numpy as np
+
+    mb_w, mb_h = width // 16, height // 16
+    assert width % 16 == 0 and height % 16 == 0
+    rng = np.random.RandomState(seed)
+    sps = Sps(profile_idc=66 if not cabac else 77, level_idc=30,
+              log2_max_frame_num=4, log2_max_poc_lsb=4,
+              max_num_ref_frames=1, pic_width_in_mbs=mb_w,
+              pic_height_in_map_units=mb_h, crop=None,
+              vui_bits=[0, 1])  # vui_present=0 + rbsp stop bit
+    pps = Pps(entropy_coding_mode=1 if cabac else 0,
+              tail_bits=[1])  # rbsp stop bit
+    sps_nal = bytes([0x67]) + add_ep(emit_sps(sps))
+    pps_nal = bytes([0x68]) + add_ep(emit_pps(pps))
+
+    frames = []
+    samples = []
+    for f in range(n_frames):
+        Y = rng.randint(0, 256, (height, width)).astype(np.uint8)
+        U = rng.randint(0, 256, (height // 2, width // 2)).astype(np.uint8)
+        V = rng.randint(0, 256, (height // 2, width // 2)).astype(np.uint8)
+        frames.append((Y, U, V))
+
+        w = BitWriter()
+        # slice header: IDR I slice every frame
+        w.ue(0)            # first_mb_in_slice
+        w.ue(7)            # slice_type = I (all slices)
+        w.ue(0)            # pps id
+        w.u(4, 0)          # frame_num
+        w.ue(f)            # idr_pic_id
+        w.u(4, 0)          # pic_order_cnt_lsb
+        w.u1(0)            # no_output_of_prior_pics
+        w.u1(0)            # long_term_reference_flag
+        w.se(0)            # slice_qp_delta
+
+        def pcm_payload(mb):
+            my, mx = (mb // mb_w) * 16, (mb % mb_w) * 16
+            out = bytearray()
+            out += Y[my:my + 16, mx:mx + 16].tobytes()
+            out += U[my // 2:my // 2 + 8, mx // 2:mx // 2 + 8].tobytes()
+            out += V[my // 2:my // 2 + 8, mx // 2:mx // 2 + 8].tobytes()
+            return bytes(out)
+
+        if not cabac:
+            for mb in range(mb_w * mb_h):
+                w.ue(25)   # mb_type I_PCM
+                while w.bit_length() % 8:
+                    w.u1(0)  # pcm_alignment_zero_bit
+                for b in pcm_payload(mb):
+                    w.u(8, b)
+            w.rbsp_trailing()
+        else:
+            w.align_ones()  # cabac_alignment_one_bit
+            states = _cabac_ctx_init(26)
+            enc = CabacEnc(w)
+            n_mbs = mb_w * mb_h
+            for mb in range(n_mbs):
+                # mb_type prefix: ctxIdxOffset 3, inc from available
+                # non-I_NxN neighbors (I_PCM counts)
+                inc = 0
+                if mb % mb_w:
+                    inc += 1
+                if mb >= mb_w:
+                    inc += 1
+                enc.encode(states, 3 + inc, 1)
+                enc.terminate(1)  # I_PCM escape
+                while w.bit_length() % 8:
+                    w.u1(0)
+                for b in pcm_payload(mb):
+                    w.u(8, b)
+                enc.restart()
+                enc.terminate(0 if mb + 1 < n_mbs else 1)  # end_of_slice
+            while w.bit_length() % 8:
+                w.u1(0)  # cabac_zero / pad to byte
+        slice_nal = bytes([0x65]) + add_ep(w.to_bytes())
+        samples.append(
+            len(sps_nal).to_bytes(4, "big") + sps_nal
+            + len(pps_nal).to_bytes(4, "big") + pps_nal
+            + len(slice_nal).to_bytes(4, "big") + slice_nal
+        )
+
+    avcc = bytes([1, sps.profile_idc, 0, sps.level_idc, 0xFC | 3,
+                  0xE0 | 1])
+    avcc += struct.pack(">H", len(sps_nal)) + sps_nal
+    avcc += bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal
+    write_mp4(path, samples, list(range(n_frames)), width, height, avcc)
+    return frames

@@ -70,6 +70,24 @@ class Cabac {
     return 0;
   }
 
+  // I_PCM support: after terminate() == 1 for an I_PCM escape, the bit
+  // cursor (incl. the 9-bit preload) sits exactly at the encoder's
+  // post-flush position; the caller byte-aligns, reads the raw sample
+  // bytes, and restarts decoding with a fresh engine init (9.3.1.2).
+  void byte_align() { pos_ = (pos_ + 7) & ~(size_t)7; }
+
+  int raw_u8() {
+    int v = 0;
+    for (int i = 0; i < 8; i++) v = (v << 1) | (int)bit();
+    return v;
+  }
+
+  void reinit() {
+    range_ = 510;
+    offset_ = 0;
+    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | bit();
+  }
+
  private:
   uint32_t bit() {
     if (pos_ >= nbits_) {

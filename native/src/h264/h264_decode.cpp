@@ -2015,10 +2015,27 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     M.cbp = (uint8_t)(cbp_luma | (cbp_chroma << 4));
     out->cbp[base] = M.cbp;
   } else {
-    // I_PCM under CABAC requires re-initialising the engine past raw
-    // sample bytes; x264 only emits PCM near QP 0, so keep it an error.
-    c.err = "I_PCM in CABAC stream not supported";
-    return false;
+    // ----- I_PCM (7.3.5 + 9.3.1.2): flush the engine, read the raw
+    // samples byte-aligned, then restart arithmetic decoding -----
+    M.kind = MB_IPCM;
+    M.intra = 1;
+    // after terminate()==1 the engine's bit cursor sits exactly at the
+    // encoder's post-flush position (the 9-bit preload cancels the
+    // encoder's flush emission) — just byte-align and read raw samples
+    cb.byte_align();
+    uint8_t* dst = out->ipcm + base * 384;
+    for (int i = 0; i < 384; i++) dst[i] = (uint8_t)cb.raw_u8();
+    if (cb.error()) {
+      c.err = "ipcm overrun (cabac)";
+      return false;
+    }
+    cb.reinit();
+    for (int i = 0; i < 24; i++) M.nnz[i] = 16;
+    M.qp = (int8_t)c.qp_prev;
+    out->mb_kind[base] = M.kind;
+    out->qp[base] = M.qp;
+    memcpy(out->nnz + base * 24, M.nnz, 24);
+    return true;
   }
 
   // intra_chroma_pred_mode (TU3, ctx 64-67; 9.3.3.1.1.8)

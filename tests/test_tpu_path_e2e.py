@@ -160,3 +160,31 @@ def test_tpu_frame_num_wrap_poc_type2(tmp_path):
                  output_format="yuv420") as dec:
         out = dec.retrieve(rows)
     _assert_yuv_exact(p, rows, out)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_tpu_ipcm_bit_exact(tmp_path, entropy):
+    """I_PCM macroblocks: raw-sample passthrough under CAVLC, and the
+    CABAC engine flush/realign/reinit around the raw bytes (spec 7.3.5 +
+    9.3.1.2).  x264 never emits I_PCM, so the stream is synthesized from
+    scratch (utils/bitsurgery.make_ipcm_mp4, incl. a minimal CABAC
+    encoder) and validated against libavcodec."""
+    from hwang_tpu.utils.bitsurgery import make_ipcm_mp4
+
+    p = str(tmp_path / f"ipcm_{entropy}.mp4")
+    make_ipcm_mp4(p, 3, 64, 48, cabac=(entropy == "cabac"), seed=7)
+
+    from hwang_tpu import index_video
+    from hwang_tpu.models.h264.entropy import H264EntropyDecoder
+
+    idx = index_video(p)
+    dec = H264EntropyDecoder(idx.metadata_bytes)
+    t = dec.decode_gop(open(p, "rb").read(), idx.sample_offsets,
+                       idx.sample_sizes)
+    assert (t.mb_kind == 4).all(), "every MB should be I_PCM"
+
+    rows = [0, 2]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as d:
+        out = d.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
