@@ -119,12 +119,15 @@ def main():
     log(f"p50 seek-to-frame latency (GOP-tail frame): "
         f"{lat[len(lat)//2]*1e3:.0f} ms")
 
-    # FFmpeg single-core baseline on the same gather
-    t0 = time.time()
-    for p, r in zip(paths, rows):
-        with Decoder(p, num_devices=1) as d:
-            d.retrieve(r)
-    ff_time = time.time() - t0
+    # FFmpeg single-core baseline on the same gather (best of 3 — the
+    # host CPU timing is as noisy as the relay)
+    ff_time = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for p, r in zip(paths, rows):
+            with Decoder(p, num_devices=1) as d:
+                d.retrieve(r)
+        ff_time = min(ff_time, time.time() - t0)
     ff_fps = n_total / ff_time
     log(f"ffmpeg 1-thread: {ff_time*1e3:.0f} ms -> {ff_fps:.1f} fps")
 

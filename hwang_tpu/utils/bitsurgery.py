@@ -726,18 +726,18 @@ class CabacEnc:
             self.range <<= 1
 
     def encode(self, states: bytearray, idx: int, binval: int):
-        from ..models.h264 import entropy  # noqa: F401  (table source note)
+        lps, trans_lps = _tables()
         s = states[idx]
         state = s >> 1
         mps = s & 1
-        rlps = _LPS_TABLE[state][(self.range >> 6) & 3]
+        rlps = lps[state][(self.range >> 6) & 3]
         self.range -= rlps
         if binval != mps:
             self.low += self.range
             self.range = rlps
             if state == 0:
                 mps = 1 - mps
-            states[idx] = (_TRANS_LPS[state] << 1) | mps
+            states[idx] = (trans_lps[state] << 1) | mps
         else:
             states[idx] = (min(state + 1, 62) << 1) | mps
         self._renorm()
@@ -786,7 +786,15 @@ def _load_cabac_tables():
     return lps, grab(r"kTransIdxLPS", 64)
 
 
-_LPS_TABLE, _TRANS_LPS = _load_cabac_tables()
+_LPS_TABLE = None
+_TRANS_LPS = None
+
+
+def _tables():
+    global _LPS_TABLE, _TRANS_LPS
+    if _LPS_TABLE is None:
+        _LPS_TABLE, _TRANS_LPS = _load_cabac_tables()
+    return _LPS_TABLE, _TRANS_LPS
 
 
 def _cabac_ctx_init(qp: int):
