@@ -701,7 +701,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
                 "HWANG_DEBLOCK",
                 "pallas" if _dbp._is_tpu_backend() else "skewed",
             )
-            if use_pallas == "pallas" and _dbp.fits_vmem(mb_w, mb_h):
+            if use_pallas == "pallas":
                 Y, U, V = _dbp.deblock_stage_pallas(
                     Y, U, V, meta, mb_w, mb_h, chroma_qp_offset
                 )

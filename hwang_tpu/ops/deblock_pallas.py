@@ -152,34 +152,31 @@ def _shift_up(x):
     return jnp.pad(x, ((0, 1),) + ((0, 0),) * (x.ndim - 1))[1:]
 
 
-def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
-            mb_w, mb_h, n_steps, bt):
-    y_out[...] = y_in[...]
-    c_out[...] = c_in[...]
+def _deblock_step(t, cur8, left8, topl8, ccur8, cleft8, ctopl8,
+                  par_col, pv_col, pcv_col, *, mb_w, mb_h, bt):
+    """One wavefront step on three luma + three chroma columns (values,
+    uint8 [mbh*16, 16bt] / [mbh*8, 16bt]); returns the updated
+    (cur, left, top) columns for both planes.  Shared by the whole-block
+    and ring-DMA kernels."""
     W = 16 * bt
+    mb_h_ = mb_h
+    r_y = jax.lax.broadcasted_iota(jnp.int32, (mb_h_, 16, W), 0)
+    r_c = jax.lax.broadcasted_iota(jnp.int32, (mb_h_, 8, W), 0)
 
-    # masks at full tile extent (Mosaic cannot broadcast in sublanes and
-    # lanes at once, nor add trailing axes)
-    r_y = jax.lax.broadcasted_iota(jnp.int32, (mb_h, 16, W), 0)
-    r_c = jax.lax.broadcasted_iota(jnp.int32, (mb_h, 8, W), 0)
+    def masks(r):
+        c_idx = t - 2 * r
+        active = (c_idx >= 0) & (c_idx < mb_w)
+        return active, active & (c_idx > 0), active & (r > 0)
 
-    def body(t, _):
-        p = t + _LEAD
-
-        def masks(r):
-            c_idx = t - 2 * r
-            active = (c_idx >= 0) & (c_idx < mb_w)
-            return active, active & (c_idx > 0), active & (r > 0)
-
-        active, l_ok, t_ok = masks(r_y)
-        active_c, l_ok_c, t_ok_c = masks(r_c)
-
-        par = par_in[0, p].astype(jnp.int32)         # [mbh, PAR_W*bt]
+    active, l_ok, t_ok = masks(r_y)
+    active_c, l_ok_c, t_ok_c = masks(r_c)
+    if True:
+        par = par_col.astype(jnp.int32)              # [mbh, PAR_W*bt]
         # vertical params arrive pre-expanded to pixel-row layout (an
         # in-kernel stack along axis -2 of lane slices at different
         # offsets is not lowerable)
-        pv = pv_in[0, p].astype(jnp.int32).reshape(mb_h, 16, 16 * bt)
-        pcv = pcv_in[0, p].astype(jnp.int32).reshape(mb_h, 8, 16 * bt)
+        pv = pv_col.astype(jnp.int32).reshape(mb_h, 16, 16 * bt)
+        pcv = pcv_col.astype(jnp.int32).reshape(mb_h, 8, 16 * bt)
 
         def pseg(k):
             """Per-clip lanes of packed param k: [mbh, bt]."""
@@ -205,9 +202,6 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
             )
 
         # ---------------- luma ----------------
-        cur8 = y_out[0, p]                           # [mbh*16, 16bt] u8
-        left8 = y_out[0, p - 1]
-        topl8 = y_out[0, p - 2]
         CUR = cur8.astype(jnp.int32).reshape(mb_h, 16, W)
         LEFT = left8.astype(jnp.int32).reshape(mb_h, 16, W)
         TOP = _shift_down(topl8.astype(jnp.int32).reshape(mb_h, 16, W))
@@ -251,7 +245,7 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
         left_w = jnp.where(
             l_ok, newleft, left8.astype(jnp.int32).reshape(mb_h, 16, W)
         )
-        y_out[0, p - 1] = left_w.reshape(mb_h * 16, W).astype(jnp.uint8)
+        out_left_y = left_w.reshape(mb_h * 16, W).astype(jnp.uint8)
 
         # horizontal edges: taps are pixel ROWS (static axis -2 extracts)
         T3 = None
@@ -282,7 +276,7 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
         cur_w = jnp.where(
             active, C, cur8.astype(jnp.int32).reshape(mb_h, 16, W)
         )
-        y_out[0, p] = cur_w.reshape(mb_h * 16, W).astype(jnp.uint8)
+        out_cur_y = cur_w.reshape(mb_h * 16, W).astype(jnp.uint8)
 
         newtop_lane = _set_row(TOP, 13, 16, T3)
         wrote = _shift_up(t_ok.astype(jnp.int32)) > 0
@@ -290,12 +284,9 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
             wrote, _shift_up(newtop_lane),
             topl8.astype(jnp.int32).reshape(mb_h, 16, W),
         )
-        y_out[0, p - 2] = newtop.reshape(mb_h * 16, W).astype(jnp.uint8)
+        out_top_y = newtop.reshape(mb_h * 16, W).astype(jnp.uint8)
 
         # ------------ chroma (U in columns 0-7, V in 8-15) ------------
-        ccur8 = c_out[0, p]                          # [mbh*8, 16bt]
-        cleft8 = c_out[0, p - 1]
-        ctopl8 = c_out[0, p - 2]
         CURc = ccur8.astype(jnp.int32).reshape(mb_h, 8, W)
         LEFTc = cleft8.astype(jnp.int32).reshape(mb_h, 8, W)
         TOPc = _shift_down(ctopl8.astype(jnp.int32).reshape(mb_h, 8, W))
@@ -344,7 +335,7 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
         left_wc = jnp.where(
             l_ok_c, newleftc, cleft8.astype(jnp.int32).reshape(mb_h, 8, W)
         )
-        c_out[0, p - 1] = left_wc.reshape(mb_h * 8, W).astype(jnp.uint8)
+        out_left_c = left_wc.reshape(mb_h * 8, W).astype(jnp.uint8)
 
         def chexp(k0):
             """Per-column chroma param dup'd over planes: [mbh, 16*bt]."""
@@ -378,7 +369,7 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
         cur_wc = jnp.where(
             active_c, Cc, ccur8.astype(jnp.int32).reshape(mb_h, 8, W)
         )
-        c_out[0, p] = cur_wc.reshape(mb_h * 8, W).astype(jnp.uint8)
+        out_cur_c = cur_wc.reshape(mb_h * 8, W).astype(jnp.uint8)
 
         newtopc_lane = _set_row(TOPc, 7, 8, T1c)
         wrotec = _shift_up(t_ok_c.astype(jnp.int32)) > 0
@@ -386,7 +377,30 @@ def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
             wrotec, _shift_up(newtopc_lane),
             ctopl8.astype(jnp.int32).reshape(mb_h, 8, W),
         )
-        c_out[0, p - 2] = newtopc.reshape(mb_h * 8, W).astype(jnp.uint8)
+        out_top_c = newtopc.reshape(mb_h * 8, W).astype(jnp.uint8)
+        return (out_cur_y, out_left_y, out_top_y,
+                out_cur_c, out_left_c, out_top_c)
+
+
+def _kernel(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out, *,
+            mb_w, mb_h, n_steps, bt):
+    y_out[...] = y_in[...]
+    c_out[...] = c_in[...]
+
+    def body(t, _):
+        p = t + _LEAD
+        (ncy, nly, nty, ncc, nlc, ntc) = _deblock_step(
+            t, y_out[0, p], y_out[0, p - 1], y_out[0, p - 2],
+            c_out[0, p], c_out[0, p - 1], c_out[0, p - 2],
+            par_in[0, p], pv_in[0, p], pcv_in[0, p],
+            mb_w=mb_w, mb_h=mb_h, bt=bt,
+        )
+        y_out[0, p - 1] = nly
+        y_out[0, p] = ncy
+        y_out[0, p - 2] = nty
+        c_out[0, p - 1] = nlc
+        c_out[0, p] = ncc
+        c_out[0, p - 2] = ntc
         return 0
 
     jax.lax.fori_loop(0, n_steps, body, 0)
@@ -451,8 +465,26 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
     M = mb_w * mb_h
     n_steps = skew_width(mb_w, mb_h)
     swp = n_steps + _LEAD
-    bt = _pick_bt(B, mb_h, swp)
-    G = B // bt
+    import os as _os
+
+    _variant = _os.environ.get("HWANG_DEBLOCK_VARIANT", "auto")
+    use_ring = (_variant == "ring"
+                or (_variant == "auto" and not fits_vmem(mb_w, mb_h)))
+    Bp = B
+    if use_ring:
+        # ring kernel: DMA slices need 128-aligned lanes, so bt must be
+        # a multiple of 8 (the clip batch pads up when needed); VMEM
+        # only holds a 4-column ring, capped ~24 MB
+        Bp = (B + 7) & ~7
+        per_col = mb_h * (16 + 8 + 16 + 8) * 16 + mb_h * PAR_W
+        bt = 8
+        for cand in (32, 24, 16):
+            if Bp % cand == 0 and 4 * per_col * cand <= 24 * 1024 * 1024:
+                bt = cand
+                break
+    else:
+        bt = _pick_bt(B, mb_h, swp)
+    G = Bp // bt
 
     params = mb_edge_params_b(meta, mb_w, mb_h, chroma_qp_offset)
     par = _pack_params(params, B, M)
@@ -466,7 +498,10 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
 
     def pack_lanes(a, rows, width):
         """[B, SwP, mbh, rows*width] -> [G, SwP, mbh*rows, width*bt]
-        with lane index = column*bt + clip."""
+        with lane index = column*bt + clip (clip batch zero-padded to
+        Bp for the ring kernel's lane alignment)."""
+        if Bp != B:
+            a = jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
         a = a.reshape(G, bt, swp, mb_h, rows, width)
         a = a.transpose(0, 2, 3, 4, 5, 1)
         return a.reshape(G, swp, mb_h * rows, width * bt)
@@ -474,10 +509,13 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
     def unpack_lanes(a, rows, width):
         a = a.reshape(G, swp, mb_h, rows, width, bt)
         a = a.transpose(0, 5, 1, 2, 3, 4)
-        return a.reshape(G * bt, swp, mb_h, rows * width)
+        return a.reshape(G * bt, swp, mb_h, rows * width)[:B]
 
+    par_cols = to_cols(par.reshape(B, mb_h, mb_w, PAR_W))
+    if Bp != B:
+        par_cols = jnp.pad(par_cols, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
     par_p = (
-        to_cols(par.reshape(B, mb_h, mb_w, PAR_W))
+        par_cols
         .reshape(G, bt, swp, mb_h, PAR_W)
         .transpose(0, 2, 3, 4, 1)
         .reshape(G, swp, mb_h, PAR_W * bt)
@@ -527,34 +565,66 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
     cuv = jnp.concatenate([Uc, Vc], axis=-1).reshape(B, mb_h, mb_w, 128)
     c_p = pack_lanes(to_cols(cuv.astype(jnp.uint8)), 8, 16)
 
-    kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
-                             n_steps=n_steps, bt=bt)
+    if not use_ring:
+        kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
+                                 n_steps=n_steps, bt=bt)
 
-    def blk(r, w):
-        return pl.BlockSpec(
-            (1, swp, r, w), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        def blk(r, w):
+            return pl.BlockSpec(
+                (1, swp, r, w), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
 
-    y_o, c_o = pl.pallas_call(
-        kern,
-        grid=(G,),
-        in_specs=[blk(mb_h * 16, 16 * bt), blk(mb_h * 8, 16 * bt),
-                  blk(mb_h, PAR_W * bt), blk(mb_h * 16, 16 * bt),
-                  blk(mb_h * 8, 16 * bt)],
-        out_specs=[blk(mb_h * 16, 16 * bt), blk(mb_h * 8, 16 * bt)],
-        out_shape=[
-            jax.ShapeDtypeStruct(y_p.shape, jnp.uint8),
-            jax.ShapeDtypeStruct(c_p.shape, jnp.uint8),
-        ],
-        input_output_aliases={0: 0, 1: 1},
-        interpret=interpret,
-        **({} if interpret else {
-            "compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT,
-            ),
-        }),
-    )(y_p, c_p, par_p, pv_p, pcv_p)
+        y_o, c_o = pl.pallas_call(
+            kern,
+            grid=(G,),
+            in_specs=[blk(mb_h * 16, 16 * bt), blk(mb_h * 8, 16 * bt),
+                      blk(mb_h, PAR_W * bt), blk(mb_h * 16, 16 * bt),
+                      blk(mb_h * 8, 16 * bt)],
+            out_specs=[blk(mb_h * 16, 16 * bt), blk(mb_h * 8, 16 * bt)],
+            out_shape=[
+                jax.ShapeDtypeStruct(y_p.shape, jnp.uint8),
+                jax.ShapeDtypeStruct(c_p.shape, jnp.uint8),
+            ],
+            input_output_aliases={0: 0, 1: 1},
+            interpret=interpret,
+            **({} if interpret else {
+                "compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                ),
+            }),
+        )(y_p, c_p, par_p, pv_p, pcv_p)
+    else:
+        kern = functools.partial(_kernel_ring, mb_w=mb_w, mb_h=mb_h,
+                                 n_steps=n_steps, bt=bt)
+        mbh8 = (mb_h + 7) & ~7
+        par_p = jnp.pad(par_p, ((0, 0), (0, 0), (0, mbh8 - mb_h), (0, 0)))
+        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        y_o, c_o = pl.pallas_call(
+            kern,
+            grid=(G,),
+            in_specs=[anyspec] * 5,
+            out_specs=[anyspec] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct(y_p.shape, jnp.uint8),
+                jax.ShapeDtypeStruct(c_p.shape, jnp.uint8),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((4, mb_h * 16, 16 * bt), jnp.uint8),
+                pltpu.VMEM((4, mb_h * 8, 16 * bt), jnp.uint8),
+                pltpu.VMEM((4, mbh8, PAR_W * bt), jnp.uint8),
+                pltpu.VMEM((4, mb_h * 16, 16 * bt), jnp.uint8),
+                pltpu.VMEM((4, mb_h * 8, 16 * bt), jnp.uint8),
+                pltpu.SemaphoreType.DMA((5, 4)),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+            interpret=interpret,
+            **({} if interpret else {
+                "compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                ),
+            }),
+        )(y_p, c_p, par_p, pv_p, pcv_p)
 
     def from_cols(s):
         return unskew(
@@ -572,3 +642,97 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
     Un = tiles_to_frame(tiles_c[..., :8], mb_w, mb_h, 8)
     Vn = tiles_to_frame(tiles_c[..., 8:], mb_w, mb_h, 8)
     return Yn, Un, Vn
+
+
+def _kernel_ring(y_in, c_in, par_in, pv_in, pcv_in, y_out, c_out,
+                 y_ring, c_ring, par_ring, pv_ring, pcv_ring,
+                 in_sems, out_sems, *, mb_w, mb_h, n_steps, bt):
+    # par arrays carry an 8-padded mb_h dim (DMA slices must be
+    # tile-aligned in the sublane dimension); sliced back before use
+    """Ring-DMA variant for frames whose whole skewed buffers exceed
+    VMEM (1080p-class): the arrays stay in HBM; a 4-column VMEM ring is
+    double-buffer DMA'd through the same wavefront step math."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+
+    def in_dma(arr, ring, ai, p, slot):
+        return pltpu.make_async_copy(
+            arr.at[g, p], ring.at[slot], in_sems.at[ai, slot]
+        )
+
+    def out_dma(arr, ring, ai, p, slot):
+        return pltpu.make_async_copy(
+            ring.at[slot], arr.at[g, p], out_sems.at[ai, slot]
+        )
+
+    ins = ((y_in, y_ring, 0), (c_in, c_ring, 1), (par_in, par_ring, 2),
+           (pv_in, pv_ring, 3), (pcv_in, pcv_ring, 4))
+    outs = ((y_out, y_ring, 0), (c_out, c_ring, 1))
+
+    # warmup: columns 1..3 in; a dummy out of (lead) column 0 from slot 0
+    # so the steady-state prefetch can wait unconditionally
+    for p in (1, 2, 3):
+        for arr, ring, ai in ins:
+            in_dma(arr, ring, ai, p, p % 4).start()
+    for arr, ring, ai in outs:
+        out_dma(arr, ring, ai, 0, 0).start()
+    # columns 1-2 are only ever read as left/top, never as the current
+    # column; their in-DMAs still need waiting (dangling DMA semaphores
+    # fault at kernel exit) and must land before step 0 reads them
+    for p in (1, 2):
+        for arr, ring, ai in ins:
+            in_dma(arr, ring, ai, p, p % 4).wait()
+
+    def step(t, prefetch):
+        p = t + _LEAD
+        s_cur = p % 4
+        s_left = (p - 1) % 4
+        s_top = (p - 2) % 4
+        for arr, ring, ai in ins:
+            in_dma(arr, ring, ai, p, s_cur).wait()
+        (ncy, nly, nty, ncc, nlc, ntc) = _deblock_step(
+            t, y_ring[s_cur], y_ring[s_left], y_ring[s_top],
+            c_ring[s_cur], c_ring[s_left], c_ring[s_top],
+            par_ring[s_cur][:mb_h], pv_ring[s_cur], pcv_ring[s_cur],
+            mb_w=mb_w, mb_h=mb_h, bt=bt,
+        )
+        y_ring[s_cur] = ncy
+        y_ring[s_left] = nly
+        y_ring[s_top] = nty
+        c_ring[s_cur] = ncc
+        c_ring[s_left] = nlc
+        c_ring[s_top] = ntc
+        # column p-2 is final: flush it
+        for arr, ring, ai in outs:
+            out_dma(arr, ring, ai, p - 2, s_top).start()
+        if prefetch:
+            # prefetch column p+1 into slot (p+1)%4 == (p-3)%4, whose
+            # column was flushed LAST step — wait that flush first
+            pn = p + 1
+            s_next = pn % 4
+            for arr, ring, ai in outs:
+                out_dma(arr, ring, ai, pn - 4, s_next).wait()
+            for arr, ring, ai in ins:
+                in_dma(arr, ring, ai, pn, s_next).start()
+
+    def body(t, _):
+        step(t, True)
+        return 0
+
+    # the last iteration is peeled: it must not prefetch past the array
+    jax.lax.fori_loop(0, n_steps - 1, body, 0)
+    step(n_steps - 1, False)
+
+    # tail: drain the two loop flushes the final prefetch no longer
+    # waits for, then flush the last two columns (left and cur of the
+    # final step)
+    last = n_steps + _LEAD - 1
+    for arr, ring, ai in outs:
+        out_dma(arr, ring, ai, last - 3, (last - 3) % 4).wait()
+        out_dma(arr, ring, ai, last - 2, (last - 2) % 4).wait()
+        out_dma(arr, ring, ai, last - 1, (last - 1) % 4).start()
+        out_dma(arr, ring, ai, last, last % 4).start()
+        out_dma(arr, ring, ai, last - 1, (last - 1) % 4).wait()
+        out_dma(arr, ring, ai, last, last % 4).wait()

@@ -1,4 +1,7 @@
-"""Pallas deblocking kernel vs the XLA skewed wavefront (bit-exact).
+"""Pallas deblocking kernels vs the XLA skewed wavefront (bit-exact).
+
+Covers both variants: whole-block (frame fits VMEM) and ring-DMA
+(HBM-resident with a 4-column VMEM ring, used for 1080p-class frames).
 
 Runs the kernel in interpret mode on CPU; the compiled TPU path is
 exercised by bench.py and was verified bit-exact on hardware.  Mirrors
@@ -33,12 +36,16 @@ def decoded(tmp_path_factory):
     return t, dec.chroma_qp_offset, nd
 
 
-def test_pallas_deblock_matches_skewed(decoded):
+@pytest.mark.parametrize("variant", ["block", "ring"])
+def test_pallas_deblock_matches_skewed(decoded, variant, monkeypatch):
     import jax.numpy as jnp
 
     from hwang_tpu.models.h264.recon_skewed import deblock_stage_skewed
     from hwang_tpu.ops.deblock_pallas import deblock_stage_pallas
 
+    monkeypatch.setenv(
+        "HWANG_DEBLOCK_VARIANT", "ring" if variant == "ring" else "block"
+    )
     t, cqo, nd = decoded
     fs = list(range(t.n_frames))
 
