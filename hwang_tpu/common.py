@@ -3,8 +3,10 @@
 Parity notes (vs reference scanner-research/hwang):
   - DeviceType / DeviceHandle mirror hwang/common.h:20-50.  The reference's
     ``DeviceHandle::operator<`` is a broken strict-weak-ordering (uses ``&&``
-    across both fields, common.h:33-35); here ordering is the usual
-    lexicographic tuple order.
+    across both fields, common.h:33-35); here ordering is explicit
+    lexicographic order over ``(type.value, id)`` (dataclass ``order=True``
+    would compare the enum members themselves, which raises TypeError for
+    handles of different types).
   - Result mirrors hwang/common.h:54-68 (``Result{ok, message}``).  Library
     code never hard-exits; errors propagate as Result / HwangError.
 """
@@ -13,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 
 
 class DeviceType(enum.Enum):
@@ -23,12 +26,18 @@ class DeviceType(enum.Enum):
     TPU = 2  # TPU-native addition: frames land in HBM as jax.Arrays
 
 
-@dataclasses.dataclass(frozen=True, order=True)
+@functools.total_ordering
+@dataclasses.dataclass(frozen=True)
 class DeviceHandle:
     """A (device type, device id) pair. Reference: hwang/common.h:25-50."""
 
     type: DeviceType = DeviceType.CPU
     id: int = 0
+
+    def __lt__(self, other: "DeviceHandle"):
+        if not isinstance(other, DeviceHandle):
+            return NotImplemented
+        return (self.type.value, self.id) < (other.type.value, other.id)
 
     def can_copy_to(self, other: "DeviceHandle") -> bool:
         return True

@@ -112,7 +112,7 @@ class Decoder:
             frames = self._automata.get_frames(total)
         except Exception as e:
             # The TPU codec rejects stream features it does not cover
-            # (B slices, I_PCM-in-CABAC, MMCO>1, ...) with a decode-time
+            # (interlaced PAFF/MBAFF, FMO, SP/SI slices) with a decode-time
             # error — possibly mid-stream, past the configure-time probe.
             # Fail over to SOFTWARE once and retry; later retrieves stay
             # on the software automata.

@@ -28,7 +28,7 @@ class EncodeOptions:
     """Parity: reference EncodeOptions (video_encoder.h:34-38)."""
 
     quality: int = 23           # CRF; -1 = use bitrate
-    bitrate: int = -1           # not yet plumbed (CRF mode only)
+    bitrate: int = -1           # bits/sec (ABR), used when quality < 0
     keyframe_distance: int = 120  # parity default: gop_size 120
     codec: str = "h264"         # h264 | hevc
     profile: str = "high"
@@ -61,7 +61,7 @@ class VideoEncoder:
         self._h = self._lib.hw_enc_open(
             path.encode(), width, height, opts.fps, codec.encode(),
             opts.profile.encode(), opts.keyframe_distance, opts.b_frames,
-            opts.quality, int(opts.fragmented_mp4),
+            opts.quality, opts.bitrate, int(opts.fragmented_mp4),
             opts.extra_params.encode(), err, len(err),
         )
         if not self._h:

@@ -210,17 +210,6 @@ def gopout_view(t: "GopTensors") -> "_GopOut":
     )
 
 
-def explicit_b_weighted(t: "GopTensors") -> bool:
-    """True when the span has explicit-B weighted frames
-    (weighted_bipred_idc == 1) — entropy-decoded but not yet applied by
-    the device reconstruction."""
-    return (
-        t.bipred_idc == 1
-        and t.weight_flag is not None
-        and bool(((t.frame_type == 1) & (t.weight_flag != 0)).any())
-    )
-
-
 class H264EntropyDecoder:
     """Wraps the native entropy decode context for one stream (avcC)."""
 

@@ -178,6 +178,16 @@ class GopArrays(NamedTuple):
         frame axis to a bucket size for stable jit shapes."""
         F = t.n_frames
         P = pad_frames or F
+        if explicit_b_frames(t).any():
+            # The eq 8-272 explicit-B combine (weights_l1/bi_explicit) is
+            # only implemented by the batched path (recon_batched.py);
+            # decoding such a span here would silently diverge from the
+            # host decoder. The production pipeline never hits this
+            # single-clip path.
+            raise ValueError(
+                "span uses explicit B weighting (weighted_bipred_idc=1); "
+                "use the batched decoder (recon_batched)"
+            )
 
         def pad(a):
             if P == F:

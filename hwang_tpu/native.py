@@ -67,7 +67,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.hw_enc_open.argtypes = [
         c.c_char_p, c.c_int, c.c_int, c.c_int,  # path, w, h, fps
         c.c_char_p, c.c_char_p,                 # codec, profile
-        c.c_int, c.c_int, c.c_int, c.c_int,     # gop, bframes, crf, fragmented
+        c.c_int, c.c_int,                       # gop, bframes
+        c.c_int, c.c_int, c.c_int,              # crf, bitrate, fragmented
         c.c_char_p, c.c_char_p, c.c_int,        # extra_opts, err, err_cap
     ]
     lib.hw_enc_error.restype = c.c_char_p

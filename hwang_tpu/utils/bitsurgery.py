@@ -403,24 +403,38 @@ def _rewrite_slice_header(rbsp: bytes, nal_ref_idc: int, is_idr: bool,
         or (pps_new.weighted_bipred_idc == 1 and st == SLICE_B)
     )
     if had_weights:
-        # copy existing table verbatim
-        ll = r.ue()
-        w.ue(ll)
-        lc = r.ue()
-        w.ue(lc)
+        # consume the existing table; re-emit it only if the new PPS still
+        # requires one (an edit may turn weighted_pred/bipred off, in which
+        # case writing the table would corrupt the stream)
+        emit = need_weights
+
+        def cp_ue():
+            v = r.ue()
+            if emit:
+                w.ue(v)
+
+        def cp_u1():
+            v = r.u1()
+            if emit:
+                w.u1(v)
+            return v
+
+        def cp_se():
+            v = r.se()
+            if emit:
+                w.se(v)
+
+        cp_ue()  # luma_log2_weight_denom
+        cp_ue()  # chroma_log2_weight_denom
         counts = [n_l0] + ([n_l1] if st == SLICE_B else [])
         for n_active in counts:
             for _ in range(n_active):
-                f1 = r.u1()
-                w.u1(f1)
-                if f1:
-                    w.se(r.se())
-                    w.se(r.se())
-                f2 = r.u1()
-                w.u1(f2)
-                if f2:
+                if cp_u1():
+                    cp_se()
+                    cp_se()
+                if cp_u1():
                     for _ in range(4):
-                        w.se(r.se())
+                        cp_se()
     elif need_weights:
         wt = (edit.weight_tables if edit and edit.weight_tables
               else (5, 5, None, None))
@@ -771,12 +785,17 @@ class CabacEnc:
 # CABAC engine tables (spec 9.3.3.2.1 / Table 9-44 and state transitions),
 # mirrored from native/src/h264/h264_cabac_tables.h.
 def _load_cabac_tables():
+    import pathlib
     import re
 
-    src = open(
-        __file__.replace("utils/bitsurgery.py",
-                         "../native/src/h264/h264_cabac_tables.h")
-        .replace("hwang_tpu/../", ""), "r").read()
+    hdr = (pathlib.Path(__file__).resolve().parents[2]
+           / "native" / "src" / "h264" / "h264_cabac_tables.h")
+    if not hdr.is_file():
+        raise FileNotFoundError(
+            f"CABAC tables header not found at {hdr}; bitsurgery's CABAC "
+            "writer needs a source checkout with native/src/h264/ present"
+        )
+    src = hdr.read_text()
     def grab(name, n):
         m = re.search(name + r"\[\]?[^{]*\{(.*?)\};", src, re.S)
         vals = [int(x) for x in re.findall(r"\d+", m.group(1))]

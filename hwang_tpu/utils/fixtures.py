@@ -69,7 +69,7 @@ def encode_video(
     h = lib.hw_enc_open(
         path.encode(), width, height, fps,
         codec.encode(), profile.encode(),
-        gop_size, b_frames, crf, int(fragmented),
+        gop_size, b_frames, crf, -1, int(fragmented),
         extra_opts.encode(), err, len(err),
     )
     if not h:

@@ -8,11 +8,15 @@
 // intra prediction, motion compensation, deblocking) is emitted as tensors
 // and runs on the TPU (hwang_tpu/models/h264/).
 //
-// Scope: progressive 4:2:0 8-bit, CAVLC and CABAC entropy coding, I/P
-// slices, all P partition shapes, multi-ref, P_Skip, ref list reordering,
-// sliding-window and basic MMCO marking.  B-slices, weighted prediction
-// and the High-profile 8x8 transform are rejected with clear errors (the
-// decoder factory falls back to the SOFTWARE backend).
+// Scope: progressive 4:2:0 8-bit, baseline/main/high profile.  CAVLC and
+// CABAC entropy coding; I/P/B slices (incl. spatial+temporal direct and
+// b-pyramid); all partition shapes; multi-ref with full reference
+// management (list reordering, sliding window, MMCO 1-6, long-term refs);
+// implicit and explicit weighted (bi-)prediction; all three
+// pic_order_cnt_types with frame_num-wrap and POC epochs; non-flat
+// scaling matrices; High 8x8 transform; I_PCM in both entropy modes;
+// multi-slice frames.  Interlaced (PAFF/MBAFF), FMO and SP/SI slices are
+// rejected with clear errors (Decoder falls back to the SOFTWARE backend).
 
 #include <cstdio>
 #include <cstdlib>
@@ -3091,7 +3095,9 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
               cur.poc = out->poc[fidx];
               cur.frame_num = 0;
             } else if (op == 6) {
-              int idx = (int)vals.first;
+              // op 6's long_term_frame_idx is the second ue(v) (same
+              // slot as op 3's) — the parser stores it in vals.second
+              int idx = (int)vals.second;
               for (size_t i = c.dpb.size(); i-- > 0;)
                 if (c.dpb[i].long_term && c.dpb[i].long_term_idx == idx)
                   c.dpb.erase(c.dpb.begin() + i);

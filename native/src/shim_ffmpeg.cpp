@@ -113,7 +113,7 @@ static int enc_write_packets(HwEncoder *e, bool flush) {
 HW_API void *hw_enc_open(const char *path, int width, int height, int fps,
                          const char *codec_name, const char *profile,
                          int gop_size, int max_b_frames, int crf,
-                         int fragmented, const char *extra_opts,
+                         int bitrate, int fragmented, const char *extra_opts,
                          char *err, int err_cap) {
   auto *e = new HwEncoder();
   e->width = width;
@@ -148,6 +148,9 @@ HW_API void *hw_enc_open(const char *path, int width, int height, int fps,
     char buf[16];
     snprintf(buf, sizeof(buf), "%d", crf);
     av_opt_set(e->codec->priv_data, "crf", buf, 0);
+  } else if (bitrate > 0) {
+    // ABR mode (EncodeOptions.bitrate, reference video_encoder.h:34-38)
+    e->codec->bit_rate = bitrate;
   }
   if (extra_opts && extra_opts[0]) {
     // e.g. x264-params keyint=30:min-keyint=30:no-scenecut=1

@@ -21,6 +21,10 @@ def _assert_tpu_yuv_exact(path, rows):
     with Decoder(path, decoder_type=VideoDecoderType.TPU,
                  output_format="yuv420") as dec:
         out = dec.retrieve(rows)
+        # a silent SOFTWARE fallback would make this comparison vacuous
+        assert dec._decoder_type == VideoDecoderType.TPU, (
+            "TPU decode fell back to SOFTWARE"
+        )
     for got, r in zip(out, rows):
         oy, ou, ov = oracle[r]
         want = np.concatenate(
@@ -116,6 +120,39 @@ def test_mmco_long_term_ops(tmp_path):
     dst = str(tmp_path / "mmco.mp4")
     rewrite_stream(src, dst, edit_fn=edit_fn)
     _assert_tpu_yuv_exact(dst, [0, 5, 8, 12, 16, 19])
+
+
+def test_mmco6_long_term_idx_nonzero(tmp_path):
+    """MMCO 6 with long_term_frame_idx=1 while idx 0 is also occupied:
+    two concurrent long-term references.  Regression for the apply-site
+    reading op 6's index from the wrong ue(v) slot (it is the second one,
+    like op 3's) — the bug collapsed every op-6 mark onto idx 0, so the
+    later op-3 assignment of idx 0 would evict it and the op-2 unmark of
+    lt_num 1 would find nothing."""
+    src = str(tmp_path / "src.mp4")
+    encode_video(src, 20, 96, 80, profile="main", gop_size=20, crf=24,
+                 extra_opts="keyint=20:min-keyint=20:no-scenecut=1:ref=3:"
+                            "weightp=0:bframes=0")
+
+    def edit_fn(i, st, is_idr, ref_idc):
+        if ref_idc == 0 or is_idr:
+            return None
+        if i == 3:
+            # free the newest short-term, allow LT idx 0..1, mark the
+            # current picture long-term at idx **1**
+            return SliceEdit(mmco=[(1, 0, 0), (4, 2, 0), (6, 0, 1)])
+        if i == 8:
+            # convert frame 7 to LT idx 0 (both LT slots now live);
+            # drop frame 6 to stay within max_num_ref_frames
+            return SliceEdit(mmco=[(1, 1, 0), (3, 0, 0)])
+        if i == 14:
+            # unmark LT idx 1 (the op-6 picture) by long_term_pic_num
+            return SliceEdit(mmco=[(2, 1, 0)])
+        return None
+
+    dst = str(tmp_path / "mmco6.mp4")
+    rewrite_stream(src, dst, edit_fn=edit_fn)
+    _assert_tpu_yuv_exact(dst, [0, 4, 7, 10, 13, 15, 19])
 
 
 def test_mmco5_reset(tmp_path):

@@ -67,6 +67,27 @@ def test_encoder_stateful_interface(tmp_path):
     assert index_video(p).frames() == 6
 
 
+def test_encode_bitrate_abr(tmp_path):
+    """EncodeOptions.bitrate (ABR mode, quality=-1): plumbed through to
+    the encoder and actually controls output size.  Reference surface:
+    video_encoder.h:34-38."""
+    import os
+
+    frames = [synth_frame(i, 128, 96) for i in range(48)]
+    sizes = {}
+    for rate in (40_000, 400_000):
+        p = str(tmp_path / f"abr_{rate}.mp4")
+        encode_clip(
+            p, frames,
+            EncodeOptions(quality=-1, bitrate=rate, profile="baseline",
+                          keyframe_distance=16),
+        )
+        assert index_video(p).frames() == 48
+        sizes[rate] = os.path.getsize(p)
+    # 10x the target bitrate must yield a substantially larger file
+    assert sizes[400_000] > 2 * sizes[40_000], sizes
+
+
 def test_reencode_from_decode(tmp_path):
     """Config 5 stretch shape: decode -> re-encode -> decode."""
     src = str(tmp_path / "src.mp4")
