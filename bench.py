@@ -2,12 +2,15 @@
 path vs single-core FFmpeg (the reference's backend).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "extra": {...per-config figures...}}
 
-The headline config mirrors BASELINE.md config 3/4: a batched ML-dataloader
+The headline config mirrors BASELINE.md config 4: a batched ML-dataloader
 gather — N clips x K frames each, decoded to RGB on-device.  vs_baseline =
 ratio to single-threaded libavcodec decoding the same planned spans on this
-host (the FFmpeg-per-core yardstick).
+host (the FFmpeg-per-core yardstick).  BASELINE configs 2 (stride-30 1080p)
+and 3 (shuffled 1080p) run additionally and land in "extra" unless
+HWANG_BENCH_FAST=1.
 
 Environment note: this host reaches the TPU through a relay tunnel with
 ~0.5 s fixed latency per transfer and ~77 MB/s H2D bandwidth (measured) —
@@ -16,10 +19,15 @@ ships entropy-decoder output in a packed sparse form (see
 hwang_tpu/models/h264/packed.py) to fit through it.
 
 Env knobs:
+  HWANG_BENCH_PRESET    config2|config3|config4|config5 — run ONE BASELINE
+                        config as the headline (overrides the knobs below)
+  HWANG_BENCH_FAST      1 = headline config only (skip the extra configs)
+  HWANG_BENCH_BUDGET    1 = also measure the device stage budget by
+                        ablation (recompiles 2 extra executables)
   HWANG_BENCH_W/H       coded size        (default 640x368)
-  HWANG_BENCH_CLIPS     batch of clips    (default 32)
+  HWANG_BENCH_CLIPS     batch of clips    (default 64)
   HWANG_BENCH_FRAMES    frames per clip   (default 64)
-  HWANG_BENCH_MODE      dense|stride      (default dense)
+  HWANG_BENCH_MODE      dense|stride|shuffle (default dense)
   HWANG_BENCH_COUNT     frames gathered per clip (default 16)
   HWANG_BENCH_GOP       keyframe interval (default 16)
 """
@@ -38,14 +46,6 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 
-W = int(os.environ.get("HWANG_BENCH_W", 640))
-H = int(os.environ.get("HWANG_BENCH_H", 368))
-N_CLIPS = int(os.environ.get("HWANG_BENCH_CLIPS", 64))
-N_FRAMES = int(os.environ.get("HWANG_BENCH_FRAMES", 64))
-MODE = os.environ.get("HWANG_BENCH_MODE", "dense")
-COUNT = int(os.environ.get("HWANG_BENCH_COUNT", 16))
-GOP = int(os.environ.get("HWANG_BENCH_GOP", 16))
-
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -60,83 +60,234 @@ def device_sync():
     np.asarray(jnp.zeros(2) + 1)
 
 
-def main():
-    import numpy as np
+# ---------------------------------------------------------------------------
+# Configs.  config4 is the headline (matches BENCH_r01 for comparability);
+# configs 2/3 are the BASELINE.md primary 1080p rows, scaled to a 1-minute
+# fixture (same mechanics: keyframe seek + partial-GOP decode; a 10-minute
+# file only adds more identical spans).  config5 is the 4K-High stretch.
+# ---------------------------------------------------------------------------
 
-    import jax
+_CONFIGS = {
+    # name: (W, H, clips, frames/clip, mode, count, gop, profile, bframes)
+    "config2": (1920, 1088, 1, 720, "stride30", 24, 60, "main", 0),
+    "config3": (1920, 1088, 1, 720, "shuffle", 24, 60, "main", 0),
+    "config4": (640, 368, 64, 64, "dense", 16, 16, "baseline", 0),
+    "config5": (3840, 2160, 1, 60, "stride30", 6, 30, "high", 2),
+}
 
-    from hwang_tpu import Decoder
-    from hwang_tpu.pipeline import ClipBatchDecoder
+
+def _knob_config():
+    W = int(os.environ.get("HWANG_BENCH_W", 640))
+    H = int(os.environ.get("HWANG_BENCH_H", 368))
+    n_clips = int(os.environ.get("HWANG_BENCH_CLIPS", 64))
+    n_frames = int(os.environ.get("HWANG_BENCH_FRAMES", 64))
+    mode = os.environ.get("HWANG_BENCH_MODE", "dense")
+    count = int(os.environ.get("HWANG_BENCH_COUNT", 16))
+    gop = int(os.environ.get("HWANG_BENCH_GOP", 16))
+    return (W, H, n_clips, n_frames, mode, count, gop, "baseline", 0)
+
+
+def _make_rows(mode, n_frames, count, n_clips, gop):
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for c in range(n_clips):
+        if mode == "dense":
+            rows.append(list(range(count)))
+        elif mode in ("stride", "stride30"):
+            stride = 30 if mode == "stride30" else max(1, n_frames // count)
+            rows.append(list(range(0, min(n_frames, stride * count), stride)))
+        elif mode == "shuffle":
+            rows.append(sorted(rng.sample(range(n_frames), count)))
+        else:
+            raise ValueError(mode)
+    return rows
+
+
+def _fixture_paths(cfg, tag):
     from hwang_tpu.utils.fixtures import fixture
 
-    log(f"devices: {jax.devices()}")
-
-    paths = [
+    W, H, n_clips, n_frames, mode, count, gop, profile, bframes = cfg
+    extra = f"keyint={gop}:min-keyint={gop}:no-scenecut=1:ref=2"
+    if W * H >= 1280 * 720:
+        # veryfast-class encoder settings: fixture synthesis at HD/4K is
+        # otherwise minutes per clip on this 1-core host (one-time, cached)
+        extra += ":subme=2:me=hex:trellis=0:rc-lookahead=10"
+    del tag  # clip identity is the content parameters (configs 2/3 share)
+    return [
         fixture(
-            f"bench_{W}x{H}_g{GOP}_{i}", N_FRAMES, W, H, profile="baseline",
-            gop_size=GOP, crf=26, seed=i,
-            extra_opts=f"keyint={GOP}:min-keyint={GOP}:no-scenecut=1:ref=2",
+            f"bench_{W}x{H}_f{n_frames}_g{gop}_{profile}_{i}", n_frames,
+            W, H, profile=profile, gop_size=gop, crf=26, seed=i,
+            b_frames=bframes, extra_opts=extra,
         )
-        for i in range(N_CLIPS)
+        for i in range(n_clips)
     ]
-    if MODE == "dense":
-        rows = [list(range(COUNT)) for _ in paths]
-    else:
-        stride = max(1, N_FRAMES // COUNT)
-        rows = [list(range(0, N_FRAMES, stride)) for _ in paths]
+
+
+def _ffmpeg_baseline(paths, rows, iters=3):
+    """Single-thread libavcodec decoding the same gather (frames/s)."""
+    from hwang_tpu import Decoder
+
     n_total = sum(len(r) for r in rows)
-
-    dec = ClipBatchDecoder(paths, io_threads=16)
-    t0 = time.time()
-    frames, _ = dec.decode(rows, out_size=(224, 224))
-    device_sync()
-    log(f"warmup (incl. compile): {time.time()-t0:.1f}s out {frames.shape}")
-
-    # the TPU relay adds +/-30% run-to-run noise; take the best
-    # of several iterations
-    iters = 5
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.time()
-        frames, _ = dec.decode(rows, out_size=(224, 224))
-        device_sync()
-        best = min(best, time.time() - t0)
-    tpu_fps = n_total / best
-    log(f"tpu path: {best*1e3:.0f} ms for {n_total} frames -> {tpu_fps:.1f} fps")
-
-    # p50 seek-to-frame latency: last frame of a GOP from one clip
-    # (fixed span shape = one compile; the cache covers later runs)
-    lat = []
-    for k in range(5):
-        single = ClipBatchDecoder([paths[k % N_CLIPS]])
-        row = GOP - 1
-        t0 = time.time()
-        fr, _ = single.decode([[row]])
-        device_sync()
-        lat.append(time.time() - t0)
-        single.close()
-    lat.sort()
-    log(f"p50 seek-to-frame latency (GOP-tail frame): "
-        f"{lat[len(lat)//2]*1e3:.0f} ms")
-
-    # FFmpeg single-core baseline on the same gather (best of 3 — the
-    # host CPU timing is as noisy as the relay)
     ff_time = float("inf")
-    for _ in range(3):
+    for _ in range(iters):
         t0 = time.time()
         for p, r in zip(paths, rows):
             with Decoder(p, num_devices=1) as d:
                 d.retrieve(r)
         ff_time = min(ff_time, time.time() - t0)
-    ff_fps = n_total / ff_time
-    log(f"ffmpeg 1-thread: {ff_time*1e3:.0f} ms -> {ff_fps:.1f} fps")
+    return n_total / ff_time
 
+
+def _run_tpu(paths, rows, out_size, iters=5, budget=False):
+    """Returns (fps, p50_seek_ms, profiler_report)."""
+    from hwang_tpu.pipeline import ClipBatchDecoder
+    from hwang_tpu.utils.profiler import Profiler
+
+    n_total = sum(len(r) for r in rows)
+    prof = Profiler()
+    dec = ClipBatchDecoder(paths, io_threads=16, profiler=prof)
+    t0 = time.time()
+    frames, _ = dec.decode(rows, out_size=out_size)
+    device_sync()
+    log(f"  warmup (incl. compile): {time.time()-t0:.1f}s out {frames.shape}")
+
+    # the TPU relay adds +/-30% run-to-run noise; take the best of several
+    prof.reset()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        frames, _ = dec.decode(rows, out_size=out_size)
+        device_sync()
+        best = min(best, time.time() - t0)
+    fps = n_total / best
+    log(f"  tpu path: {best*1e3:.0f} ms for {n_total} frames"
+        f" -> {fps:.1f} fps")
+    report = prof.report()
+
+    if budget:
+        _stage_budget(dec, rows, out_size, best)
+    dec.close()
+    return fps, best, report
+
+
+def _stage_budget(dec, rows, out_size, t_full):
+    """Device stage attribution by ablation: HWANG_ABLATE skips stages at
+    TRACE time, so each setting needs a fresh jit cache (recompile)."""
+    from hwang_tpu.models.h264.recon_batched import (
+        decode_gop_batched,
+        decode_gop_packed,
+    )
+
+    times = {}
+    for ablate in ("nodb", "inter"):
+        os.environ["HWANG_ABLATE"] = ablate
+        decode_gop_packed.clear_cache()
+        decode_gop_batched.clear_cache()
+        dec.decode(rows, out_size=out_size)  # compile
+        device_sync()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            dec.decode(rows, out_size=out_size)
+            device_sync()
+            best = min(best, time.time() - t0)
+        times[ablate] = best
+    os.environ.pop("HWANG_ABLATE", None)
+    decode_gop_packed.clear_cache()
+    decode_gop_batched.clear_cache()
+    log("  stage budget (ablation, best-of-3):")
+    log(f"    full            {t_full*1e3:8.0f} ms")
+    log(f"    deblock         {(t_full-times['nodb'])*1e3:8.0f} ms")
+    log(f"    intra           {(times['nodb']-times['inter'])*1e3:8.0f} ms")
+    log(f"    base (entropy+pack+H2D+residual+MC+epilogue+D2H) "
+        f"{times['inter']*1e3:8.0f} ms")
+
+
+def _p50_seek(paths, gop, k=5):
+    from hwang_tpu.pipeline import ClipBatchDecoder
+
+    lat = []
+    for i in range(k):
+        single = ClipBatchDecoder([paths[i % len(paths)]])
+        row = gop - 1
+        t0 = time.time()
+        single.decode([[row]])
+        device_sync()
+        lat.append(time.time() - t0)
+        single.close()
+    lat.sort()
+    return lat[len(lat) // 2] * 1e3
+
+
+def _run_config(name, cfg, out_size, budget=False, seek=False):
+    W, H, n_clips, n_frames, mode, count, gop, profile, bframes = cfg
+    log(f"[{name}] {n_clips} clips x {count} rows ({mode}) @{W}x{H} "
+        f"{profile} gop={gop}")
+    t0 = time.time()
+    paths = _fixture_paths(cfg, name)
+    log(f"  fixtures ready in {time.time()-t0:.1f}s")
+    rows = _make_rows(mode, n_frames, count, n_clips, gop)
+    fps, best, report = _run_tpu(paths, rows, out_size, budget=budget)
+    if report:
+        log("  host stages:\n" + "\n".join(
+            "    " + ln for ln in report.splitlines()))
+    ff_fps = _ffmpeg_baseline(paths, rows)
+    log(f"  ffmpeg 1-thread: {ff_fps:.1f} fps  (ratio {fps/ff_fps:.3f})")
+    p50 = _p50_seek(paths, gop) if seek else None
+    if p50 is not None:
+        log(f"  p50 seek-to-frame latency (GOP-tail frame): {p50:.0f} ms")
+    return {
+        "fps": round(fps, 2),
+        "vs_ffmpeg_1core": round(fps / ff_fps, 3),
+        **({"p50_seek_ms": round(p50)} if p50 is not None else {}),
+    }
+
+
+def main():
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    budget = os.environ.get("HWANG_BENCH_BUDGET") == "1"
+    fast = os.environ.get("HWANG_BENCH_FAST") == "1"
+    preset = os.environ.get("HWANG_BENCH_PRESET")
+
+    if preset:
+        head_name, head_cfg = preset, _CONFIGS[preset]
+        extras = []
+    elif "HWANG_BENCH_W" in os.environ or "HWANG_BENCH_MODE" in os.environ \
+            or "HWANG_BENCH_CLIPS" in os.environ:
+        head_name, head_cfg = "custom", _knob_config()
+        extras = []
+    else:
+        head_name, head_cfg = "config4", _CONFIGS["config4"]
+        extras = [] if fast else ["config2", "config3"]
+
+    out_size = (224, 224) if head_name in ("config4", "custom") else None
+    head = _run_config(head_name, head_cfg, out_size, budget=budget,
+                       seek=True)
+
+    extra_out = {}
+    for name in extras:
+        try:
+            extra_out[name] = _run_config(name, _CONFIGS[name], None)
+        except Exception as e:  # an extra config must not sink the headline
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            extra_out[name] = {"error": str(e)[:200]}
+
+    W, H, n_clips, _, mode, count, gop, profile, _ = head_cfg
+    sized = f" -> 224px RGB in HBM" if out_size else " YUV/RGB full-res"
     result = {
-        "metric": f"frames/sec/chip {MODE} gather {N_CLIPS}x{len(rows[0])} "
-                  f"@{W}x{H} h264 -> 224px RGB in HBM",
-        "value": round(tpu_fps, 2),
+        "metric": f"frames/sec/chip {mode} gather {n_clips}x{count} "
+                  f"@{W}x{H} h264{sized}",
+        "value": head["fps"],
         "unit": "frames/s",
-        "vs_baseline": round(tpu_fps / ff_fps, 3),
+        "vs_baseline": head["vs_ffmpeg_1core"],
+        "extra": {
+            "p50_seek_ms": head.get("p50_seek_ms"),
+            **extra_out,
+        },
     }
     print(json.dumps(result))
 

@@ -73,13 +73,43 @@ class PackedBatch(NamedTuple):
 _COEFF_BLOCKS = 26
 
 
-def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
+def pack_flags(tensors) -> dict:
+    """Which optional PackedBatch fields a clip set needs.  Computed over
+    the GLOBAL batch when packing per-device shards (pack_gop_batch's
+    `force` arg) so every shard has an identical pytree structure."""
+    from .recon import explicit_b_frames
+
+    return {
+        "ipcm": any((t.mb_kind == 4).any() for t in tensors),
+        "weights": any(
+            t.weight_flag is not None and t.weight_flag.any()
+            for t in tensors
+        ),
+        "expb": any(explicit_b_frames(t).any() for t in tensors),
+        "t8": any(
+            t.transform8 is not None and t.transform8.any() for t in tensors
+        ),
+        "scal": any(
+            getattr(t, "scaling_w4", None) is not None for t in tensors
+        ),
+        "b": any((t.frame_type == 1).any() for t in tensors),
+    }
+
+
+def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
+                   to_device: bool = True) -> PackedBatch:
     """Pack entropy.GopTensors list (one per clip) for one upload.
 
     The per-MB syntax, MV base+exception and sparse-coefficient passes
     run natively (hw_h264_pack_clip: one cache-friendly sweep per clip,
     count then fill); the rare per-batch extras (IPCM, pred weights,
-    bi-prediction pair tables, scaling matrices) stay in numpy."""
+    bi-prediction pair tables, scaling matrices) stay in numpy.
+
+    `force` (a pack_flags dict) makes optional fields present even when
+    this clip subset doesn't need them — required when packing shards of
+    a larger batch.  `to_device=False` keeps buffers in host numpy (the
+    sharded path device_puts them with an explicit sharding instead).
+    """
     import ctypes
 
     from ...native import get_lib
@@ -90,16 +120,19 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
     M = tensors[0].mb_width * tensors[0].mb_height
     lib = get_lib()
     _declare(lib)
+    force = force or {}
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
     hdr = np.zeros((B, F, 36), np.int16)
     hdr[:, :, 17:33] = -1
     hdr[:, :, 34] = -1
-    any_ipcm = any((t.mb_kind == 4).any() for t in tensors)
+    any_ipcm = force.get("ipcm", False) or any(
+        (t.mb_kind == 4).any() for t in tensors
+    )
     ipcm = (
         np.zeros((B, F, M, 384), np.uint8) if any_ipcm else None
     )
-    any_weights = any(
+    any_weights = force.get("weights", False) or any(
         t.weight_flag is not None and t.weight_flag.any() for t in tensors
     )
     weights = None
@@ -111,7 +144,9 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         ).copy()
     from .recon import explicit_b_frames, weights_l1_or_identity
 
-    any_expb = any(explicit_b_frames(t).any() for t in tensors)
+    any_expb = force.get("expb", False) or any(
+        explicit_b_frames(t).any() for t in tensors
+    )
     weights_l1 = None
     if any_expb:
         from .recon import _IDENTITY_WEIGHT
@@ -119,10 +154,10 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
         weights_l1 = np.broadcast_to(
             _IDENTITY_WEIGHT, (B, F, 16, 8)
         ).copy()
-    any_t8 = any(
+    any_t8 = force.get("t8", False) or any(
         t.transform8 is not None and t.transform8.any() for t in tensors
     )
-    any_scal = any(
+    any_scal = force.get("scal", False) or any(
         getattr(t, "scaling_w4", None) is not None for t in tensors
     )
     sw4 = sw8 = None
@@ -134,7 +169,9 @@ def pack_gop_batch(tensors, pad_frames: int) -> PackedBatch:
                 sw4[b] = t.scaling_w4
                 sw8[b] = t.scaling_w8
     t8 = np.zeros((B, F, M), np.uint8) if any_t8 else None
-    any_b = any((t.frame_type == 1).any() for t in tensors)
+    any_b = force.get("b", False) or any(
+        (t.frame_type == 1).any() for t in tensors
+    )
     ridx1 = bi_w = None
     if any_b:
         from .recon import bipred_pair_weights

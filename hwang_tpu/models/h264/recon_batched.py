@@ -666,10 +666,25 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
 
         _ablate = _os.environ.get("HWANG_ABLATE", "")
         if _ablate != "inter":
-            Y, U, V = intra_stage_skewed(
-                Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16, chroma_res,
-                res8=res8,
+            from ...ops import intra_pallas as _inp
+
+            use_ip = _os.environ.get(
+                "HWANG_INTRA",
+                "pallas" if (_inp._is_tpu_backend()
+                             and res8 is None
+                             and _inp.fits_vmem(mb_w, mb_h))
+                else "skewed",
             )
+            if use_ip == "pallas" and res8 is None:
+                Y, U, V = _inp.intra_stage_pallas(
+                    Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
+                    chroma_res,
+                )
+            else:
+                Y, U, V = intra_stage_skewed(
+                    Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
+                    chroma_res, res8=res8,
+                )
         def resolve(refidx, ref_map):
             return jnp.where(
                 refidx >= 0,

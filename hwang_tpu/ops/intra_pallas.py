@@ -1,0 +1,623 @@
+"""Pallas TPU intra-prediction wavefront: the whole knight-wavefront loop
+runs inside ONE kernel launch.
+
+Same treatment that took deblocking from ~3.0 s to ~0.17 s per bench run
+(ops/deblock_pallas.py): the XLA skewed intra wavefront
+(recon_skewed.intra_stage_skewed) is bit-exact but pays the fixed ~0.4 ms
+per-step dispatch cost; here the step loop is a `fori_loop` inside a
+pallas_call, and steps whose diagonal carries no intra MB (most steps of
+P/B frames) are skipped with `pl.when` on a precomputed per-step flag.
+
+Memory layout (identical conventions to deblock_pallas):
+  lane index = packed_pixel_column * bt + clip, 16*bt lanes
+
+  luma     [G, SwP, mb_h*16, 16*bt] uint8   (inter-recon in, intra out)
+  chroma   [G, SwP, mb_h*8,  16*bt] uint8   INTERLEAVED cols U0 V0 U1 ... V7
+  res16    [G, SwP, mb_h*16, 16*bt] int16   I16 luma residual, pixel layout
+  resb     [G, SwP, mb_h*16, 16*bt] int16   per-4x4 residual, pixel layout
+  cres     [G, SwP, mb_h*8,  16*bt] int16   chroma residual, interleaved
+  par      [G, SwP, mb_h, PW*bt]    uint8   kind/avail/modes (+1 biased)
+  flags    [G, SwP]                 int32   any-intra-on-diagonal (SMEM)
+
+Chroma is interleaved (unlike deblock's U|V halves) so both planes of a
+prediction step are one contiguous 2*bt lane group — the predictors never
+need cross-group shuffles.
+
+Scope: I4x4 + I16 + chroma modes (baseline/main and High without the 8x8
+transform).  Spans carrying intra_8x8 MBs use the XLA skewed stage
+(recon_batched routes on `transform8 is None`).
+
+Ground truth: recon_skewed.intra_stage_skewed == ops/intra.py ==
+ref_recon == libavcodec (tests/test_intra_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.h264.skew import (
+    frame_to_tiles,
+    skew,
+    skew_width,
+    tiles_to_frame,
+    unskew,
+)
+
+from ..models.h264.recon import _BTR_STATIC, _DEC_ORDER
+
+_LEAD = 3
+PW = 20  # packed per-MB syntax width: kind, avail, i16+1, cmode+1, i4[16]+1
+
+
+def _shift_down(x):
+    """mb-row r <- r-1 along axis 0 (row 0 zero)."""
+    return jnp.pad(x, ((1, 0),) + ((0, 0),) * (x.ndim - 1))[:-1]
+
+
+def _set_row(x, a, b, v):
+    """x[..., a:b, :] = v without scatter (concat along axis -2)."""
+    parts = ([x[..., :a, :]] if a > 0 else []) + [v] + (
+        [x[..., b:, :]] if b < x.shape[-2] else [])
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else v
+
+
+def _rows(vals):
+    """list of n [mbh, W] -> [mbh, n, W]."""
+    return jnp.stack(vals, axis=-2)
+
+
+def _lanes(vals):
+    """list of k [mbh(, n), w] -> concat along lanes."""
+    return jnp.concatenate(vals, axis=-1)
+
+
+def _sel(mode, cands, width):
+    """where-chain select by per-MB mode: mode [mbh, w0]; cands list of
+    tiles; the mask is lane-expanded to the tile width."""
+    n = len(cands)
+    out = cands[n - 1]
+    reps = cands[0].shape[-1] // mode.shape[-1]
+    m = _lanes([mode] * reps) if reps > 1 else mode
+    if cands[0].ndim == 3 and m.ndim == 2:
+        m = jnp.broadcast_to(m[:, None, :], cands[0].shape)
+    for k in range(n - 2, -1, -1):
+        out = jnp.where(m == k, cands[k], out)
+    return out
+
+
+def _predict_4x4_positions(l, t, tl, tr):
+    """The spec 8.3.1.2 mode values per position — a direct port of
+    ops/intra.predict_i4x4 (all position indices are static Python ints,
+    so the formulas read straight off the reference implementation; XLA /
+    Mosaic CSE dedupes the shared taps).
+
+    l: list of 4 [mbh, bt] (left col top->bottom); t: 4 top; tl: [mbh,bt];
+    tr: 4 top-right (already substitution-resolved).
+    Returns 16 position entries (row-major), each a 9-list of mode values
+    with slot 2 (DC) left None for the caller (it needs avail flags).
+    """
+    a = t + tr                       # a[0..7] = t0..t3 tr0..tr3
+
+    def f3(i):                       # filtered a (ddl), i in 0..6
+        if i == 6:
+            return (a[6] + 3 * a[7] + 2) >> 2
+        return (a[i] + 2 * a[i + 1] + a[i + 2] + 2) >> 2
+
+    def T(i):                        # top with index -1 => topleft
+        return tl if i == -1 else t[i]
+
+    def L(i):
+        return tl if i == -1 else l[i]
+
+    out = []
+    for y in range(4):
+        for x in range(4):
+            cands = [None] * 9
+            cands[0] = t[x]                                  # vertical
+            cands[1] = l[y]                                  # horizontal
+            cands[2] = None                                  # DC (caller)
+            cands[3] = f3(x + y)                             # ddl
+            # mode 4: diagonal down-right
+            if x > y:
+                i = x - y
+                cands[4] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+            elif x < y:
+                i = y - x
+                cands[4] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+            else:
+                cands[4] = (T(0) + 2 * tl + L(0) + 2) >> 2
+            # mode 5: vertical-right
+            z = 2 * x - y
+            if z >= 0 and z % 2 == 0:
+                i = x - (y >> 1)
+                cands[5] = (T(i - 1) + T(i) + 1) >> 1
+            elif z >= 0:
+                i = x - (y >> 1)
+                cands[5] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+            elif z == -1:
+                cands[5] = (L(0) + 2 * tl + T(0) + 2) >> 2
+            else:
+                i = y - 2 * x - 1
+                cands[5] = (L(i) + 2 * L(i - 1) + L(i - 2) + 2) >> 2
+            # mode 6: horizontal-down
+            z = 2 * y - x
+            if z >= 0 and z % 2 == 0:
+                i = y - (x >> 1)
+                cands[6] = (L(i - 1) + L(i) + 1) >> 1
+            elif z >= 0:
+                i = y - (x >> 1)
+                cands[6] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+            elif z == -1:
+                cands[6] = (T(0) + 2 * tl + L(0) + 2) >> 2
+            else:
+                i = x - 2 * y - 1
+                cands[6] = (T(i) + 2 * T(i - 1) + T(i - 2) + 2) >> 2
+            # mode 7: vertical-left
+            i = x + (y >> 1)
+            if y % 2 == 0:
+                cands[7] = (a[i] + a[i + 1] + 1) >> 1
+            else:
+                cands[7] = (a[i] + 2 * a[i + 1] + a[i + 2] + 2) >> 2
+            # mode 8: horizontal-up
+            z = x + 2 * y
+            if z > 5:
+                cands[8] = l[3]
+            elif z == 5:
+                cands[8] = (l[2] + 3 * l[3] + 2) >> 2
+            elif z % 2 == 0:
+                i = z >> 1
+                cands[8] = (l[i] + l[i + 1] + 1) >> 1
+            else:
+                i = z >> 1
+                cands[8] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+            out.append(cands)
+    return out
+
+
+def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
+                ctl8, r16col, rbcol, crescol, par_col, *, mb_w, mb_h, bt):
+    """One intra wavefront step.  Inputs are the raw skewed columns
+    (p, p-1, p-2, p-3) of the luma/chroma planes plus this column's
+    residuals and packed syntax.  Returns (new_luma_col, new_chroma_col)
+    uint8."""
+    W = 16 * bt
+    CUR = cur8.astype(jnp.int32).reshape(mb_h, 16, W)
+    LEFT = left8.astype(jnp.int32).reshape(mb_h, 16, W)
+    TOP = _shift_down(top8.astype(jnp.int32).reshape(mb_h, 16, W))
+    TL = _shift_down(tl8.astype(jnp.int32).reshape(mb_h, 16, W))
+    TR = _shift_down(left8.astype(jnp.int32).reshape(mb_h, 16, W))
+    par = par_col.astype(jnp.int32)                   # [mbh, PW*bt]
+    R16 = r16col.astype(jnp.int32).reshape(mb_h, 16, W)
+    RB = rbcol.astype(jnp.int32).reshape(mb_h, 16, W)
+
+    def pseg(k):
+        return par[..., k * bt:(k + 1) * bt]          # [mbh, bt]
+
+    kind = pseg(0)
+    av = pseg(1)
+    have_l = (av & 1) == 1
+    have_t = (av & 2) == 2
+    have_tr = (av & 4) == 4
+    i16m = pseg(2) - 1
+    cmode = pseg(3) - 1
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (mb_h, bt), 0)
+    c_idx = t_step - 2 * r_iota
+    active = (c_idx >= 0) & (c_idx < mb_w)
+    is_i4 = active & (kind == 2)
+    is_i16 = active & (kind == 3)
+    w_any = is_i4 | is_i16
+
+    def lv(x, g):
+        """Packed pixel-column g of a [mbh, rows, W] tile: [mbh, rows, bt]."""
+        return x[..., g * bt:(g + 1) * bt]
+
+    # border strips
+    tl_px = TL[:, 15, 15 * bt:16 * bt]                # [mbh, bt]
+    top_row = TOP[:, 15, :]                           # [mbh, W]
+    top_j = [top_row[:, g * bt:(g + 1) * bt] for g in range(16)]
+    tr_row = TR[:, 15, :]
+    tr_j = [tr_row[:, g * bt:(g + 1) * bt] for g in range(16)]
+    left_k = [LEFT[:, k, 15 * bt:16 * bt] for k in range(16)]
+
+    # ---------------- I16 ----------------
+    sumt = functools.reduce(lambda x, y: x + y, top_j)
+    suml = functools.reduce(lambda x, y: x + y, left_k)
+    dc16 = jnp.where(
+        have_l & have_t, (suml + sumt + 16) >> 5,
+        jnp.where(have_l, (suml + 8) >> 4,
+                  jnp.where(have_t, (sumt + 8) >> 4, 128)),
+    )
+    m0 = _rows([top_row] * 16)                        # vertical
+    m1 = _rows([_lanes([left_k[y]] * 16) for y in range(16)])
+    m2 = _rows([_lanes([dc16] * 16)] * 16)
+    h16 = functools.reduce(
+        lambda x, y: x + y,
+        [(i + 1) * (top_j[8 + i] - top_j[6 - i]) for i in range(7)],
+    ) + 8 * (top_j[15] - tl_px)
+    v16 = functools.reduce(
+        lambda x, y: x + y,
+        [(i + 1) * (left_k[8 + i] - left_k[6 - i]) for i in range(7)],
+    ) + 8 * (left_k[15] - tl_px)
+    aa = 16 * (left_k[15] + top_j[15])
+    bb = (5 * h16 + 32) >> 6
+    cc = (5 * v16 + 32) >> 6
+    colvals = _lanes([aa + bb * (x - 7) for x in range(16)])  # [mbh, W]
+    ccW = _lanes([cc] * 16)
+    m3 = jnp.clip(
+        _rows([colvals + ccW * (y - 7) + 16 for y in range(16)]) >> 5,
+        0, 255,
+    )
+    mb16 = jnp.clip(_sel(i16m, [m0, m1, m2, m3], W) + R16, 0, 255)
+
+    # ---------------- I4x4 ----------------
+    # canvas T: [mbh, 17, 21*bt]; row 0 = tl | top16 | tr4;
+    # col group 0 rows 1..16 = left
+    row0 = _lanes([tl_px] + top_j + tr_j[:4])[:, None, :]
+    interior = jnp.zeros((mb_h, 16, 20 * bt), jnp.int32)
+    rows_1_16 = _lanes([_rows(left_k), interior])
+    T = jnp.concatenate([row0, rows_1_16], axis=-2)   # [mbh, 17, 21bt]
+
+    dc_zero = jnp.zeros_like(tl_px)
+    for db in _DEC_ORDER:
+        x4, y4 = db & 3, db >> 2
+        r0, c0 = 4 * y4, 4 * x4
+        lb = [T[:, r0 + 1 + k, c0 * bt:(c0 + 1) * bt] for k in range(4)]
+        tb = [T[:, r0, (c0 + 1 + x) * bt:(c0 + 2 + x) * bt]
+              for x in range(4)]
+        tlb = T[:, r0, c0 * bt:(c0 + 1) * bt]
+        trb = [T[:, r0, (c0 + 5 + x) * bt:(c0 + 6 + x) * bt]
+               for x in range(4)]
+        bl = have_l if x4 == 0 else None               # None = always true
+        bt_ok = have_t if y4 == 0 else None
+        if y4 == 0:
+            btr = have_t if x4 < 3 else have_tr
+            # sample substitution: unavailable top-right copies top[3]
+            # (0 when top is unavailable too — matching the XLA stage)
+            tr_eff = [
+                jnp.where(btr, trb[x], jnp.where(have_t, tb[3], 0))
+                for x in range(4)
+            ]
+        else:
+            if bool(_BTR_STATIC[db]):
+                tr_eff = trb
+            else:
+                tr_eff = [tb[3]] * 4                   # substitution
+        modes = pseg(4 + db) - 1
+        pos = _predict_4x4_positions(lb, tb, tlb, tr_eff)
+        # DC (mode 2) needs avail flags
+        suml4 = lb[0] + lb[1] + lb[2] + lb[3]
+        sumt4 = tb[0] + tb[1] + tb[2] + tb[3]
+        if bl is None and bt_ok is None:
+            dc4 = (suml4 + sumt4 + 4) >> 3
+        elif bl is None:
+            dc4 = jnp.where(bt_ok, (suml4 + sumt4 + 4) >> 3,
+                            (suml4 + 2) >> 2)
+        elif bt_ok is None:
+            dc4 = jnp.where(bl, (suml4 + sumt4 + 4) >> 3, (sumt4 + 2) >> 2)
+        else:
+            dc4 = jnp.where(
+                bl & bt_ok, (suml4 + sumt4 + 4) >> 3,
+                jnp.where(bl, (suml4 + 2) >> 2,
+                          jnp.where(bt_ok, (sumt4 + 2) >> 2, 128)),
+            )
+        res_rows = [
+            RB[:, r0 + dy, c0 * bt:(c0 + 4) * bt] for dy in range(4)
+        ]
+        new_rows = []
+        for dy in range(4):
+            vals = []
+            for dx in range(4):
+                cands = pos[dy * 4 + dx]
+                cands[2] = dc4
+                vals.append(_sel(modes, cands, bt))
+            row = jnp.clip(
+                _lanes(vals) + res_rows[dy], 0, 255
+            )
+            new_rows.append(row)
+        blk = _rows(new_rows)                          # [mbh, 4, 4bt]
+        upd = _lanes([
+            T[:, r0 + 1:r0 + 5, : (c0 + 1) * bt], blk,
+            T[:, r0 + 1:r0 + 5, (c0 + 5) * bt:],
+        ])
+        T = _set_row(T, r0 + 1, r0 + 5, upd)
+
+    i4_pix = T[:, 1:, bt:17 * bt]                      # [mbh, 16, 16bt]
+
+    w_i4 = jnp.broadcast_to(
+        _lanes([is_i4] * 16)[:, None, :], (mb_h, 16, W)
+    )
+    w_i16 = jnp.broadcast_to(
+        _lanes([is_i16] * 16)[:, None, :], (mb_h, 16, W)
+    )
+    newcur = jnp.where(w_i4, i4_pix, jnp.where(w_i16, mb16, CUR))
+    out_y = newcur.reshape(mb_h * 16, W).astype(jnp.uint8)
+
+    # ---------------- chroma (interleaved U0 V0 U1 ... V7) ----------------
+    CURc = ccur8.astype(jnp.int32).reshape(mb_h, 8, W)
+    LEFTc = cleft8.astype(jnp.int32).reshape(mb_h, 8, W)
+    TOPc = _shift_down(ctop8.astype(jnp.int32).reshape(mb_h, 8, W))
+    TLc = _shift_down(ctl8.astype(jnp.int32).reshape(mb_h, 8, W))
+    CRES = crescol.astype(jnp.int32).reshape(mb_h, 8, W)
+
+    tl_c = TLc[:, 7, 14 * bt:16 * bt]                 # [mbh, 2bt] (U|V)
+    toprow_c = TOPc[:, 7, :]                          # [mbh, W]
+    top_c = [toprow_c[:, 2 * g * bt:(2 * g + 2) * bt] for g in range(8)]
+    left_c = [LEFTc[:, k, 14 * bt:16 * bt] for k in range(8)]
+    hl2 = _lanes([have_l] * 2)
+    ht2 = _lanes([have_t] * 2)
+    cmode2 = _lanes([cmode] * 2)
+
+    # DC per quadrant (spec 8.3.4.1)
+    qs_l = [left_c[0] + left_c[1] + left_c[2] + left_c[3],
+            left_c[4] + left_c[5] + left_c[6] + left_c[7]]
+    qs_t = [top_c[0] + top_c[1] + top_c[2] + top_c[3],
+            top_c[4] + top_c[5] + top_c[6] + top_c[7]]
+    dcq = {}
+    for qy in range(2):
+        for qx in range(2):
+            both = (qs_l[qy] + qs_t[qx] + 4) >> 3
+            only_l = (qs_l[qy] + 2) >> 2
+            only_t = (qs_t[qx] + 2) >> 2
+            if (qx, qy) in ((0, 0), (1, 1)):
+                dc = jnp.where(hl2 & ht2, both,
+                               jnp.where(hl2, only_l,
+                                         jnp.where(ht2, only_t, 128)))
+            elif qx == 1:
+                dc = jnp.where(ht2, only_t, jnp.where(hl2, only_l, 128))
+            else:
+                dc = jnp.where(hl2, only_l, jnp.where(ht2, only_t, 128))
+            dcq[(qx, qy)] = dc
+    c0_rows = []
+    for y in range(8):
+        qy = y >> 2
+        c0_rows.append(_lanes([dcq[(x >> 2, qy)] for x in range(8)]))
+    cm0 = _rows(c0_rows)
+    cm1 = _rows([_lanes([left_c[y]] * 8) for y in range(8)])
+    cm2 = _rows([toprow_c] * 8)
+    hc = functools.reduce(
+        lambda x, y: x + y,
+        [(i + 1) * (top_c[4 + i] - top_c[2 - i]) for i in range(3)],
+    ) + 4 * (top_c[7] - tl_c)
+    vc = functools.reduce(
+        lambda x, y: x + y,
+        [(i + 1) * (left_c[4 + i] - left_c[2 - i]) for i in range(3)],
+    ) + 4 * (left_c[7] - tl_c)
+    aac = 16 * (left_c[7] + top_c[7])
+    bbc = (17 * hc + 16) >> 5
+    ccc = (17 * vc + 16) >> 5
+    colc = _lanes([aac + bbc * (x - 3) for x in range(8)])
+    cccW = _lanes([ccc] * 8)
+    cm3 = jnp.clip(
+        (_rows([colc + cccW * (y - 3) + 16 for y in range(8)])) >> 5,
+        0, 255,
+    )
+    # chroma mode numbering: 0=DC 1=H 2=V 3=Plane
+    predc = _sel(cmode2, [cm0, cm1, cm2, cm3], W)
+    mbc = jnp.clip(predc + CRES, 0, 255)
+    w_c = jnp.broadcast_to(
+        _lanes([w_any] * 16)[:, None, :], (mb_h, 8, W)
+    )
+    newc = jnp.where(w_c, mbc, CURc)
+    out_c = newc.reshape(mb_h * 8, W).astype(jnp.uint8)
+    return out_y, out_c
+
+
+def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
+            y_out, c_out, *, mb_w, mb_h, n_steps, bt):
+    import jax.experimental.pallas as pl
+
+    y_out[...] = y_in[...]
+    c_out[...] = c_in[...]
+
+    def body(t, _):
+        p = t + _LEAD
+
+        @pl.when(flags[0, p] != 0)
+        def _():
+            ny, nc = _intra_step(
+                t,
+                y_out[0, p], y_out[0, p - 1], y_out[0, p - 2],
+                y_out[0, p - 3],
+                c_out[0, p], c_out[0, p - 1], c_out[0, p - 2],
+                c_out[0, p - 3],
+                r16_in[0, p], rb_in[0, p], cres_in[0, p], par_in[0, p],
+                mb_w=mb_w, mb_h=mb_h, bt=bt,
+            )
+            y_out[0, p] = ny
+            c_out[0, p] = nc
+
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def _vmem_bytes(bt, mb_h, swp):
+    lanes = max(16 * bt, 128)
+    per_col = mb_h * (
+        16 * lanes * 2      # luma in + out (u8)
+        + 8 * lanes * 2     # chroma in + out (u8)
+        + 16 * lanes * 2    # res16 (i16)
+        + 16 * lanes * 2    # resb (i16)
+        + 8 * lanes * 2     # cres (i16)
+        + PW * bt
+    )
+    return swp * per_col
+
+
+def _pick_bt(B, mb_h, swp):
+    bt = 1
+    while bt * 2 <= B and B % (bt * 2) == 0:
+        nxt = bt * 2
+        mult = 2 if B // nxt > 1 else 1
+        if _vmem_bytes(nxt, mb_h, swp) * mult > _VMEM_BUDGET:
+            break
+        bt = nxt
+    return bt
+
+
+def fits_vmem(mb_w: int, mb_h: int) -> bool:
+    swp = skew_width(mb_w, mb_h) + _LEAD
+    return _vmem_bytes(1, mb_h, swp) * 2 <= _VMEM_BUDGET
+
+
+def _is_tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _interpret_default():
+    return not _is_tpu_backend()
+
+
+def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
+                       chroma_res, res8=None, interpret=None):
+    """Drop-in replacement for recon_skewed.intra_stage_skewed (when the
+    span has no intra-8x8 MBs — callers route on `res8 is None`)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert res8 is None, "intra 8x8 uses the skewed XLA stage"
+    if interpret is None:
+        interpret = _interpret_default()
+    B = Y.shape[0]
+    M = mb_w * mb_h
+    n_steps = skew_width(mb_w, mb_h)
+    swp = n_steps + _LEAD
+    bt = _pick_bt(B, mb_h, swp)
+    G = B // bt
+    W = 16 * bt
+
+    def to_cols(a):
+        """[B, mbh, mw, D] -> lead-padded skewed column-major
+        [B, SwP, mbh, D]."""
+        s = skew(a, mb_w, mb_h)
+        s = jnp.pad(s, ((0, 0), (0, 0), (_LEAD, 0), (0, 0)))
+        return s.transpose(0, 2, 1, 3)
+
+    def pack_lanes(a, rows, width):
+        """[B, SwP, mbh, rows*width] -> [G, SwP, mbh*rows, width*bt]."""
+        a = a.reshape(G, bt, swp, mb_h, rows, width)
+        a = a.transpose(0, 2, 3, 4, 5, 1)
+        return a.reshape(G, swp, mb_h * rows, width * bt)
+
+    def unpack_lanes(a, rows, width):
+        a = a.reshape(G, swp, mb_h, rows, width, bt)
+        a = a.transpose(0, 5, 1, 2, 3, 4)
+        return a.reshape(G * bt, swp, mb_h, rows * width)
+
+    # ---- planes
+    y_p = pack_lanes(
+        to_cols(frame_to_tiles(Y, mb_w, mb_h, 16)
+                .reshape(B, mb_h, mb_w, 256).astype(jnp.uint8)), 16, 16,
+    )
+    Uc = frame_to_tiles(U, mb_w, mb_h, 8)
+    Vc = frame_to_tiles(V, mb_w, mb_h, 8)
+    cuv = jnp.stack([Uc, Vc], axis=-1).reshape(B, mb_h, mb_w, 128)
+    c_p = pack_lanes(to_cols(cuv.astype(jnp.uint8)), 8, 16)
+
+    # ---- residuals (pixel layout, int16)
+    r16 = luma_res16.reshape(B, mb_h, mb_w, 256).astype(jnp.int16)
+    r16_p = pack_lanes(to_cols(r16), 16, 16)
+    rb = (
+        luma_blocks.reshape(B, M, 4, 4, 4, 4)        # [B,M,y4,x4,dy,dx]
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(B, mb_h, mb_w, 256)
+        .astype(jnp.int16)
+    )
+    rb_p = pack_lanes(to_cols(rb), 16, 16)
+    cres = (
+        chroma_res.reshape(B, M, 2, 8, 8)
+        .transpose(0, 1, 3, 4, 2)                     # interleave planes
+        .reshape(B, mb_h, mb_w, 128)
+        .astype(jnp.int16)
+    )
+    cres_p = pack_lanes(to_cols(cres), 8, 16)
+
+    # ---- packed syntax
+    par = jnp.concatenate(
+        [
+            fr["mb_kind"].astype(jnp.uint8)[..., None],
+            fr["avail"].astype(jnp.uint8)[..., None],
+            (fr["i16_mode"] + 1).astype(jnp.uint8)[..., None],
+            (fr["chroma_mode"] + 1).astype(jnp.uint8)[..., None],
+            (fr["i4_modes"] + 1).astype(jnp.uint8),
+        ],
+        axis=-1,
+    ).reshape(B, mb_h, mb_w, PW)
+    par_cols = to_cols(par)
+    par_p = (
+        par_cols.reshape(G, bt, swp, mb_h, PW)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(G, swp, mb_h, PW * bt)
+    )
+
+    # ---- per-step any-intra flags [G, swp] (computed in-graph)
+    kind_s = to_cols(
+        fr["mb_kind"].astype(jnp.int32).reshape(B, mb_h, mb_w)[..., None]
+    )[..., 0]                                         # [B, SwP, mbh]
+    isintra = (kind_s == 2) | (kind_s == 3)
+    flags = (
+        isintra.reshape(G, bt, swp, mb_h).any(axis=(1, 3))
+    ).astype(jnp.int32)
+
+    kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
+                             n_steps=n_steps, bt=bt)
+
+    def blk(r, w, dtype=None):
+        return pl.BlockSpec(
+            (1, swp, r, w), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    flag_spec = pl.BlockSpec(
+        (1, swp), lambda i: (i, 0), memory_space=pltpu.SMEM,
+    )
+
+    y_o, c_o = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[flag_spec,
+                  blk(mb_h * 16, W), blk(mb_h * 8, W),
+                  blk(mb_h * 16, W), blk(mb_h * 16, W), blk(mb_h * 8, W),
+                  blk(mb_h, PW * bt)],
+        out_specs=[blk(mb_h * 16, W), blk(mb_h * 8, W)],
+        out_shape=[
+            jax.ShapeDtypeStruct(y_p.shape, jnp.uint8),
+            jax.ShapeDtypeStruct(c_p.shape, jnp.uint8),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+        **({} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+        }),
+    )(flags, y_p, c_p, r16_p, rb_p, cres_p, par_p)
+
+    def from_cols(s):
+        return unskew(
+            s.transpose(0, 2, 1, 3)[:, :, _LEAD:].astype(jnp.int32),
+            mb_w, mb_h,
+        )
+
+    tiles_y = from_cols(unpack_lanes(y_o, 16, 16)).reshape(
+        B, mb_h, mb_w, 16, 16
+    )
+    Yn = tiles_to_frame(tiles_y, mb_w, mb_h, 16)
+    tiles_c = from_cols(unpack_lanes(c_o, 8, 16)).reshape(
+        B, mb_h, mb_w, 8, 8, 2
+    )
+    Un = tiles_to_frame(tiles_c[..., 0], mb_w, mb_h, 8)
+    Vn = tiles_to_frame(tiles_c[..., 1], mb_w, mb_h, 8)
+    return Yn, Un, Vn

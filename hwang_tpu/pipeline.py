@@ -48,10 +48,25 @@ class ClipBatchDecoder:
     """
 
     def __init__(self, paths: Sequence[str], n_refs: int | None = None,
-                 io_threads: int = 8, profiler=None):
+                 io_threads: int = 8, profiler=None, mesh=None):
+        """`mesh`: optional 1-D jax.sharding.Mesh ("clips" axis) — batches
+        are then packed per-device and decoded under shard_map (see
+        parallel/sharding.py); decode output is identical to the
+        single-device path.  mesh="auto" builds one over all local
+        devices when more than one is visible."""
         import os
 
         from .utils.profiler import PROFILER
+
+        if mesh == "auto":
+            import jax
+
+            from .parallel.sharding import clip_mesh
+
+            devs = jax.devices()
+            mesh = clip_mesh(devices=devs) if len(devs) > 1 else None
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
 
         # more worker threads than cores is pure contention for the
         # GIL-free native passes (this host often has ONE core)
@@ -193,24 +208,40 @@ class ClipBatchDecoder:
         out_frames = []
         index = []
         chunked: list[tuple[int, int, list[int], int]] = []
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         for (fpad, cqo), idxs in buckets.items():
             max_b = max(1, min(64, int(0.75e9 // (fpad * M * 26 * 16 * 2))))
             n_chunks = -(-len(idxs) // max_b)
             per = -(-len(idxs) // n_chunks)
             bpad = 1 << (per - 1).bit_length()
+            # sharded decode needs the padded batch to divide the mesh
+            bpad = -(-bpad // n_dev) * n_dev
             for s in range(0, len(idxs), per):
                 part = idxs[s : s + per]
                 chunked.append((fpad, cqo, part, bpad - len(part)))
         for fpad, cqo, idxs, pad_b in chunked:
-            with prof.span("pack"):
-                batch = pack_gop_batch(
-                    [tensors[i] for i in idxs]
-                    + [tensors[idxs[-1]]] * pad_b,
-                    fpad,
+            span_tensors = (
+                [tensors[i] for i in idxs] + [tensors[idxs[-1]]] * pad_b
+            )
+            if self.mesh is not None:
+                from .parallel.sharding import (
+                    decode_gop_packed_sharded,
+                    pack_gop_batch_sharded,
                 )
-            with prof.span("device_decode_dispatch"):
-                Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
-                                               self.n_refs)
+
+                with prof.span("pack"):
+                    batch = pack_gop_batch_sharded(span_tensors, fpad,
+                                                   n_dev)
+                with prof.span("device_decode_dispatch"):
+                    Ys, Us, Vs = decode_gop_packed_sharded(
+                        batch, self.mesh, mb_w, mb_h, cqo, self.n_refs
+                    )
+            else:
+                with prof.span("pack"):
+                    batch = pack_gop_batch(span_tensors, fpad)
+                with prof.span("device_decode_dispatch"):
+                    Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
+                                                   self.n_refs)
             # fused selection: one gather for all requested frames of this
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
