@@ -177,6 +177,7 @@ def _stage_budget(dec, rows, out_size, t_full):
     TRACE time, so each setting needs a fresh jit cache (recompile)."""
     from hwang_tpu.models.h264.recon_batched import (
         decode_gop_batched,
+        decode_gop_fused,
         decode_gop_packed,
     )
 
@@ -184,6 +185,7 @@ def _stage_budget(dec, rows, out_size, t_full):
     for ablate in ("nodb", "inter"):
         os.environ["HWANG_ABLATE"] = ablate
         decode_gop_packed.clear_cache()
+        decode_gop_fused.clear_cache()
         decode_gop_batched.clear_cache()
         dec.decode(rows, out_size=out_size)  # compile
         device_sync()
@@ -196,6 +198,7 @@ def _stage_budget(dec, rows, out_size, t_full):
         times[ablate] = best
     os.environ.pop("HWANG_ABLATE", None)
     decode_gop_packed.clear_cache()
+    decode_gop_fused.clear_cache()
     decode_gop_batched.clear_cache()
     log("  stage budget (ablation, best-of-3):")
     log(f"    full            {t_full*1e3:8.0f} ms")

@@ -61,15 +61,17 @@ class TpuSpanDecoder:
         order) plus the display permutation:
         (Y [F,H,W], U, V, n_frames, perm) — display position d is decode
         frame perm[d] (identity without B reordering)."""
+        import jax.numpy as jnp
         import numpy as np
 
-        from ..models.h264.packed import pack_gop_batch
-        from ..models.h264.recon_batched import decode_gop_packed
+        from ..models.h264.packed import fuse_packed, pack_gop_batch
+        from ..models.h264.recon_batched import decode_gop_fused
 
         t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
-        g = pack_gop_batch([t], _bucket(t.n_frames))
-        Ys, Us, Vs = decode_gop_packed(
-            g, self.mb_width, self.mb_height,
+        g = pack_gop_batch([t], _bucket(t.n_frames), to_device=False)
+        buf, layout = fuse_packed(g)
+        Ys, Us, Vs = decode_gop_fused(
+            jnp.asarray(buf), layout, self.mb_width, self.mb_height,
             self.entropy.chroma_qp_offset, n_refs=self.n_refs,
         )
         perm = np.argsort(t.poc[: t.n_frames], kind="stable")
@@ -154,20 +156,17 @@ class TpuVideoDecoder(VideoDecoderInterface):
                 self._queue.append(host[perm[d]])
         else:
             # packed planar YUV at coded size cropped: emit Y then U,V
-            # (crop chroma at half res)
-            y = np.asarray(Ys[:n, top : top + H, left : left + W])
-            u = np.asarray(
-                Us[:n, top // 2 : (top + H + 1) // 2,
+            # (crop chroma at half res).  Concatenate on-device so the
+            # span costs ONE D2H fetch (the relay charges fixed latency
+            # per transfer).
+            y = Ys[:n, top : top + H, left : left + W]
+            u = Us[:n, top // 2 : (top + H + 1) // 2,
                    left // 2 : (left + W + 1) // 2]
-            )
-            v = np.asarray(
-                Vs[:n, top // 2 : (top + H + 1) // 2,
+            v = Vs[:n, top // 2 : (top + H + 1) // 2,
                    left // 2 : (left + W + 1) // 2]
-            )
+            yuv = np.asarray(jnp.concatenate(
+                [y.reshape(n, -1), u.reshape(n, -1), v.reshape(n, -1)],
+                axis=1,
+            ))
             for d in range(n):  # emit in display order
-                f = perm[d]
-                self._queue.append(
-                    np.concatenate(
-                        [y[f].reshape(-1), u[f].reshape(-1), v[f].reshape(-1)]
-                    )
-                )
+                self._queue.append(yuv[perm[d]])

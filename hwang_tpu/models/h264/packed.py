@@ -321,6 +321,58 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
     )
 
 
+def fuse_packed(p: PackedBatch):
+    """Concatenate every PackedBatch buffer into ONE host uint8 array plus
+    a static layout, so a chunk costs a single H2D transfer (the relay —
+    and any real PCIe path — charges fixed latency per transfer; a
+    PackedBatch is otherwise 7-14 separate arrays).  The layout is
+    hashable and passed as a static jit argument; `unfuse_packed` slices
+    and bitcasts it back on-device (free under XLA: static offsets).
+    """
+    bufs: list[np.ndarray] = []
+    layout = []
+    off = 0
+    for name, arr in zip(p._fields, p):
+        if arr is None:
+            layout.append((name, None, None, None))
+            continue
+        a = np.ascontiguousarray(np.asarray(arr))
+        if a.dtype == np.int64:
+            # x64 is disabled on the device side; positions were already
+            # range-checked into int32 by sparse_pad
+            a = a.astype(np.int32)
+        pad = (-off) % 8
+        if pad:
+            bufs.append(np.zeros(pad, np.uint8))
+            off += pad
+        b = a.view(np.uint8).reshape(-1)
+        layout.append((name, off, a.shape, a.dtype.name))
+        bufs.append(b)
+        off += b.size
+    return np.concatenate(bufs), tuple(layout)
+
+
+def unfuse_packed(buf: jnp.ndarray, layout) -> PackedBatch:
+    """Inverse of fuse_packed, on-device (layout is static)."""
+    fields = {}
+    for name, off, shape, dtype in layout:
+        if off is None:
+            fields[name] = None
+            continue
+        dt = np.dtype(dtype)
+        n = int(np.prod(shape)) * dt.itemsize
+        seg = buf[off : off + n]
+        if dt.itemsize > 1:
+            seg = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), jnp.dtype(dt)
+            )
+        elif dt != np.uint8:
+            # same-width reinterpret (int8: -1 must not become 255)
+            seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))
+        fields[name] = seg.reshape(shape)
+    return PackedBatch(**fields)
+
+
 def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     """Device-side unpack into GopArrays (runs inside the decode jit).
 

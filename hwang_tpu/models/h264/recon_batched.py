@@ -784,3 +784,21 @@ decode_gop_packed = jax.jit(
     decode_gop_packed_core,
     static_argnames=("mb_w", "mb_h", "chroma_qp_offset", "n_refs"),
 )
+
+
+def decode_gop_fused_core(buf, layout, mb_w: int, mb_h: int,
+                          chroma_qp_offset: int, n_refs: int = 4):
+    """Single-upload transport: `buf` is the fuse_packed byte blob (ONE
+    H2D transfer per chunk), unfused and unpacked on-device."""
+    from .packed import unfuse_packed
+
+    return decode_gop_packed_core(
+        unfuse_packed(buf, layout), mb_w, mb_h, chroma_qp_offset, n_refs
+    )
+
+
+decode_gop_fused = jax.jit(
+    decode_gop_fused_core,
+    static_argnames=("layout", "mb_w", "mb_h", "chroma_qp_offset",
+                     "n_refs"),
+)

@@ -16,7 +16,11 @@ import threading
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+# TSAN builds live in their own tree so toggling HWANG_TSAN never serves
+# a stale non-instrumented library (run under LD_PRELOAD=libtsan.so —
+# see tests/test_tsan_soak.py)
+_TSAN = os.environ.get("HWANG_TSAN") == "1"
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build_tsan" if _TSAN else "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libhwang_native.so")
 
 _lock = threading.Lock()
@@ -43,7 +47,8 @@ def build(force: bool = False) -> str:
             return _LIB_PATH
         os.makedirs(_BUILD_DIR, exist_ok=True)
         subprocess.run(
-            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
+            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release",
+             f"-DHWANG_TSAN={'ON' if _TSAN else 'OFF'}", ".."],
             cwd=_BUILD_DIR,
             check=True,
             capture_output=True,

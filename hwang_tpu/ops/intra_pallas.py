@@ -76,13 +76,15 @@ def _lanes(vals):
 
 def _sel(mode, cands, width):
     """where-chain select by per-MB mode: mode [mbh, w0]; cands list of
-    tiles; the mask is lane-expanded to the tile width."""
+    tiles; the mask is lane-expanded (and row-stacked, not broadcast —
+    Mosaic materializes stacks of identical offset-(0,0) pieces reliably)
+    to the tile shape."""
     n = len(cands)
     out = cands[n - 1]
     reps = cands[0].shape[-1] // mode.shape[-1]
     m = _lanes([mode] * reps) if reps > 1 else mode
     if cands[0].ndim == 3 and m.ndim == 2:
-        m = jnp.broadcast_to(m[:, None, :], cands[0].shape)
+        m = _rows([m] * cands[0].shape[-2])
     for k in range(n - 2, -1, -1):
         out = jnp.where(m == k, cands[k], out)
     return out
@@ -232,7 +234,9 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
                   jnp.where(have_t, (sumt + 8) >> 4, 128)),
     )
     m0 = _rows([top_row] * 16)                        # vertical
-    m1 = _rows([_lanes([left_k[y]] * 16) for y in range(16)])
+    # horizontal: lane-broadcast of the full left COLUMN tile (keeping
+    # every stacked/concatenated piece offset-homogeneous for Mosaic)
+    m1 = _lanes([LEFT[:, :, 15 * bt:16 * bt]] * 16)
     m2 = _rows([_lanes([dc16] * 16)] * 16)
     h16 = functools.reduce(
         lambda x, y: x + y,
@@ -254,26 +258,40 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     mb16 = jnp.clip(_sel(i16m, [m0, m1, m2, m3], W) + R16, 0, 255)
 
     # ---------------- I4x4 ----------------
-    # canvas T: [mbh, 17, 21*bt]; row 0 = tl | top16 | tr4;
-    # col group 0 rows 1..16 = left
-    row0 = _lanes([tl_px] + top_j + tr_j[:4])[:, None, :]
-    interior = jnp.zeros((mb_h, 16, 20 * bt), jnp.int32)
-    rows_1_16 = _lanes([_rows(left_k), interior])
-    T = jnp.concatenate([row0, rows_1_16], axis=-2)   # [mbh, 17, 21bt]
-
-    dc_zero = jnp.zeros_like(tl_px)
+    # Canvas-free block graph: each decoded 4x4 block is a FRESH
+    # [mbh, 4, 4bt] tensor; neighbor samples are read straight from the
+    # producing block (or the border strips).  Mosaic requires every
+    # stack/concat piece to share layout offsets on non-concat dims —
+    # spliced-canvas updates violate that; slices feeding only
+    # ELEMENTWISE predictor math (as here) relayout fine.
+    B4: dict[tuple[int, int], jnp.ndarray] = {}
     for db in _DEC_ORDER:
         x4, y4 = db & 3, db >> 2
-        r0, c0 = 4 * y4, 4 * x4
-        lb = [T[:, r0 + 1 + k, c0 * bt:(c0 + 1) * bt] for k in range(4)]
-        tb = [T[:, r0, (c0 + 1 + x) * bt:(c0 + 2 + x) * bt]
-              for x in range(4)]
-        tlb = T[:, r0, c0 * bt:(c0 + 1) * bt]
-        trb = [T[:, r0, (c0 + 5 + x) * bt:(c0 + 6 + x) * bt]
-               for x in range(4)]
+        if x4 > 0:
+            nb = B4[(y4, x4 - 1)]
+            lb = [nb[:, k, 3 * bt:4 * bt] for k in range(4)]
+        else:
+            lb = [left_k[4 * y4 + k] for k in range(4)]
+        if y4 > 0:
+            nb = B4[(y4 - 1, x4)]
+            tb = [nb[:, 3, x * bt:(x + 1) * bt] for x in range(4)]
+        else:
+            tb = [top_j[4 * x4 + x] for x in range(4)]
+        if y4 == 0 and x4 == 0:
+            tlb = tl_px
+        elif y4 == 0:
+            tlb = top_j[4 * x4 - 1]
+        elif x4 == 0:
+            tlb = left_k[4 * y4 - 1]
+        else:
+            tlb = B4[(y4 - 1, x4 - 1)][:, 3, 3 * bt:4 * bt]
         bl = have_l if x4 == 0 else None               # None = always true
         bt_ok = have_t if y4 == 0 else None
         if y4 == 0:
+            trb = (
+                [top_j[4 * x4 + 4 + x] for x in range(4)]
+                if x4 < 3 else [tr_j[x] for x in range(4)]
+            )
             btr = have_t if x4 < 3 else have_tr
             # sample substitution: unavailable top-right copies top[3]
             # (0 when top is unavailable too — matching the XLA stage)
@@ -283,7 +301,8 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
             ]
         else:
             if bool(_BTR_STATIC[db]):
-                tr_eff = trb
+                nb = B4[(y4 - 1, x4 + 1)]
+                tr_eff = [nb[:, 3, x * bt:(x + 1) * bt] for x in range(4)]
             else:
                 tr_eff = [tb[3]] * 4                   # substitution
         modes = pseg(4 + db) - 1
@@ -305,7 +324,8 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
                           jnp.where(bt_ok, (sumt4 + 2) >> 2, 128)),
             )
         res_rows = [
-            RB[:, r0 + dy, c0 * bt:(c0 + 4) * bt] for dy in range(4)
+            RB[:, 4 * y4 + dy, 4 * x4 * bt:(4 * x4 + 4) * bt]
+            for dy in range(4)
         ]
         new_rows = []
         for dy in range(4):
@@ -318,21 +338,18 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
                 _lanes(vals) + res_rows[dy], 0, 255
             )
             new_rows.append(row)
-        blk = _rows(new_rows)                          # [mbh, 4, 4bt]
-        upd = _lanes([
-            T[:, r0 + 1:r0 + 5, : (c0 + 1) * bt], blk,
-            T[:, r0 + 1:r0 + 5, (c0 + 5) * bt:],
-        ])
-        T = _set_row(T, r0 + 1, r0 + 5, upd)
+        B4[(y4, x4)] = _rows(new_rows)                 # [mbh, 4, 4bt]
 
-    i4_pix = T[:, 1:, bt:17 * bt]                      # [mbh, 16, 16bt]
+    bands = [
+        _lanes([B4[(y4, x4)] for x4 in range(4)]) for y4 in range(4)
+    ]
+    i4_pix = jnp.concatenate(bands, axis=-2)           # [mbh, 16, 16bt]
 
-    w_i4 = jnp.broadcast_to(
-        _lanes([is_i4] * 16)[:, None, :], (mb_h, 16, W)
-    )
-    w_i16 = jnp.broadcast_to(
-        _lanes([is_i16] * 16)[:, None, :], (mb_h, 16, W)
-    )
+    def expand16(m):
+        return _rows([_lanes([m] * 16)] * 16)
+
+    w_i4 = expand16(is_i4)
+    w_i16 = expand16(is_i16)
     newcur = jnp.where(w_i4, i4_pix, jnp.where(w_i16, mb16, CUR))
     out_y = newcur.reshape(mb_h * 16, W).astype(jnp.uint8)
 
@@ -376,7 +393,9 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
         qy = y >> 2
         c0_rows.append(_lanes([dcq[(x >> 2, qy)] for x in range(8)]))
     cm0 = _rows(c0_rows)
-    cm1 = _rows([_lanes([left_c[y]] * 8) for y in range(8)])
+    # horizontal: lane-broadcast of the full left column tile (pieces of
+    # one offset — row-wise stacks of different-row slices don't lower)
+    cm1 = _lanes([LEFTc[:, :, 14 * bt:16 * bt]] * 8)
     cm2 = _rows([toprow_c] * 8)
     hc = functools.reduce(
         lambda x, y: x + y,
@@ -398,9 +417,7 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     # chroma mode numbering: 0=DC 1=H 2=V 3=Plane
     predc = _sel(cmode2, [cm0, cm1, cm2, cm3], W)
     mbc = jnp.clip(predc + CRES, 0, 255)
-    w_c = jnp.broadcast_to(
-        _lanes([w_any] * 16)[:, None, :], (mb_h, 8, W)
-    )
+    w_c = _rows([_lanes([w_any] * 16)] * 8)
     newc = jnp.where(w_c, mbc, CURc)
     out_c = newc.reshape(mb_h * 8, W).astype(jnp.uint8)
     return out_y, out_c

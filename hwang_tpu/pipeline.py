@@ -146,8 +146,8 @@ class ClipBatchDecoder:
         import jax
         import jax.numpy as jnp
 
-        from .models.h264.packed import pack_gop_batch
-        from .models.h264.recon_batched import decode_gop_packed
+        from .models.h264.packed import fuse_packed, pack_gop_batch
+        from .models.h264.recon_batched import decode_gop_fused
         from .ops.yuv import resize_bilinear_rgb, yuv420_to_rgb
         prof = self.profiler
         with prof.span("plan_spans"):
@@ -172,23 +172,22 @@ class ClipBatchDecoder:
             if dec is None:
                 dec = decs[ex] = H264EntropyDecoder(ex)
                 dec.set_ring_slots(self.n_refs)
-            return dec.decode_gop(job.data, job.offsets, job.sizes)
+            import time as _time
 
-        with prof.span("entropy_decode"):
-            if self._pool._max_workers == 1:
-                tensors = [host_decode(j) for j in jobs]
-            else:
-                tensors = list(self._pool.map(host_decode, jobs))
-        prof.increment("spans_decoded", len(jobs))
-        prof.increment(
-            "frames_decoded", sum(t.n_frames for t in tensors)
-        )
+            t0 = _time.perf_counter()
+            t = dec.decode_gop(job.data, job.offsets, job.sizes)
+            prof.add_interval("entropy_decode", _time.perf_counter() - t0)
+            return t
 
-        # bucket spans by (padded frame count, chroma-QP offset): each
-        # bucket is one batched device call (cqo is a static decode arg)
+        # bucket spans by (padded frame count, chroma-QP offset) straight
+        # from the PLAN — a span's frame count is its sample count, known
+        # before entropy decode — so entropy can stream per chunk on the
+        # pool thread(s) while the main thread packs/dispatches earlier
+        # chunks and the device decodes them (the host entropy pass was
+        # previously a fully serial prefix of every decode call)
         buckets: dict[tuple[int, int], list[int]] = {}
-        for i, t in enumerate(tensors):
-            key = (_bucket(t.n_frames), self.clip_cqo[jobs[i].clip])
+        for i, job in enumerate(jobs):
+            key = (_bucket(len(job.offsets)), self.clip_cqo[job.clip])
             buckets.setdefault(key, []).append(i)
 
         mb_w = self.span_decoder.mb_width
@@ -219,7 +218,23 @@ class ClipBatchDecoder:
             for s in range(0, len(idxs), per):
                 part = idxs[s : s + per]
                 chunked.append((fpad, cqo, part, bpad - len(part)))
+
+        # entropy decode streams through the pool in chunk order; the
+        # result() waits below only block on the not-yet-overlapped tail
+        futures = {}
+        for _, _, idxs, _ in chunked:
+            for i in idxs:
+                futures[i] = self._pool.submit(host_decode, jobs[i])
+        tensors: dict[int, object] = {}
         for fpad, cqo, idxs, pad_b in chunked:
+            with prof.span("entropy_wait"):
+                for i in idxs:
+                    if i not in tensors:
+                        tensors[i] = futures[i].result()
+            prof.increment("spans_decoded", len(idxs))
+            prof.increment(
+                "frames_decoded", sum(tensors[i].n_frames for i in idxs)
+            )
             span_tensors = (
                 [tensors[i] for i in idxs] + [tensors[idxs[-1]]] * pad_b
             )
@@ -238,10 +253,13 @@ class ClipBatchDecoder:
                     )
             else:
                 with prof.span("pack"):
-                    batch = pack_gop_batch(span_tensors, fpad)
+                    batch = pack_gop_batch(span_tensors, fpad,
+                                           to_device=False)
+                    buf, layout = fuse_packed(batch)
+                    buf = jnp.asarray(buf)  # the chunk's ONE H2D transfer
                 with prof.span("device_decode_dispatch"):
-                    Ys, Us, Vs = decode_gop_packed(batch, mb_w, mb_h, cqo,
-                                                   self.n_refs)
+                    Ys, Us, Vs = decode_gop_fused(buf, layout, mb_w, mb_h,
+                                                  cqo, self.n_refs)
             # fused selection: one gather for all requested frames of this
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
