@@ -656,16 +656,26 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc),
                                        qpc, intra=intra, w4=w4)
 
-        Y, U, V = _inter_stage_b(
-            fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
-            luma_res16, chroma_res,
-        )
         import os as _os
 
         from .recon_skewed import deblock_stage_skewed, intra_stage_skewed
 
         _ablate = _os.environ.get("HWANG_ABLATE", "")
-        if _ablate != "inter":
+        if _ablate == "nomc":
+            # timing attribution only: residual-as-pixels, no MC gathers
+            Y = jnp.clip(_assemble_b(luma_res16, mb_w, mb_h, 16), 0, 255)
+            U = jnp.clip(
+                _assemble_b(chroma_res[:, :, 0], mb_w, mb_h, 8), 0, 255
+            )
+            V = jnp.clip(
+                _assemble_b(chroma_res[:, :, 1], mb_w, mb_h, 8), 0, 255
+            )
+        else:
+            Y, U, V = _inter_stage_b(
+                fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
+                luma_res16, chroma_res,
+            )
+        if _ablate not in ("inter", "nomc"):
             from ...ops import intra_pallas as _inp
 
             use_ip = _os.environ.get(
@@ -709,7 +719,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             if fr["refidx_l1"] is not None else None,
             "t8": fr["transform8"],
         }
-        if _ablate not in ("inter", "nodb"):
+        if _ablate not in ("inter", "nodb", "nomc"):
             from ...ops import deblock_pallas as _dbp
 
             use_pallas = _os.environ.get(

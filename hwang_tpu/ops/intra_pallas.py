@@ -345,8 +345,9 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     ]
     i4_pix = jnp.concatenate(bands, axis=-2)           # [mbh, 16, 16bt]
 
-    def expand16(m):
-        return _rows([_lanes([m] * 16)] * 16)
+    def expand16(m, rows=16):
+        # int32 throughout: Mosaic rejects lane-concats of i1 vectors
+        return _rows([_lanes([m.astype(jnp.int32)] * 16)] * rows) > 0
 
     w_i4 = expand16(is_i4)
     w_i16 = expand16(is_i16)
@@ -364,8 +365,9 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     toprow_c = TOPc[:, 7, :]                          # [mbh, W]
     top_c = [toprow_c[:, 2 * g * bt:(2 * g + 2) * bt] for g in range(8)]
     left_c = [LEFTc[:, k, 14 * bt:16 * bt] for k in range(8)]
-    hl2 = _lanes([have_l] * 2)
-    ht2 = _lanes([have_t] * 2)
+    av2 = _lanes([av] * 2)  # int32 (bool vectors don't lane-concat)
+    hl2 = (av2 & 1) == 1
+    ht2 = (av2 & 2) == 2
     cmode2 = _lanes([cmode] * 2)
 
     # DC per quadrant (spec 8.3.4.1)
@@ -417,7 +419,7 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     # chroma mode numbering: 0=DC 1=H 2=V 3=Plane
     predc = _sel(cmode2, [cm0, cm1, cm2, cm3], W)
     mbc = jnp.clip(predc + CRES, 0, 255)
-    w_c = _rows([_lanes([w_any] * 16)] * 8)
+    w_c = expand16(w_any, rows=8)
     newc = jnp.where(w_c, mbc, CURc)
     out_c = newc.reshape(mb_h * 8, W).astype(jnp.uint8)
     return out_y, out_c

@@ -1,0 +1,67 @@
+"""Packed transport invariants: fuse/unfuse round trip.
+
+The fused single-transfer transport reinterprets every PackedBatch buffer
+through one uint8 blob (static slice + bitcast); a dtype/endianness slip
+here silently corrupts decode inputs (int8 refidx -1 once became 255).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hwang_tpu.models.h264.packed import (
+    PackedBatch,
+    U8_STRIDE,
+    fuse_packed,
+    unfuse_packed,
+)
+
+
+def _mk_batch(with_b=True):
+    rng = np.random.default_rng(7)
+    B, F, M = 2, 4, 6
+    kw = dict(
+        u8=rng.integers(0, 255, (B, F, M, U8_STRIDE), dtype=np.uint8),
+        mv_base=rng.integers(-500, 500, (B, F, M, 2)).astype(np.int16),
+        mv_exc_val=rng.integers(-500, 500, (8, 2)).astype(np.int16),
+        mv_exc_pos=rng.integers(0, B * F * M * 16, 8).astype(np.int32),
+        hdr=rng.integers(-1, 30, (B, F, 36)).astype(np.int16),
+        coeff_val=rng.integers(-2000, 2000, 32).astype(np.int16),
+        coeff_pos=rng.integers(0, B * F * M * 26 * 16, 32).astype(np.int32),
+        ipcm=None,
+        weights=rng.integers(-128, 127, (B, F, 16, 8)).astype(np.int16),
+    )
+    if with_b:
+        kw.update(
+            mv1_base=rng.integers(-500, 500, (B, F, M, 2)).astype(np.int16),
+            mv1_exc_val=rng.integers(-500, 500, (4, 2)).astype(np.int16),
+            mv1_exc_pos=rng.integers(0, B * F * M * 16, 4).astype(np.int64),
+            refidx_l1=rng.integers(-1, 3, (B, F, M, 4)).astype(np.int8),
+            bi_w=rng.integers(-64, 64, (B, F, 16, 16, 2)).astype(np.int16),
+        )
+    return PackedBatch(**kw)
+
+
+@pytest.mark.parametrize("with_b", [False, True])
+def test_fuse_round_trip(with_b):
+    p = _mk_batch(with_b)
+    buf, layout = fuse_packed(p)
+    assert buf.dtype == np.uint8
+
+    got = jax.jit(
+        lambda b: unfuse_packed(b, layout)
+    )(buf)
+    for name, a, b in zip(p._fields, p, got):
+        if a is None:
+            assert b is None, name
+            continue
+        a = np.asarray(a)
+        if a.dtype == np.int64:
+            a = a.astype(np.int32)  # device side is x32
+        bb = np.asarray(b)
+        assert bb.dtype == a.dtype, name
+        assert np.array_equal(bb, a), name
+    # int8 sign preservation is the regression of record
+    if with_b:
+        assert np.asarray(got.refidx_l1).min() == -1
