@@ -454,6 +454,100 @@ def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
     jax.lax.fori_loop(0, n_steps, body, 0)
 
 
+def _kernel_ring(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
+                 y_out, c_out,
+                 y_ring, c_ring, r16_ring, rb_ring, cres_ring, par_ring,
+                 in_sems, out_sems, *, mb_w, mb_h, n_steps, bt):
+    """Ring-DMA variant for frames whose whole skewed buffers exceed VMEM
+    (1080p-class): HBM-resident arrays, a 4-column ring for the mutable
+    planes (the step reads columns p..p-3) and a 2-column double buffer
+    for the read-only residual/syntax columns.  Same step math as the
+    whole-block kernel; steps with no intra MB skip compute but keep the
+    DMA cadence."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+
+    planes = ((y_in, y_out, y_ring, 0), (c_in, c_out, c_ring, 1))
+    ros = ((r16_in, r16_ring, 2), (rb_in, rb_ring, 3),
+           (cres_in, cres_ring, 4), (par_in, par_ring, 5))
+
+    def in_dma(arr, ring, ai, p, slot):
+        return pltpu.make_async_copy(
+            arr.at[g, p], ring.at[slot], in_sems.at[ai, slot]
+        )
+
+    def out_dma(arr, ring, ai, p, slot):
+        return pltpu.make_async_copy(
+            ring.at[slot], arr.at[g, p], out_sems.at[ai, slot]
+        )
+
+    # warmup: plane columns 0..3 into ring slots 0..3; first read-only
+    # column (p = LEAD) into slot LEAD % 2
+    for p in range(4):
+        for src, _, ring, ai in planes:
+            in_dma(src, ring, ai, p, p % 4).start()
+    for src, ring, ai in ros:
+        in_dma(src, ring, ai, _LEAD, _LEAD % 2).start()
+    for p in range(3):
+        for src, _, ring, ai in planes:
+            in_dma(src, ring, ai, p, p % 4).wait()
+
+    def step(t, prefetch):
+        p = t + _LEAD
+        s_cur = p % 4
+        s_ro = p % 2
+        for src, _, ring, ai in planes:
+            in_dma(src, ring, ai, p, s_cur).wait()
+        for src, ring, ai in ros:
+            in_dma(src, ring, ai, p, s_ro).wait()
+
+        @pl.when(flags[0, p] != 0)
+        def _():
+            ny, nc = _intra_step(
+                t,
+                y_ring[s_cur], y_ring[(p - 1) % 4], y_ring[(p - 2) % 4],
+                y_ring[(p - 3) % 4],
+                c_ring[s_cur], c_ring[(p - 1) % 4], c_ring[(p - 2) % 4],
+                c_ring[(p - 3) % 4],
+                r16_ring[s_ro], rb_ring[s_ro], cres_ring[s_ro],
+                par_ring[s_ro][:mb_h],
+                mb_w=mb_w, mb_h=mb_h, bt=bt,
+            )
+            y_ring[s_cur] = ny
+            c_ring[s_cur] = nc
+
+        # column p-3 is final (never read again): flush it
+        for _, dst, ring, ai in planes:
+            out_dma(dst, ring, ai, p - 3, (p - 3) % 4).start()
+        if prefetch:
+            pn = p + 1
+            s_next = pn % 4          # == (p - 3) % 4, just flushed
+            for _, dst, ring, ai in planes:
+                out_dma(dst, ring, ai, pn - 4, s_next).wait()
+            for src, _, ring, ai in planes:
+                in_dma(src, ring, ai, pn, s_next).start()
+            for src, ring, ai in ros:
+                in_dma(src, ring, ai, pn, pn % 2).start()
+
+    def body(t, _):
+        step(t, True)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps - 1, body, 0)
+    step(n_steps - 1, False)
+
+    # tail: wait the in-loop flush, then flush the last three columns
+    last = n_steps + _LEAD - 1
+    for _, dst, ring, ai in planes:
+        out_dma(dst, ring, ai, last - 3, (last - 3) % 4).wait()
+        for p in (last - 2, last - 1, last):
+            out_dma(dst, ring, ai, p, p % 4).start()
+        for p in (last - 2, last - 1, last):
+            out_dma(dst, ring, ai, p, p % 4).wait()
+
+
 _VMEM_LIMIT = 100 * 1024 * 1024
 _VMEM_BUDGET = 88 * 1024 * 1024
 
@@ -513,8 +607,28 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     M = mb_w * mb_h
     n_steps = skew_width(mb_w, mb_h)
     swp = n_steps + _LEAD
-    bt = _pick_bt(B, mb_h, swp)
-    G = B // bt
+    import os as _os
+
+    _variant = _os.environ.get("HWANG_INTRA_VARIANT", "auto")
+    use_ring = (_variant == "ring"
+                or (_variant == "auto" and not fits_vmem(mb_w, mb_h)))
+    Bp = B
+    if use_ring:
+        # DMA slices need 128-aligned lanes: bt multiple of 8 (clip batch
+        # zero-padded up); VMEM holds a 4-column plane ring + 2-column
+        # read-only ring, capped ~24 MB
+        Bp = (B + 7) & ~7
+        per_col = mb_h * (16 * 16 + 8 * 16          # y + c (u8)
+                          + (16 * 16 + 16 * 16 + 8 * 16) * 2  # i16 ros
+                          + PW)
+        bt = 8
+        for cand in (32, 24, 16):
+            if Bp % cand == 0 and 6 * per_col * cand <= 24 * 1024 * 1024:
+                bt = cand
+                break
+    else:
+        bt = _pick_bt(B, mb_h, swp)
+    G = Bp // bt
     W = 16 * bt
 
     def to_cols(a):
@@ -526,6 +640,8 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
 
     def pack_lanes(a, rows, width):
         """[B, SwP, mbh, rows*width] -> [G, SwP, mbh*rows, width*bt]."""
+        if Bp != B:
+            a = jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
         a = a.reshape(G, bt, swp, mb_h, rows, width)
         a = a.transpose(0, 2, 3, 4, 5, 1)
         return a.reshape(G, swp, mb_h * rows, width * bt)
@@ -533,7 +649,7 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     def unpack_lanes(a, rows, width):
         a = a.reshape(G, swp, mb_h, rows, width, bt)
         a = a.transpose(0, 5, 1, 2, 3, 4)
-        return a.reshape(G * bt, swp, mb_h, rows * width)
+        return a.reshape(G * bt, swp, mb_h, rows * width)[:B]
 
     # ---- planes
     y_p = pack_lanes(
@@ -575,6 +691,10 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
         axis=-1,
     ).reshape(B, mb_h, mb_w, PW)
     par_cols = to_cols(par)
+    if Bp != B:
+        par_cols = jnp.pad(
+            par_cols, ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+        )
     par_p = (
         par_cols.reshape(G, bt, swp, mb_h, PW)
         .transpose(0, 2, 3, 4, 1)
@@ -585,44 +705,71 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     kind_s = to_cols(
         fr["mb_kind"].astype(jnp.int32).reshape(B, mb_h, mb_w)[..., None]
     )[..., 0]                                         # [B, SwP, mbh]
+    if Bp != B:
+        kind_s = jnp.pad(kind_s, ((0, Bp - B), (0, 0), (0, 0)))
     isintra = (kind_s == 2) | (kind_s == 3)
     flags = (
         isintra.reshape(G, bt, swp, mb_h).any(axis=(1, 3))
     ).astype(jnp.int32)
 
-    kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
-                             n_steps=n_steps, bt=bt)
-
-    def blk(r, w, dtype=None):
-        return pl.BlockSpec(
-            (1, swp, r, w), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
     flag_spec = pl.BlockSpec(
         (1, swp), lambda i: (i, 0), memory_space=pltpu.SMEM,
     )
-
-    y_o, c_o = pl.pallas_call(
-        kern,
+    common = dict(
         grid=(G,),
-        in_specs=[flag_spec,
-                  blk(mb_h * 16, W), blk(mb_h * 8, W),
-                  blk(mb_h * 16, W), blk(mb_h * 16, W), blk(mb_h * 8, W),
-                  blk(mb_h, PW * bt)],
-        out_specs=[blk(mb_h * 16, W), blk(mb_h * 8, W)],
         out_shape=[
             jax.ShapeDtypeStruct(y_p.shape, jnp.uint8),
             jax.ShapeDtypeStruct(c_p.shape, jnp.uint8),
         ],
-        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
         **({} if interpret else {
             "compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT,
             ),
         }),
-    )(flags, y_p, c_p, r16_p, rb_p, cres_p, par_p)
+    )
+    if not use_ring:
+        kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
+                                 n_steps=n_steps, bt=bt)
+
+        def blk(r, w):
+            return pl.BlockSpec(
+                (1, swp, r, w), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        y_o, c_o = pl.pallas_call(
+            kern,
+            in_specs=[flag_spec,
+                      blk(mb_h * 16, W), blk(mb_h * 8, W),
+                      blk(mb_h * 16, W), blk(mb_h * 16, W),
+                      blk(mb_h * 8, W), blk(mb_h, PW * bt)],
+            out_specs=[blk(mb_h * 16, W), blk(mb_h * 8, W)],
+            input_output_aliases={1: 0, 2: 1},
+            **common,
+        )(flags, y_p, c_p, r16_p, rb_p, cres_p, par_p)
+    else:
+        kern = functools.partial(_kernel_ring, mb_w=mb_w, mb_h=mb_h,
+                                 n_steps=n_steps, bt=bt)
+        mbh8 = (mb_h + 7) & ~7
+        par_p = jnp.pad(par_p, ((0, 0), (0, 0), (0, mbh8 - mb_h), (0, 0)))
+        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        y_o, c_o = pl.pallas_call(
+            kern,
+            in_specs=[flag_spec] + [anyspec] * 6,
+            out_specs=[anyspec] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((4, mb_h * 16, W), jnp.uint8),
+                pltpu.VMEM((4, mb_h * 8, W), jnp.uint8),
+                pltpu.VMEM((2, mb_h * 16, W), jnp.int16),
+                pltpu.VMEM((2, mb_h * 16, W), jnp.int16),
+                pltpu.VMEM((2, mb_h * 8, W), jnp.int16),
+                pltpu.VMEM((2, mbh8, PW * bt), jnp.uint8),
+                pltpu.SemaphoreType.DMA((6, 4)),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+            **common,
+        )(flags, y_p, c_p, r16_p, rb_p, cres_p, par_p)
 
     def from_cols(s):
         return unskew(

@@ -42,13 +42,14 @@ def clips(tmp_path_factory):
     return out
 
 
-def _decode(clips, intra_impl, monkeypatch):
+def _decode(clips, intra_impl, monkeypatch, variant="block"):
     from hwang_tpu.models.h264.recon_batched import (
         decode_gop_batched,
         stack_tensors,
     )
 
     monkeypatch.setenv("HWANG_INTRA", intra_impl)
+    monkeypatch.setenv("HWANG_INTRA_VARIANT", variant)
     decode_gop_batched.clear_cache()  # env is read at trace time
     tensors = [t for _, t, _ in clips]
     cqo = clips[0][2]
@@ -74,3 +75,14 @@ def test_intra_pallas_matches_skewed_and_oracle(clips, monkeypatch):
             assert np.array_equal(Ys[b, f], oy), f"clip {b} frame {f} Y"
             assert np.array_equal(Us[b, f], ou), f"clip {b} frame {f} U"
             assert np.array_equal(Vs[b, f], ov), f"clip {b} frame {f} V"
+
+
+def test_intra_pallas_ring_matches_block(clips, monkeypatch):
+    """Ring-DMA variant (HBM-resident, 4-column VMEM ring — used for
+    1080p-class frames): bit-identical to the whole-block kernel.  The
+    B=2 batch also exercises the clip padding to the 8-lane DMA
+    alignment."""
+    ref = _decode(clips, "pallas", monkeypatch, variant="block")
+    got = _decode(clips, "pallas", monkeypatch, variant="ring")
+    for name, a, b in zip("YUV", ref, got):
+        assert np.array_equal(a, b), name
