@@ -288,32 +288,35 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         mpos1_p, mval1_p = sparse_pad(m1pos_a, m1vals, total_mv,
                                       min_bucket=256)
 
+    # honor to_device: the fused/sharded transports keep buffers in
+    # host numpy and upload once with their own placement
+    conv = jnp.asarray if to_device else (lambda a: a)
     return PackedBatch(
-        u8=jnp.asarray(u8),
-        mv_base=jnp.asarray(base),
-        mv_exc_val=jnp.asarray(mval_p),
-        mv_exc_pos=jnp.asarray(mpos_p),
-        hdr=jnp.asarray(hdr),
-        coeff_val=jnp.asarray(val_p),
-        coeff_pos=jnp.asarray(pos_p),
-        ipcm=jnp.asarray(ipcm) if any_ipcm else None,
-        weights=jnp.asarray(weights) if any_weights else None,
+        u8=conv(u8),
+        mv_base=conv(base),
+        mv_exc_val=conv(mval_p),
+        mv_exc_pos=conv(mpos_p),
+        hdr=conv(hdr),
+        coeff_val=conv(val_p),
+        coeff_pos=conv(pos_p),
+        ipcm=conv(ipcm) if any_ipcm else None,
+        weights=conv(weights) if any_weights else None,
         **(
-            {"weights_l1": jnp.asarray(weights_l1)} if any_expb else {}
+            {"weights_l1": conv(weights_l1)} if any_expb else {}
         ),
-        **({"transform8": jnp.asarray(t8)} if any_t8 else {}),
+        **({"transform8": conv(t8)} if any_t8 else {}),
         **(
-            {"scaling_w4": jnp.asarray(sw4), "scaling_w8": jnp.asarray(sw8)}
+            {"scaling_w4": conv(sw4), "scaling_w8": conv(sw8)}
             if any_scal
             else {}
         ),
         **(
             {
-                "mv1_base": jnp.asarray(base1),
-                "mv1_exc_val": jnp.asarray(mval1_p),
-                "mv1_exc_pos": jnp.asarray(mpos1_p),
-                "refidx_l1": jnp.asarray(ridx1),
-                "bi_w": jnp.asarray(bi_w),
+                "mv1_base": conv(base1),
+                "mv1_exc_val": conv(mval1_p),
+                "mv1_exc_pos": conv(mpos1_p),
+                "refidx_l1": conv(ridx1),
+                "bi_w": conv(bi_w),
             }
             if any_b
             else {}

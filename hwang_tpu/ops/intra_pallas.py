@@ -429,13 +429,14 @@ def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
             y_out, c_out, *, mb_w, mb_h, n_steps, bt):
     import jax.experimental.pallas as pl
 
+    g = pl.program_id(0)
     y_out[...] = y_in[...]
     c_out[...] = c_in[...]
 
     def body(t, _):
         p = t + _LEAD
 
-        @pl.when(flags[0, p] != 0)
+        @pl.when(flags[g, p] != 0)
         def _():
             ny, nc = _intra_step(
                 t,
@@ -503,7 +504,7 @@ def _kernel_ring(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
         for src, ring, ai in ros:
             in_dma(src, ring, ai, p, s_ro).wait()
 
-        @pl.when(flags[0, p] != 0)
+        @pl.when(flags[g, p] != 0)
         def _():
             ny, nc = _intra_step(
                 t,
@@ -712,9 +713,9 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
         isintra.reshape(G, bt, swp, mb_h).any(axis=(1, 3))
     ).astype(jnp.int32)
 
-    flag_spec = pl.BlockSpec(
-        (1, swp), lambda i: (i, 0), memory_space=pltpu.SMEM,
-    )
+    # whole-array SMEM spec: a (1, swp) block fails the Mosaic
+    # block-shape divisibility check once G > 1; index by program_id
+    flag_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     common = dict(
         grid=(G,),
         out_shape=[
