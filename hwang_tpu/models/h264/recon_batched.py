@@ -152,6 +152,11 @@ def _rep2(a, n):
     return jnp.repeat(jnp.repeat(a, n, axis=-2), n, axis=-1)
 
 
+def _repvh(a, nv, nh):
+    out = jnp.repeat(a, nv, axis=-2)
+    return jnp.repeat(out, nh, axis=-1) if nh > 1 else out
+
+
 def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     B, M = fr["mb_kind"].shape
     H, W = mb_h * 16, mb_w * 16
@@ -169,12 +174,36 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
         mvx_blk = _assemble_b(mv[..., 0].reshape(B, M, 4, 4), mb_w, mb_h, 4)
         mvy_blk = _assemble_b(mv[..., 1].reshape(B, M, 4, 4), mb_w, mb_h, 4)
         slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
-        py = ops_mc.luma_mc_gather16_b(
-            planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4), _rep2(mvy_blk, 4)
-        )
-        puv = ops_mc.chroma_mc_gather_pair_b(
-            ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2), _rep2(mvy_blk, 2)
-        )
+        import os as _os
+
+        mc_mode = _os.environ.get("HWANG_MC", "wide")
+        if mc_mode in ("wide", "wide2"):
+            # wide word-row gathers: half ("wide") or a quarter ("wide2",
+            # paired-word ring) of the gathered rows of the per-pixel
+            # formulation — the MC cost driver on TPU (see ops/mc.py) —
+            # bit-identical output
+            luma_f = (ops_mc.luma_mc_gather16_paired_b if mc_mode == "wide2"
+                      else ops_mc.luma_mc_gather16_wide_b)
+            chroma_f = (ops_mc.chroma_mc_gather_pair_paired_b
+                        if mc_mode == "wide2"
+                        else ops_mc.chroma_mc_gather_pair_wide_b)
+            py = luma_f(
+                planes_y, _repvh(slot_blk, 8, 2), _repvh(mvx_blk, 4, 1),
+                _repvh(mvy_blk, 4, 1),
+            )
+            puv = chroma_f(
+                ring_u, _repvh(slot_blk, 4, 2), _repvh(mvx_blk, 2, 1),
+                _repvh(mvy_blk, 2, 1),
+            )
+        else:
+            py = ops_mc.luma_mc_gather16_b(
+                planes_y, _rep2(slot_blk, 8), _rep2(mvx_blk, 4),
+                _rep2(mvy_blk, 4),
+            )
+            puv = ops_mc.chroma_mc_gather_pair_b(
+                ring_u, _rep2(slot_blk, 4), _rep2(mvx_blk, 2),
+                _rep2(mvy_blk, 2),
+            )
         return py, puv[:, 0], puv[:, 1]
 
     refidx = fr["refidx"]                                     # [B, M, 4]
@@ -600,8 +629,20 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     R = n_refs
     m = _MARGIN
 
-    ring_y0 = jnp.zeros((B, R, 16, H + 2 * m, W + 2 * m), jnp.uint8)
-    ring_u0 = jnp.zeros((B, R, Hc + 2 * m, Wc + 2 * m, 2), jnp.uint8)
+    import os as _os
+
+    mc_mode = _os.environ.get("HWANG_MC", "wide")
+    Hp, Wp = H + 2 * m, W + 2 * m
+    Hcp, Wcp = Hc + 2 * m, Wc + 2 * m
+    if mc_mode == "wide2":
+        # paired-word ring: 8-byte gather windows precomputed (see
+        # ops/mc.py paired variants) — halves MC gather rows again at 2x
+        # ring memory
+        ring_y0 = jnp.zeros((B, R, 16, Hp, Wp // 4, 2), jnp.uint32)
+        ring_u0 = jnp.zeros((B, R, Hcp, Wcp // 2, 2), jnp.uint32)
+    else:
+        ring_y0 = jnp.zeros((B, R, 16, Hp, Wp), jnp.uint8)
+        ring_u0 = jnp.zeros((B, R, Hcp, Wcp, 2), jnp.uint8)
     ring_v0 = jnp.zeros((B, R, 1, 1), jnp.uint8)  # unused (kept for arity)
     ring_ids0 = jnp.full((B, R), -1, jnp.int32)
 
@@ -743,15 +784,24 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         # write position advances per clip independently
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
+        if mc_mode == "wide2":
+            planes = ops_mc.pair_words(
+                planes.reshape(B, 16 * Hp, Wp)
+            ).reshape(B, 16, Hp, Wp // 4, 2)
+            cplanes = ops_mc.pair_words(
+                cplanes.reshape(B, Hcp, Wcp * 2)
+            ).reshape(B, Hcp, Wcp // 2, 2)
         bidx = jnp.arange(B)
         slot = g.ring_slot[:, f]                   # [B] host-assigned
         isr = slot >= 0
         pos = jnp.where(isr, slot, 0) % R
+        isr_y = isr.reshape((B,) + (1,) * (planes.ndim - 1))
+        isr_c = isr.reshape((B,) + (1,) * (cplanes.ndim - 1))
         ring_y = ring_y.at[bidx, pos].set(
-            jnp.where(isr[:, None, None, None], planes, ring_y[bidx, pos])
+            jnp.where(isr_y, planes, ring_y[bidx, pos])
         )
         ring_u = ring_u.at[bidx, pos].set(
-            jnp.where(isr[:, None, None, None], cplanes, ring_u[bidx, pos])
+            jnp.where(isr_c, cplanes, ring_u[bidx, pos])
         )
         ring_ids = ring_ids.at[bidx, pos].set(
             jnp.where(isr, f.astype(jnp.int32), ring_ids[bidx, pos])

@@ -307,6 +307,242 @@ def chroma_pair_planes(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wide (word-row) gather MC
+# ---------------------------------------------------------------------------
+#
+# XLA:TPU gather cost scales with the NUMBER of gathered rows (~100M
+# rows/s); row width is nearly free up to ~8 bytes (measured, see
+# docs/ARCHITECTURE.md).  MVs are constant within a 4x4 luma block (the
+# minimum partition), so adjacent output pixels share (slot, mv, frac):
+# bitcast the subpel planes to uint32 words and fetch two adjacent words
+# (8 bytes) per FOUR luma output pixels / per TWO chroma output pixels
+# instead of one byte per pixel — half the gathered rows of the
+# per-pixel formulation, bit-identical output.
+
+
+def _as_words(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [..., Wp] (Wp % 4 == 0) -> flat uint32 word view."""
+    import jax
+
+    shape = planes.shape
+    w = planes.reshape(shape[:-1] + (shape[-1] // 4, 4))
+    return jax.lax.bitcast_convert_type(w, jnp.uint32).reshape(-1)
+
+
+def _byte(w0, w1, k):
+    """Byte k (0..7) of the little-endian 8-byte window (w0, w1)."""
+    lo = (w0 >> jnp.uint32(8 * (k & 3))) & jnp.uint32(0xFF)
+    hi = (w1 >> jnp.uint32(8 * (k & 3))) & jnp.uint32(0xFF)
+    return (hi if k >= 4 else lo).astype(jnp.int32)
+
+
+def luma_mc_gather16_wide_b(planes16, ref_slot_g, mvx_g, mvy_g):
+    """Wide-row variant of :func:`luma_mc_gather16_b`.
+
+    planes16: [B, R, 16, Hp, Wp] uint8 with Wp % 4 == 0.
+    ref_slot_g/mvx_g/mvy_g: [B, H, W//4] per-GROUP maps — one entry per 4
+    horizontally-adjacent output pixels (constant per group by H.264
+    partition granularity).  Returns [B, H, W] int32 prediction equal to
+    the per-pixel path.
+
+    Two gathered uint32 rows per group (misalignment resolved by a VPU
+    funnel shift) = W*H/2 gathered rows per pass instead of W*H.
+    """
+    B, R, P, Hp, Wp = planes16.shape
+    _, H, Wg = mvx_g.shape
+    m = _MARGIN
+    Ww = Wp // 4
+    words = _as_words(planes16)
+    n_words = B * R * P * Hp * Ww
+    ys = jnp.clip(jnp.arange(H)[None, :, None] + (mvy_g >> 2) + m, 0, Hp - 1)
+    xs = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 4 + (mvx_g >> 2) + m, 0, Wp - 4
+    )
+    # Clamp displacement stays inside the replicated 8-px margin, where
+    # every value beyond filter reach (3 px) is constant — exactness
+    # argument mirrors the per-pixel clamp.
+    frac = (mvy_g & 3) * 4 + (mvx_g & 3)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    wi = (((boff + ref_slot_g) * P + frac) * Hp + ys) * Ww + (xs >> 2)
+    w0 = words[wi]
+    w1 = words[jnp.minimum(wi + 1, n_words - 1)]
+    s = ((xs & 3) * 8).astype(jnp.uint32)
+    comb = jnp.where(
+        s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s))
+    )
+    bytes4 = [
+        ((comb >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for j in range(4)
+    ]
+    return jnp.stack(bytes4, axis=-1).reshape(B, H, Wg * 4)
+
+
+def chroma_mc_gather_pair_wide_b(pairs, ref_slot_g, mvx_g, mvy_g):
+    """Wide-row variant of :func:`chroma_mc_gather_pair_b`.
+
+    pairs: [B, R, Hcp, Wcp, 2] uint8 interleaved (U, V) with Wcp even.
+    Group maps are [B, Hc, Wc//2] (one entry per 2 adjacent chroma px —
+    constant per group: min partition covers a 2x2 chroma block).
+    Returns [B, 2, Hc, Wc] int32 — bit-equal to the per-pixel path.
+
+    Four gathered uint32 rows per group (top/bottom bilinear rows x 2
+    words each) = Hc*Wc*2 rows instead of Hc*Wc*4.
+    """
+    B, R, Hp, Wp, _ = pairs.shape
+    _, Hc, Wg = mvx_g.shape
+    m = _MARGIN
+    Wb = Wp * 2          # bytes per row
+    Ww = Wb // 4         # words per row
+    words = _as_words(pairs.reshape(B, R, Hp, Wb))
+    ys = jnp.arange(Hc)[None, :, None] + (mvy_g >> 3) + m
+    y0 = jnp.clip(ys, 0, Hp - 1)
+    y1 = jnp.clip(ys + 1, 0, Hp - 1)
+    # pair index of the group's first pixel; need pairs p..p+2
+    p = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 2 + (mvx_g >> 3) + m, 0, Wp - 3
+    )
+    fx = (mvx_g & 7).astype(jnp.int32)
+    fy = (mvy_g & 7).astype(jnp.int32)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    base = (boff + ref_slot_g) * Hp
+    wx = (p * 2) >> 2                     # first word of the 8-byte window
+    o = (p & 1) * 2                       # byte offset of pair p in window
+    r0 = (base + y0) * Ww + wx
+    r1 = (base + y1) * Ww + wx
+    a0 = words[r0]
+    a1 = words[r0 + 1]
+    b0 = words[r1]
+    b1 = words[r1 + 1]
+
+    def six(w0, w1):
+        """Bytes o..o+5 of the window: pairs p, p+1, p+2."""
+        byt = [_byte(w0, w1, k) for k in range(8)]
+        sel = o == 0
+        return [jnp.where(sel, byt[i], byt[i + 2]) for i in range(6)]
+
+    top = six(a0, a1)
+    bot = six(b0, b1)
+
+    def blend(A, Bc, C, D):
+        return (
+            (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
+            + (8 - fx) * fy * C + fx * fy * D + 32
+        ) >> 6
+
+    # output pixel j (j = 0, 1) of each group, channel c (0=U, 1=V):
+    # A = pair p+j, B = pair p+j+1 (top row); C, D same on bottom row.
+    outs = []
+    for c in range(2):
+        px = []
+        for j in range(2):
+            k = 2 * j + c
+            px.append(blend(top[k], top[k + 2], bot[k], bot[k + 2]))
+        # interleave the two group pixels back to full width
+        outs.append(jnp.stack(px, axis=-1).reshape(B, Hc, Wg * 2))
+    return jnp.stack(outs, axis=1)
+
+
+# -- paired-word ring variants: the reference ring itself stores each
+# uint32 word alongside its right neighbor ([..., Ww, 2]), so the 8-byte
+# window of a group is ONE gathered row (luma) / one per bilinear row
+# (chroma) — half the rows of the wide variant again, at 2x ring memory.
+
+
+def pair_words(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, ..., Wp] -> [B, ..., Wp//4, 2] uint32 overlapped pairs:
+    out[..., w, :] = (word w, word w+1) in row-major order per batch
+    entry (the final word pairs with a wrapped word — never consumed:
+    misaligned windows stop one word short of the end)."""
+    B = planes.shape[0]
+    shape = planes.shape[:-1] + (planes.shape[-1] // 4,)
+    import jax
+
+    w = jax.lax.bitcast_convert_type(
+        planes.reshape(shape + (4,)), jnp.uint32
+    )
+    flat = w.reshape(B, -1)
+    nxt = jnp.concatenate([flat[:, 1:], flat[:, :1]], axis=1)
+    return jnp.stack([flat, nxt], axis=-1).reshape(shape + (2,))
+
+
+def luma_mc_gather16_paired_b(pairs16, ref_slot_g, mvx_g, mvy_g):
+    """Like :func:`luma_mc_gather16_wide_b` but over a paired-word ring
+    (`pair_words` of the subpel planes): pairs16 [B, R, 16, Hp, Ww, 2]
+    uint32, one gathered 8-byte row per 4 output pixels."""
+    B, R, P, Hp, Ww, _ = pairs16.shape
+    _, H, Wg = mvx_g.shape
+    Wp = Ww * 4
+    m = _MARGIN
+    rows = pairs16.reshape(-1, 2)
+    ys = jnp.clip(jnp.arange(H)[None, :, None] + (mvy_g >> 2) + m, 0, Hp - 1)
+    xs = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 4 + (mvx_g >> 2) + m, 0, Wp - 4
+    )
+    frac = (mvy_g & 3) * 4 + (mvx_g & 3)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    wi = (((boff + ref_slot_g) * P + frac) * Hp + ys) * Ww + (xs >> 2)
+    got = rows[wi]
+    w0, w1 = got[..., 0], got[..., 1]
+    s = ((xs & 3) * 8).astype(jnp.uint32)
+    comb = jnp.where(s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s)))
+    bytes4 = [
+        ((comb >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for j in range(4)
+    ]
+    return jnp.stack(bytes4, axis=-1).reshape(B, H, Wg * 4)
+
+
+def chroma_mc_gather_pair_paired_b(cpairs, ref_slot_g, mvx_g, mvy_g):
+    """Like :func:`chroma_mc_gather_pair_wide_b` but over a paired-word
+    chroma ring (`pair_words` of the byte-interleaved planes viewed as
+    [B, R, Hcp, Wcp*2]): cpairs [B, R, Hcp, Ww, 2] uint32.  Two gathered
+    rows per 2-pixel group (top + bottom bilinear rows)."""
+    B, R, Hp, Ww, _ = cpairs.shape
+    Wp = Ww * 2          # pairs per row
+    _, Hc, Wg = mvx_g.shape
+    m = _MARGIN
+    rows = cpairs.reshape(-1, 2)
+    ys = jnp.arange(Hc)[None, :, None] + (mvy_g >> 3) + m
+    y0 = jnp.clip(ys, 0, Hp - 1)
+    y1 = jnp.clip(ys + 1, 0, Hp - 1)
+    p = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 2 + (mvx_g >> 3) + m, 0, Wp - 3
+    )
+    fx = (mvx_g & 7).astype(jnp.int32)
+    fy = (mvy_g & 7).astype(jnp.int32)
+    boff = (jnp.arange(B) * R)[:, None, None]
+    base = (boff + ref_slot_g) * Hp
+    wx = (p * 2) >> 2
+    o = (p & 1) * 2
+    g0 = rows[(base + y0) * Ww + wx]
+    g1 = rows[(base + y1) * Ww + wx]
+
+    def six(g):
+        w0, w1 = g[..., 0], g[..., 1]
+        byt = [_byte(w0, w1, k) for k in range(8)]
+        sel = o == 0
+        return [jnp.where(sel, byt[i], byt[i + 2]) for i in range(6)]
+
+    top = six(g0)
+    bot = six(g1)
+
+    def blend(A, Bc, C, D):
+        return (
+            (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
+            + (8 - fx) * fy * C + fx * fy * D + 32
+        ) >> 6
+
+    outs = []
+    for c in range(2):
+        px = []
+        for j in range(2):
+            k = 2 * j + c
+            px.append(blend(top[k], top[k + 2], bot[k], bot[k + 2]))
+        outs.append(jnp.stack(px, axis=-1).reshape(B, Hc, Wg * 2))
+    return jnp.stack(outs, axis=1)
+
+
 def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
     """planes16 [B, R, 16, Hp, Wp]; maps [B, H, W] -> [B, H, W] int32."""
     B, R, P, Hp, Wp = planes16.shape

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -208,6 +209,7 @@ class ClipBatchDecoder:
         index = []
         chunked: list[tuple[int, int, list[int], int]] = []
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        ramp = os.environ.get("HWANG_CHUNK_RAMP", "1") == "1"
         for (fpad, cqo), idxs in buckets.items():
             max_b = max(1, min(64, int(0.75e9 // (fpad * M * 26 * 16 * 2))))
             n_chunks = -(-len(idxs) // max_b)
@@ -215,6 +217,21 @@ class ClipBatchDecoder:
             bpad = 1 << (per - 1).bit_length()
             # sharded decode needs the padded batch to divide the mesh
             bpad = -(-bpad // n_dev) * n_dev
+            if ramp and len(idxs) > 4 and bpad > 4:
+                # ramp-up chunking: the FIRST chunk's entropy decode and
+                # H2D upload are fully exposed (nothing earlier to overlap
+                # them) — start small so the device gets working quickly,
+                # then grow to the steady-state chunk size.  Sizes stay
+                # powers of two (and mesh multiples) so each size compiles
+                # once.
+                s, pos = max(4, n_dev), 0
+                while pos < len(idxs):
+                    sz = -(-min(s, bpad) // n_dev) * n_dev
+                    part = idxs[pos : pos + sz]
+                    chunked.append((fpad, cqo, part, sz - len(part)))
+                    pos += sz
+                    s *= 4
+                continue
             for s in range(0, len(idxs), per):
                 part = idxs[s : s + per]
                 chunked.append((fpad, cqo, part, bpad - len(part)))

@@ -76,17 +76,23 @@ def test_jax_deblock_matches_reference(decoded):
     assert np.array_equal(np.asarray(gv), db[f][2].astype(np.int64))
 
 
-def test_batched_decode_bit_exact(decoded):
-    """Natively-batched decoder (the production path) vs libavcodec."""
+@pytest.mark.parametrize("mc_mode", ["pixel", "wide", "wide2"])
+def test_batched_decode_bit_exact(decoded, mc_mode, monkeypatch):
+    """Natively-batched decoder (the production path) vs libavcodec, for
+    every MC gather formulation (per-pixel / wide word-row / paired-word
+    ring — see ops/mc.py).  Uses the unjitted core: the MC mode is read
+    from the environment at trace time, so the jitted wrapper would cache
+    across parametrizations."""
     from hwang_tpu.models.h264.recon_batched import (
-        decode_gop_batched,
+        decode_gop_batched_core,
         stack_tensors,
     )
 
+    monkeypatch.setenv("HWANG_MC", mc_mode)
     p, t, cqo = decoded
     oracle = oracle_decode_all(p, fmt="yuv")
     g = stack_tensors([t, t], pad_frames=8)  # B=2, same clip twice
-    Ys, Us, Vs = decode_gop_batched(g, t.mb_width, t.mb_height, cqo, 2)
+    Ys, Us, Vs = decode_gop_batched_core(g, t.mb_width, t.mb_height, cqo, 2)
     Ys, Us, Vs = np.asarray(Ys), np.asarray(Us), np.asarray(Vs)
     for b in range(2):
         for f in range(t.n_frames):
