@@ -176,7 +176,7 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
         slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
         import os as _os
 
-        mc_mode = _os.environ.get("HWANG_MC", "wide")
+        mc_mode = _os.environ.get("HWANG_MC", "wide2")
         if mc_mode in ("wide", "wide2"):
             # wide word-row gathers: half ("wide") or a quarter ("wide2",
             # paired-word ring) of the gathered rows of the per-pixel
@@ -631,7 +631,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
 
     import os as _os
 
-    mc_mode = _os.environ.get("HWANG_MC", "wide")
+    mc_mode = _os.environ.get("HWANG_MC", "wide2")
     Hp, Wp = H + 2 * m, W + 2 * m
     Hcp, Wcp = Hc + 2 * m, Wc + 2 * m
     if mc_mode == "wide2":
@@ -702,7 +702,13 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         from .recon_skewed import deblock_stage_skewed, intra_stage_skewed
 
         _ablate = _os.environ.get("HWANG_ABLATE", "")
-        if _ablate == "nomc":
+        if _ablate in ("noresid", "noplanes"):
+            # zeroing the residual outputs makes the transform graphs dead
+            # so XLA DCE removes them — stage attribution only
+            luma_res16 = jnp.zeros_like(luma_res16)
+            luma_blocks = jnp.zeros_like(luma_blocks)
+            chroma_res = jnp.zeros_like(chroma_res)
+        if _ablate in ("nomc", "noresid", "noplanes"):
             # timing attribution only: residual-as-pixels, no MC gathers
             Y = jnp.clip(_assemble_b(luma_res16, mb_w, mb_h, 16), 0, 255)
             U = jnp.clip(
@@ -716,7 +722,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
                 fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
                 luma_res16, chroma_res,
             )
-        if _ablate not in ("inter", "nomc"):
+        if _ablate not in ("inter", "nomc", "noresid", "noplanes"):
             from ...ops import intra_pallas as _inp
 
             use_ip = _os.environ.get(
@@ -760,7 +766,8 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             if fr["refidx_l1"] is not None else None,
             "t8": fr["transform8"],
         }
-        if _ablate not in ("inter", "nodb", "nomc"):
+        if _ablate not in ("inter", "nodb", "nomc", "noresid",
+                           "noplanes"):
             from ...ops import deblock_pallas as _dbp
 
             use_pallas = _os.environ.get(
@@ -784,6 +791,9 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         # write position advances per clip independently
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
+        if _ablate == "noplanes":
+            planes = jnp.zeros_like(planes)
+            cplanes = jnp.zeros_like(cplanes)
         if mc_mode == "wide2":
             planes = ops_mc.pair_words(
                 planes.reshape(B, 16 * Hp, Wp)
