@@ -182,7 +182,7 @@ def _stage_budget(dec, rows, out_size, t_full):
     )
 
     times = {}
-    for ablate in ("nodb", "inter", "nomc", "noresid", "noplanes"):
+    for ablate in ("nodb", "inter", "nomc"):
         os.environ["HWANG_ABLATE"] = ablate
         decode_gop_packed.clear_cache()
         decode_gop_fused.clear_cache()
@@ -200,16 +200,14 @@ def _stage_budget(dec, rows, out_size, t_full):
     decode_gop_packed.clear_cache()
     decode_gop_fused.clear_cache()
     decode_gop_batched.clear_cache()
-    log("  stage budget (cumulative ablation, best-of-3):")
+    log("  stage budget (cumulative ablation, best-of-3; finer per-stage"
+        " figures: tools/stagebench.py):")
     log(f"    full            {t_full*1e3:8.0f} ms")
     log(f"    deblock         {(t_full-times['nodb'])*1e3:8.0f} ms")
     log(f"    intra           {(times['nodb']-times['inter'])*1e3:8.0f} ms")
     log(f"    inter MC        {(times['inter']-times['nomc'])*1e3:8.0f} ms")
-    log(f"    residual xforms {(times['nomc']-times['noresid'])*1e3:8.0f} ms")
-    log(f"    subpel planes   "
-        f"{(times['noresid']-times['noplanes'])*1e3:8.0f} ms")
-    log(f"    base (entropy+pack+H2D+ring+epilogue+scan) "
-        f"{times['noplanes']*1e3:8.0f} ms")
+    log(f"    base (entropy+pack+H2D+residual+ring+epilogue) "
+        f"{times['nomc']*1e3:8.0f} ms")
 
 
 def _p50_seek(paths, gop, k=5):

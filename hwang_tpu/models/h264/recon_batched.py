@@ -702,13 +702,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         from .recon_skewed import deblock_stage_skewed, intra_stage_skewed
 
         _ablate = _os.environ.get("HWANG_ABLATE", "")
-        if _ablate in ("noresid", "noplanes"):
-            # zeroing the residual outputs makes the transform graphs dead
-            # so XLA DCE removes them — stage attribution only
-            luma_res16 = jnp.zeros_like(luma_res16)
-            luma_blocks = jnp.zeros_like(luma_blocks)
-            chroma_res = jnp.zeros_like(chroma_res)
-        if _ablate in ("nomc", "noresid", "noplanes"):
+        if _ablate == "nomc":
             # timing attribution only: residual-as-pixels, no MC gathers
             Y = jnp.clip(_assemble_b(luma_res16, mb_w, mb_h, 16), 0, 255)
             U = jnp.clip(
@@ -722,7 +716,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
                 fr, (ring_y, ring_u, ring_v, ring_ids), mb_w, mb_h,
                 luma_res16, chroma_res,
             )
-        if _ablate not in ("inter", "nomc", "noresid", "noplanes"):
+        if _ablate not in ("inter", "nomc"):
             from ...ops import intra_pallas as _inp
 
             use_ip = _os.environ.get(
@@ -766,8 +760,7 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             if fr["refidx_l1"] is not None else None,
             "t8": fr["transform8"],
         }
-        if _ablate not in ("inter", "nodb", "nomc", "noresid",
-                           "noplanes"):
+        if _ablate not in ("inter", "nodb", "nomc"):
             from ...ops import deblock_pallas as _dbp
 
             use_pallas = _os.environ.get(
@@ -791,9 +784,6 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         # write position advances per clip independently
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
-        if _ablate == "noplanes":
-            planes = jnp.zeros_like(planes)
-            cplanes = jnp.zeros_like(cplanes)
         if mc_mode == "wide2":
             planes = ops_mc.pair_words(
                 planes.reshape(B, 16 * Hp, Wp)
