@@ -177,21 +177,34 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
         import os as _os
 
         mc_mode = _os.environ.get("HWANG_MC", "wide2")
-        if mc_mode in ("wide", "wide2"):
-            # wide word-row gathers: half ("wide") or a quarter ("wide2",
-            # paired-word ring) of the gathered rows of the per-pixel
-            # formulation — the MC cost driver on TPU (see ops/mc.py) —
-            # bit-identical output
-            luma_f = (ops_mc.luma_mc_gather16_paired_b if mc_mode == "wide2"
-                      else ops_mc.luma_mc_gather16_wide_b)
-            chroma_f = (ops_mc.chroma_mc_gather_pair_paired_b
-                        if mc_mode == "wide2"
-                        else ops_mc.chroma_mc_gather_pair_wide_b)
-            py = luma_f(
+        if mc_mode == "wide2":
+            # paired-word flat ring: one gathered 8-byte row per 4 luma
+            # px / 2 per 2-px chroma group, ring kept FLAT in the scan
+            # carry (structured carries pay a per-step relayout before
+            # the flat-index gather — tools/mcbench.py), bit-identical
+            # to the per-pixel formulation
+            m = _MARGIN
+            R = ring_ids.shape[1]
+            Hp, Wp = mb_h * 16 + 2 * m, mb_w * 16 + 2 * m
+            Hcp, Wcp = mb_h * 8 + 2 * m, mb_w * 8 + 2 * m
+            py = ops_mc.luma_mc_gather16_paired_flat(
+                planes_y, (B, R + 1, Hp, Wp // 4),
+                _repvh(slot_blk, 8, 2), _repvh(mvx_blk, 4, 1),
+                _repvh(mvy_blk, 4, 1),
+            )
+            puv = ops_mc.chroma_mc_gather_pair_paired_flat(
+                ring_u, (B, R + 1, Hcp, Wcp // 2),
+                _repvh(slot_blk, 4, 2), _repvh(mvx_blk, 2, 1),
+                _repvh(mvy_blk, 2, 1),
+            )
+        elif mc_mode == "wide":
+            # wide word-row gathers: half the gathered rows of the
+            # per-pixel formulation, bit-identical output
+            py = ops_mc.luma_mc_gather16_wide_b(
                 planes_y, _repvh(slot_blk, 8, 2), _repvh(mvx_blk, 4, 1),
                 _repvh(mvy_blk, 4, 1),
             )
-            puv = chroma_f(
+            puv = ops_mc.chroma_mc_gather_pair_wide_b(
                 ring_u, _repvh(slot_blk, 4, 2), _repvh(mvx_blk, 2, 1),
                 _repvh(mvy_blk, 2, 1),
             )
@@ -634,12 +647,18 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
     mc_mode = _os.environ.get("HWANG_MC", "wide2")
     Hp, Wp = H + 2 * m, W + 2 * m
     Hcp, Wcp = Hc + 2 * m, Wc + 2 * m
+    s_y = 16 * Hp * (Wp // 4)   # paired-word rows per (clip, slot)
+    s_c = Hcp * (Wcp // 2)
     if mc_mode == "wide2":
         # paired-word ring: 8-byte gather windows precomputed (see
-        # ops/mc.py paired variants) — halves MC gather rows again at 2x
-        # ring memory
-        ring_y0 = jnp.zeros((B, R, 16, Hp, Wp // 4, 2), jnp.uint32)
-        ring_u0 = jnp.zeros((B, R, Hcp, Wcp // 2, 2), jnp.uint32)
+        # ops/mc.py paired variants) — a quarter of the per-pixel MC
+        # gather rows at 2x ring memory.  The ring lives FLAT in the
+        # scan carry (structured carries pay a per-step relayout before
+        # the flat-index gather), with one extra write-off slot per clip
+        # (R+1) that non-reference frames dump into so the update needs
+        # no read-modify-write.
+        ring_y0 = jnp.zeros((B * (R + 1) * s_y, 2), jnp.uint32)
+        ring_u0 = jnp.zeros((B * (R + 1) * s_c, 2), jnp.uint32)
     else:
         ring_y0 = jnp.zeros((B, R, 16, Hp, Wp), jnp.uint8)
         ring_u0 = jnp.zeros((B, R, Hcp, Wcp, 2), jnp.uint8)
@@ -784,25 +803,33 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         # write position advances per clip independently
         planes = ops_mc.luma_subpel16_planes(Y)       # [B, 16, Hp, Wp]
         cplanes = ops_mc.chroma_pair_planes(U, V)     # [B, Hcp, Wcp, 2]
-        if mc_mode == "wide2":
-            planes = ops_mc.pair_words(
-                planes.reshape(B, 16 * Hp, Wp)
-            ).reshape(B, 16, Hp, Wp // 4, 2)
-            cplanes = ops_mc.pair_words(
-                cplanes.reshape(B, Hcp, Wcp * 2)
-            ).reshape(B, Hcp, Wcp // 2, 2)
         bidx = jnp.arange(B)
         slot = g.ring_slot[:, f]                   # [B] host-assigned
         isr = slot >= 0
         pos = jnp.where(isr, slot, 0) % R
-        isr_y = isr.reshape((B,) + (1,) * (planes.ndim - 1))
-        isr_c = isr.reshape((B,) + (1,) * (cplanes.ndim - 1))
-        ring_y = ring_y.at[bidx, pos].set(
-            jnp.where(isr_y, planes, ring_y[bidx, pos])
-        )
-        ring_u = ring_u.at[bidx, pos].set(
-            jnp.where(isr_c, cplanes, ring_u[bidx, pos])
-        )
+        if mc_mode == "wide2":
+            pw = ops_mc.pair_words(
+                planes.reshape(B, 16 * Hp, Wp)).reshape(B, s_y, 2)
+            cw = ops_mc.pair_words(
+                cplanes.reshape(B, Hcp, Wcp * 2)).reshape(B, s_c, 2)
+            # non-ref frames land in the per-clip write-off slot R
+            # (int32: the packed transport ships ring_slot as int16)
+            pos_eff = jnp.where(isr, pos, R).astype(jnp.int32)
+            for b in range(B):
+                off = (b * (R + 1) + pos_eff[b])
+                ring_y = jax.lax.dynamic_update_slice(
+                    ring_y, pw[b], (off * s_y, 0))
+                ring_u = jax.lax.dynamic_update_slice(
+                    ring_u, cw[b], (off * s_c, 0))
+        else:
+            isr_y = isr.reshape((B,) + (1,) * (planes.ndim - 1))
+            isr_c = isr.reshape((B,) + (1,) * (cplanes.ndim - 1))
+            ring_y = ring_y.at[bidx, pos].set(
+                jnp.where(isr_y, planes, ring_y[bidx, pos])
+            )
+            ring_u = ring_u.at[bidx, pos].set(
+                jnp.where(isr_c, cplanes, ring_u[bidx, pos])
+            )
         ring_ids = ring_ids.at[bidx, pos].set(
             jnp.where(isr, f.astype(jnp.int32), ring_ids[bidx, pos])
         )

@@ -337,6 +337,16 @@ def _byte(w0, w1, k):
     return (hi if k >= 4 else lo).astype(jnp.int32)
 
 
+def _gflat(rows, idx):
+    """rows[idx] with the index flattened to 1-D first: XLA:TPU lowers a
+    flat-index-vector gather ~2x faster than the same gather with a
+    multi-dim index array (measured, tools/mcbench.py: 784 -> 330 ms for
+    the bench-shaped luma MC gather).  Result reshaped back to
+    idx.shape (+ rows' trailing dims)."""
+    out = rows[idx.reshape(-1)]
+    return out.reshape(idx.shape + rows.shape[1:])
+
+
 def luma_mc_gather16_wide_b(planes16, ref_slot_g, mvx_g, mvy_g):
     """Wide-row variant of :func:`luma_mc_gather16_b`.
 
@@ -365,8 +375,8 @@ def luma_mc_gather16_wide_b(planes16, ref_slot_g, mvx_g, mvy_g):
     frac = (mvy_g & 3) * 4 + (mvx_g & 3)
     boff = (jnp.arange(B) * R)[:, None, None]
     wi = (((boff + ref_slot_g) * P + frac) * Hp + ys) * Ww + (xs >> 2)
-    w0 = words[wi]
-    w1 = words[jnp.minimum(wi + 1, n_words - 1)]
+    w0 = _gflat(words, wi)
+    w1 = _gflat(words, jnp.minimum(wi + 1, n_words - 1))
     s = ((xs & 3) * 8).astype(jnp.uint32)
     comb = jnp.where(
         s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s))
@@ -410,10 +420,10 @@ def chroma_mc_gather_pair_wide_b(pairs, ref_slot_g, mvx_g, mvy_g):
     o = (p & 1) * 2                       # byte offset of pair p in window
     r0 = (base + y0) * Ww + wx
     r1 = (base + y1) * Ww + wx
-    a0 = words[r0]
-    a1 = words[r0 + 1]
-    b0 = words[r1]
-    b1 = words[r1 + 1]
+    a0 = _gflat(words, r0)
+    a1 = _gflat(words, r0 + 1)
+    b0 = _gflat(words, r1)
+    b1 = _gflat(words, r1 + 1)
 
     def six(w0, w1):
         """Bytes o..o+5 of the window: pairs p, p+1, p+2."""
@@ -482,7 +492,7 @@ def luma_mc_gather16_paired_b(pairs16, ref_slot_g, mvx_g, mvy_g):
     frac = (mvy_g & 3) * 4 + (mvx_g & 3)
     boff = (jnp.arange(B) * R)[:, None, None]
     wi = (((boff + ref_slot_g) * P + frac) * Hp + ys) * Ww + (xs >> 2)
-    got = rows[wi]
+    got = _gflat(rows, wi)
     w0, w1 = got[..., 0], got[..., 1]
     s = ((xs & 3) * 8).astype(jnp.uint32)
     comb = jnp.where(s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s)))
@@ -515,8 +525,85 @@ def chroma_mc_gather_pair_paired_b(cpairs, ref_slot_g, mvx_g, mvy_g):
     base = (boff + ref_slot_g) * Hp
     wx = (p * 2) >> 2
     o = (p & 1) * 2
-    g0 = rows[(base + y0) * Ww + wx]
-    g1 = rows[(base + y1) * Ww + wx]
+    g0 = _gflat(rows, (base + y0) * Ww + wx)
+    g1 = _gflat(rows, (base + y1) * Ww + wx)
+
+    def six(g):
+        w0, w1 = g[..., 0], g[..., 1]
+        byt = [_byte(w0, w1, k) for k in range(8)]
+        sel = o == 0
+        return [jnp.where(sel, byt[i], byt[i + 2]) for i in range(6)]
+
+    top = six(g0)
+    bot = six(g1)
+
+    def blend(A, Bc, C, D):
+        return (
+            (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
+            + (8 - fx) * fy * C + fx * fy * D + 32
+        ) >> 6
+
+    outs = []
+    for c in range(2):
+        px = []
+        for j in range(2):
+            k = 2 * j + c
+            px.append(blend(top[k], top[k + 2], bot[k], bot[k + 2]))
+        outs.append(jnp.stack(px, axis=-1).reshape(B, Hc, Wg * 2))
+    return jnp.stack(outs, axis=1)
+
+
+def luma_mc_gather16_paired_flat(rows, dims, ref_slot_g, mvx_g, mvy_g):
+    """:func:`luma_mc_gather16_paired_b` over a PRE-FLATTENED ring.
+
+    rows: [B*Rs*16*Hp*Ww, 2] uint32 paired words; dims = (B, Rs, Hp, Ww)
+    with Rs the slot stride (R+1 when the decoder keeps a dummy
+    write-off slot).  Keeping the ring flat in the scan carry avoids the
+    per-step relayout a structured carry pays before the flat-index
+    gather (tools/mcbench.py carry variants: 881 -> 428 ms)."""
+    B, Rs, Hp, Ww = dims
+    Wp = Ww * 4
+    _, H, Wg = mvx_g.shape
+    m = _MARGIN
+    ys = jnp.clip(jnp.arange(H)[None, :, None] + (mvy_g >> 2) + m, 0, Hp - 1)
+    xs = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 4 + (mvx_g >> 2) + m, 0, Wp - 4
+    )
+    frac = (mvy_g & 3) * 4 + (mvx_g & 3)
+    boff = (jnp.arange(B) * Rs)[:, None, None]
+    wi = (((boff + ref_slot_g) * 16 + frac) * Hp + ys) * Ww + (xs >> 2)
+    got = _gflat(rows, wi)
+    w0, w1 = got[..., 0], got[..., 1]
+    s = ((xs & 3) * 8).astype(jnp.uint32)
+    comb = jnp.where(s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s)))
+    bytes4 = [
+        ((comb >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for j in range(4)
+    ]
+    return jnp.stack(bytes4, axis=-1).reshape(B, H, Wg * 4)
+
+
+def chroma_mc_gather_pair_paired_flat(rows, dims, ref_slot_g, mvx_g, mvy_g):
+    """:func:`chroma_mc_gather_pair_paired_b` over a pre-flattened chroma
+    ring.  rows: [B*Rs*Hcp*Ww, 2] uint32; dims = (B, Rs, Hcp, Ww)."""
+    B, Rs, Hp, Ww = dims
+    Wp = Ww * 2          # pairs per row
+    _, Hc, Wg = mvx_g.shape
+    m = _MARGIN
+    ys = jnp.arange(Hc)[None, :, None] + (mvy_g >> 3) + m
+    y0 = jnp.clip(ys, 0, Hp - 1)
+    y1 = jnp.clip(ys + 1, 0, Hp - 1)
+    p = jnp.clip(
+        jnp.arange(Wg)[None, None, :] * 2 + (mvx_g >> 3) + m, 0, Wp - 3
+    )
+    fx = (mvx_g & 7).astype(jnp.int32)
+    fy = (mvy_g & 7).astype(jnp.int32)
+    boff = (jnp.arange(B) * Rs)[:, None, None]
+    base = (boff + ref_slot_g) * Hp
+    wx = (p * 2) >> 2
+    o = (p & 1) * 2
+    g0 = _gflat(rows, (base + y0) * Ww + wx)
+    g1 = _gflat(rows, (base + y1) * Ww + wx)
 
     def six(g):
         w0, w1 = g[..., 0], g[..., 1]
@@ -553,7 +640,7 @@ def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
     frac = (mvy & 3) * 4 + (mvx & 3)
     boff = (jnp.arange(B) * R)[:, None, None]
     idx = (((boff + ref_slot) * P + frac) * Hp + ys) * Wp + xs
-    return planes16.reshape(-1)[idx].astype(jnp.int32)
+    return _gflat(planes16.reshape(-1), idx).astype(jnp.int32)
 
 
 def chroma_mc_gather_pair_b(pairs, ref_slot, mvx, mvy):
@@ -577,7 +664,7 @@ def chroma_mc_gather_pair_b(pairs, ref_slot, mvx, mvy):
         yy = jnp.clip(ys + dy + m, 0, Hp - 1)
         xx = jnp.clip(xs + dx + m, 0, Wp - 1)
         idx = ((boff + ref_slot) * Hp + yy) * Wp + xx
-        got = flat2[idx].astype(jnp.int32)       # [B, Hc, Wc, 2]
+        got = _gflat(flat2, idx).astype(jnp.int32)  # [B, Hc, Wc, 2]
         return got.transpose(0, 3, 1, 2)          # [B, 2, Hc, Wc]
 
     A = fetch(0, 0)

@@ -13,6 +13,14 @@ import pytest
 from hwang_tpu import Decoder, VideoDecoderType
 from hwang_tpu.utils.fixtures import encode_video, oracle_decode_all
 
+# the Decoder's TPU->SOFTWARE failover would silently turn these tests
+# into software-path tests (the software output is bit-exact too) — a
+# TPU-path decode error must FAIL here, not fall back
+pytestmark = [
+    pytest.mark.filterwarnings("error:TPU decode failed"),
+    pytest.mark.filterwarnings("error:TPU decode path unavailable"),
+]
+
 
 def _assert_yuv_exact(path, rows, out):
     oracle = oracle_decode_all(path, fmt="yuv")
