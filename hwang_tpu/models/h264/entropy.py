@@ -74,6 +74,7 @@ class _GopOut(ctypes.Structure):
         ("weight_flag", ctypes.c_void_p),
         ("pred_weights_l1", ctypes.c_void_p),
         ("ring_slot", ctypes.c_void_p),
+        ("sparse_counts", ctypes.c_void_p),
     ]
 
 
@@ -127,6 +128,7 @@ def _declare(lib):
         i64p, i16p, c.c_int64, c.c_int64,
         i64p, i16p, c.c_int64, c.c_int64,
         i64p, i16p, c.c_int64, c.c_int64,
+        i64p, c.POINTER(c.c_uint8), c.c_int64, c.c_int64,
         i64p,
     ]
     _declared = True
@@ -175,6 +177,10 @@ class GopTensors:
     ring_slot: np.ndarray = None
     frame_is_ref: np.ndarray = None  # [F] u8: enters the reference ring
     transform8: np.ndarray = None    # [F,M] u8: 8x8 luma transform
+    # [4] int64 exact sparse-entry counts accumulated during entropy
+    # decode (nonzero coeffs, L0 MV exceptions, L1, I4x4 MBs) — lets
+    # pack_gop_batch size its buffers without a separate count pass
+    sparse_counts: np.ndarray = None
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
     scaling_w4: np.ndarray = None  # [6,16] raster weights (None = flat 16)
     scaling_w8: np.ndarray = None  # [2,64] 8x8 intra/inter weights
@@ -309,6 +315,7 @@ class H264EntropyDecoder:
             ring_slot=np.full(F, -1, np.int16),
             frame_is_ref=z(F, np.uint8),
             transform8=z((F, M), np.uint8),
+            sparse_counts=z(4, np.int64),
             bipred_idc=self.bipred_idc,
             scaling_w4=self.scaling_w4,
             scaling_w8=self.scaling_w8,
@@ -331,6 +338,7 @@ class H264EntropyDecoder:
             pred_weights=vp(t.pred_weights), weight_flag=vp(t.weight_flag),
             pred_weights_l1=vp(t.pred_weights_l1),
             ring_slot=vp(t.ring_slot),
+            sparse_counts=vp(t.sparse_counts),
         )
 
         dptr, downer = as_u8p(data)

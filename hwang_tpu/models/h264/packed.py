@@ -8,14 +8,16 @@ bandwidth.  This module packs a whole clip batch into THREE host buffers:
   u8    [B, F, M, U8_STRIDE]   all small per-MB syntax (kinds, modes,
                                availability, nnz, refidx, qp, offsets)
   i16   [B, F, M, 32] + header per-frame fields  (motion vectors, ref_map)
-  coeff sparse stream: values int16 [K], flat positions int32/int64 [K]
+  coeff sparse stream: values int8 [K] + uint16 position DELTAS [K]
         into a unified [B, F, M, 26, 16] coefficient tensor
-        (blocks 0-15 luma AC, 16-23 chroma AC, 24 luma DC, 25 chroma DC)
+        (blocks 0-15 luma AC, 16-23 chroma AC, 24 luma DC, 25 chroma DC);
+        the rare |v|>127 value rides a small absolute side stream
 
 and unpacks on-device into the GopArrays the reconstruction consumes —
-one scatter rebuilds the dense coefficients.  Typical transfer volume
-drops from ~1 KB/MB (dense int16) to ~120 B/MB + 6-8 B per nonzero
-coefficient, i.e. a few x the compressed bitstream size.
+a cumsum turns deltas back into positions and one scatter rebuilds the
+dense coefficients.  Typical transfer volume drops from ~1 KB/MB (dense
+int16) to ~120 B/MB + 3 B per nonzero coefficient, a few x the
+compressed bitstream size.
 """
 
 from __future__ import annotations
@@ -28,7 +30,9 @@ import numpy as np
 
 from .recon import GopArrays
 
-# u8 layout offsets (per MB)
+# u8 layout offsets (per MB).  i4 prediction modes are NOT here: most MBs
+# in P/B content aren't I4x4, so their 16 bytes ship as a sparse
+# per-I4x4-MB row stream (i4_pos/i4_val) instead of half the dense lane.
 _U8_FIELDS = [
     ("mb_kind", 1, 0),
     ("qp", 1, 0),
@@ -38,22 +42,23 @@ _U8_FIELDS = [
     ("avail", 1, 0),
     ("alpha_off", 1, 128),   # stored +128
     ("beta_off", 1, 128),
-    ("i4_modes", 16, 1),
     ("refidx", 4, 1),
     ("nnzmask", 3, 0),       # 24 per-block nonzero flags, bit-packed
 ]
-U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 31
+U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 15
 
 
 class PackedBatch(NamedTuple):
     u8: jnp.ndarray        # [B, F, M, U8_STRIDE] uint8
     mv_base: jnp.ndarray   # [B, F, M, 2] int16 (the MB's first 4x4 MV)
     mv_exc_val: jnp.ndarray  # [Kv, 2] int16 sub-partition MV exceptions
-    mv_exc_pos: jnp.ndarray  # [Kv] int32/int64 into [B*F*M*16] (+1 scratch)
+    mv_exc_pos: jnp.ndarray  # [Kv] uint16 position deltas into
+                             # [B*F*M*16] (+1 scratch) — see delta grammar
     hdr: jnp.ndarray       # [B, F, 36] int16 (frame_type, ref_map,
                            # ref_map_l1, is_ref, ring_slot, bi_explicit)
-    coeff_val: jnp.ndarray  # [K] int16
-    coeff_pos: jnp.ndarray  # [K] int32/int64 into [B*F*M*26*16] (+1 scratch)
+    coeff_val: jnp.ndarray  # [K] int8 (|v|>127 rides the big side stream)
+    coeff_pos: jnp.ndarray  # [K] uint16 position deltas into
+                            # [B*F*M*26*16] (+1 scratch)
     ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
     weights: jnp.ndarray | None  # [B, F, 16, 8] int16 pred weights (identity
                                  # rows on unweighted frames); None when no
@@ -68,9 +73,83 @@ class PackedBatch(NamedTuple):
     weights_l1: jnp.ndarray | None = None   # [B, F, 16, 8] explicit-B L1
     scaling_w4: jnp.ndarray | None = None   # [B, 6, 16] uint8 weights
     scaling_w8: jnp.ndarray | None = None   # [B, 2, 64]
+    # wide coefficient values (|v| > 127): absolute int32 positions,
+    # scattered after the int8 stream so the overwrite wins
+    coeff_big_pos: jnp.ndarray | None = None  # [Kb] int32 (+1 scratch)
+    coeff_big_val: jnp.ndarray | None = None  # [Kb] int16
+    # intra-4x4 prediction modes, one 16-byte row per I4x4 macroblock
+    i4_pos: jnp.ndarray | None = None  # [Ki] uint16 deltas into [B*F*M]
+    i4_val: jnp.ndarray | None = None  # [Ki, 16] uint8 modes
 
 
 _COEFF_BLOCKS = 26
+
+# ---------------------------------------------------------------------------
+# Sparse-stream position coding.  Scatter positions are strictly
+# increasing within a stream, so they ship as uint16 DELTAS (2 bytes vs 4
+# for absolute int32 — the coefficient stream is the largest single part
+# of the upload).  Stream grammar, decoded by `decode_delta_positions`
+# inside the jit:
+#   delta in [1, 0xFFFE]  advance by delta, emit a value here
+#   0xFFFF (escape)       advance by 0xFFFE, emit nothing (bridges gaps
+#                         wider than 0xFFFE; repeated as needed)
+#   0 (pad)               no advance, emit nothing (bucket padding)
+# Positions start at -1, i.e. pos_i = cumsum(advances)_i - 1.
+# ---------------------------------------------------------------------------
+
+_ESC = 0xFFFF
+_ESC_ADV = 0xFFFE
+
+
+def delta_encode_pad(pos, vals, min_bucket=1024):
+    """Delta-encode sorted positions to the uint16 grammar above, pad to a
+    power-of-two bucket (so stream growth rarely recompiles), and keep
+    `vals` aligned (zeros at escape/pad slots)."""
+    pos = np.asarray(pos, np.int64)
+    k = len(pos)
+    gap = np.diff(pos, prepend=-1)
+    if k and gap.min() < 1:
+        raise ValueError("sparse positions must be strictly increasing")
+    esc = (gap - 1) // _ESC_ADV  # escapes needed before each entry
+    n_esc = int(esc.sum())
+    n = k + n_esc
+    kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    out = np.zeros(kpad, np.uint16)
+    val_p = np.zeros((kpad,) + np.asarray(vals).shape[1:],
+                     np.asarray(vals).dtype)
+    if n_esc == 0:
+        out[:k] = gap
+        val_p[:k] = vals
+    else:
+        out[:n] = _ESC
+        dst = np.arange(k) + np.cumsum(esc)
+        out[dst] = gap - esc * _ESC_ADV  # remainder in [1, 0xFFFE]
+        val_p[dst] = vals
+    return out, val_p
+
+
+def decode_delta_positions(deltas, total):
+    """Device-side inverse: uint16 delta stream -> int32 scatter
+    positions, with escape/pad slots redirected to the scratch index
+    `total` (the +1 slot every dense target carries)."""
+    d = deltas.astype(jnp.int32)
+    adv = jnp.where(d == _ESC, _ESC_ADV, d)
+    posn = jnp.cumsum(adv) - 1
+    emit = (d != _ESC) & (d != 0)
+    return jnp.where(emit, posn, total)
+
+
+def sparse_pad_abs(pos, vals, total, min_bucket=1024):
+    """Absolute-position padding (scratch index = total) for the small
+    side streams that don't warrant delta coding."""
+    k = len(pos)
+    kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(k, 1)))))
+    pos_p = np.full(kpad, total, np.int32 if total < 2**31 else np.int64)
+    pos_p[:k] = pos
+    val_p = np.zeros((kpad,) + np.asarray(vals).shape[1:],
+                     np.asarray(vals).dtype)
+    val_p[:k] = vals
+    return pos_p, val_p
 
 
 def pack_flags(tensors) -> dict:
@@ -186,28 +265,41 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         t = tensors[b]
         if bufs is None:
             u8p = mvbp = mv1bp = None
-            cp = cv = mp = mvv = m1p = m1v = None
-            ccap = mcap = m1cap = 0
+            cp = cv = mp = mvv = m1p = m1v = i4p = i4v = None
+            ccap = mcap = m1cap = i4cap = 0
         else:
             (u8p, mvbp, mv1bp, cp, cv, ccap, mp, mvv, mcap,
-             m1p, m1v, m1cap) = bufs
+             m1p, m1v, m1cap, i4p, i4v, i4cap) = bufs
         r = lib.hw_h264_pack_clip(
             ctypes.byref(views[b]), t.n_frames, M, F,
             u8p, mvbp, mv1bp,
             cp, cv, ccap, b * F * M * _COEFF_BLOCKS * 16,
             mp, mvv, mcap, b * F * M * 16,
             m1p, m1v, m1cap, b * F * M * 16,
+            i4p, i4v, i4cap, b * F * M,
             counts_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if r != 0:
             raise RuntimeError("hw_h264_pack_clip overflow")
 
-    counts = np.zeros((B, 3), np.int64)
-    for b in range(B):
-        c_pack(b, None, counts[b])
+    # Sparse-entry counts: the entropy decoder accumulates exact totals
+    # during decode (GopOut.sparse_counts), so the usual case skips the
+    # native count sweep entirely — pack becomes one pass per clip, not
+    # two.  Tensors from older pickles / hand-built tests may lack the
+    # field; any such clip falls back to the count pass.
+    counts = np.zeros((B, 4), np.int64)
+    used_entropy_counts = True
+    for b, t in enumerate(tensors):
+        sc = getattr(t, "sparse_counts", None)
+        if sc is not None and len(sc) == 4:
+            counts[b] = sc
+        else:
+            used_entropy_counts = False
+            c_pack(b, None, counts[b])
     coff = np.concatenate(([0], np.cumsum(counts[:, 0])))
     moff = np.concatenate(([0], np.cumsum(counts[:, 1])))
     m1off = np.concatenate(([0], np.cumsum(counts[:, 2])))
+    i4off = np.concatenate(([0], np.cumsum(counts[:, 3])))
 
     base = np.zeros((B, F, M, 2), np.int16)
     pos = np.zeros(int(coff[-1]), np.int64)
@@ -217,6 +309,8 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
     base1 = np.zeros((B, F, M, 2), np.int16) if any_b else None
     m1pos_a = np.zeros(int(m1off[-1]), np.int64)
     m1vals = np.zeros((int(m1off[-1]), 2), np.int16)
+    i4pos = np.zeros(int(i4off[-1]), np.int64)
+    i4vals = np.zeros((int(i4off[-1]), 16), np.uint8)
 
     def p64(a, off=0):
         return ctypes.cast(
@@ -233,7 +327,7 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
     def pu8(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
-    counts2 = np.zeros((B, 3), np.int64)
+    counts2 = np.zeros((B, 4), np.int64)
     for b in range(B):
         c_pack(b, (
             pu8(u8[b]), p16(base, b * F * M * 2),
@@ -242,7 +336,22 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
             p64(mpos, moff[b]), p16(mvals, 2 * moff[b]), int(counts[b, 1]),
             p64(m1pos_a, m1off[b]), p16(m1vals, 2 * m1off[b]),
             int(counts[b, 2]),
+            p64(i4pos, i4off[b]),
+            ctypes.cast(
+                ctypes.c_void_p(int(i4vals.ctypes.data)
+                                + int(i4off[b]) * 16),
+                ctypes.POINTER(ctypes.c_uint8),
+            ),
+            int(counts[b, 3]),
         ), counts2[b])
+    if used_entropy_counts and not np.array_equal(counts2, counts):
+        # An overcount would leave zero-filled (pos=0, val=0) slots that
+        # the device scatter could land on top of a real coefficient —
+        # fail loudly instead (means a decoder path missed an accumulator)
+        raise RuntimeError(
+            f"entropy sparse_counts disagree with pack: {counts.tolist()} "
+            f"vs {counts2.tolist()}"
+        )
 
     for b, t in enumerate(tensors):
         n = t.n_frames
@@ -267,26 +376,21 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         if any_weights:
             weights[b, :n] = weights_or_identity(t)
 
-    def sparse_pad(pos, vals, total, min_bucket=1024):
-        k = len(pos)
-        kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(k, 1)))))
-        pos_dtype = np.int32 if total < 2**31 else np.int64
-        pos_p = np.full(kpad, total, pos_dtype)
-        pos_p[:k] = pos.astype(pos_dtype)
-        if vals.ndim == 1:
-            val_p = np.zeros(kpad, vals.dtype)
-        else:
-            val_p = np.zeros((kpad,) + vals.shape[1:], vals.dtype)
-        val_p[:k] = vals
-        return pos_p, val_p
-
     total_coeff = B * F * M * _COEFF_BLOCKS * 16
-    pos_p, val_p = sparse_pad(pos, vals, total_coeff)
-    total_mv = B * F * M * 16
-    mpos_p, mval_p = sparse_pad(mpos, mvals, total_mv, min_bucket=256)
+    # int8 value diet: quantized residual levels are almost all in
+    # [-127, 127]; the rare wide value ships in a tiny absolute-position
+    # side stream whose scatter runs AFTER the main one (overwrite wins)
+    big = np.abs(vals) > 127
+    big_pos_p, big_val_p = sparse_pad_abs(pos[big], vals[big], total_coeff,
+                                          min_bucket=64)
+    pos_p, val8_p = delta_encode_pad(
+        pos, np.where(big, 0, vals).astype(np.int8)
+    )
+    mpos_p, mval_p = delta_encode_pad(mpos, mvals, min_bucket=256)
+    i4pos_p, i4val_p = delta_encode_pad(i4pos, i4vals, min_bucket=64)
     if any_b:
-        mpos1_p, mval1_p = sparse_pad(m1pos_a, m1vals, total_mv,
-                                      min_bucket=256)
+        mpos1_p, mval1_p = delta_encode_pad(m1pos_a, m1vals,
+                                            min_bucket=256)
 
     # honor to_device: the fused/sharded transports keep buffers in
     # host numpy and upload once with their own placement
@@ -297,8 +401,12 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         mv_exc_val=conv(mval_p),
         mv_exc_pos=conv(mpos_p),
         hdr=conv(hdr),
-        coeff_val=conv(val_p),
+        coeff_val=conv(val8_p),
         coeff_pos=conv(pos_p),
+        coeff_big_pos=conv(big_pos_p),
+        coeff_big_val=conv(big_val_p),
+        i4_pos=conv(i4pos_p),
+        i4_val=conv(i4val_p),
         ipcm=conv(ipcm) if any_ipcm else None,
         weights=conv(weights) if any_weights else None,
         **(
@@ -393,9 +501,20 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         fields[name] = a[..., 0] if width == 1 else a
         off += width
 
-    dense = jnp.zeros(B * F * M * _COEFF_BLOCKS * 16 + 1, jnp.int16)
-    dense = dense.at[p.coeff_pos].set(p.coeff_val)
+    total_c = B * F * M * _COEFF_BLOCKS * 16
+    cpos = decode_delta_positions(p.coeff_pos, total_c)
+    dense = jnp.zeros(total_c + 1, jnp.int16)
+    dense = dense.at[cpos].set(p.coeff_val.astype(jnp.int16))
+    if p.coeff_big_pos is not None:
+        dense = dense.at[p.coeff_big_pos].set(p.coeff_big_val)
     coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16)
+
+    # intra-4x4 modes: one 16-byte row per I4x4 MB (zeros elsewhere,
+    # matching the host SoA default)
+    i4p = decode_delta_positions(p.i4_pos, B * F * M)
+    i4dense = jnp.zeros((B * F * M + 1, 16), jnp.int16)
+    i4dense = i4dense.at[i4p].set(p.i4_val.astype(jnp.int16))
+    i4_modes = i4dense[:-1].reshape(B, F, M, 16)
 
     # rebuild per-4x4 MVs: broadcast base, scatter exceptions
     def mv_unpack(mbase, epos, eval_):
@@ -403,7 +522,9 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
             mbase[:, :, :, None, :], (B, F, M, 16, 2)
         ).reshape(B * F * M * 16, 2)
         flat = jnp.concatenate([flat, jnp.zeros((1, 2), jnp.int16)])
-        flat = flat.at[epos].set(eval_)
+        flat = flat.at[decode_delta_positions(epos, B * F * M * 16)].set(
+            eval_
+        )
         return flat[:-1].reshape(B, F, M, 16, 2)
 
     mv16 = mv_unpack(p.mv_base, p.mv_exc_pos, p.mv_exc_val)
@@ -425,7 +546,7 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         ref_map=hdr[..., 1:17],
         mb_kind=fields["mb_kind"],
         qp=fields["qp"],
-        i4_modes=fields["i4_modes"],
+        i4_modes=i4_modes,
         i16_mode=fields["i16_mode"],
         chroma_mode=fields["chroma_mode"],
         mv=mv16,

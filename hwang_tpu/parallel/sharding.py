@@ -126,9 +126,10 @@ def pack_gop_batch_sharded(tensors, pad_frames: int, n_shards: int):
         for i in range(n_shards)
     ]
 
-    # equalize the sparse-stream bucket sizes across shards (pos pads with
-    # the shard-local scratch index = total, val pads with 0 — the same
-    # convention sparse_pad uses)
+    # equalize the sparse-stream bucket sizes across shards.  Delta
+    # streams (uint16 grammar, packed.py) pad with 0 = "no advance, emit
+    # nothing"; absolute-position streams pad with the shard-local
+    # scratch index = total (sparse_pad_abs convention); vals pad with 0.
     M = tensors[0].mb_width * tensors[0].mb_height
     F = pad_frames
 
@@ -140,13 +141,16 @@ def pack_gop_batch_sharded(tensors, pad_frames: int, n_shards: int):
             if pos.shape[0] == k:
                 continue
             n = k - pos.shape[0]
-            pos = np.concatenate([pos, np.full(n, total, pos.dtype)])
+            fill = 0 if pos.dtype == np.uint16 else total
+            pos = np.concatenate([pos, np.full(n, fill, pos.dtype)])
             val = np.concatenate(
                 [val, np.zeros((n,) + val.shape[1:], val.dtype)]
             )
             packs[i] = p._replace(**{pos_name: pos, val_name: val})
 
     grow("coeff_pos", "coeff_val", per * F * M * 26 * 16)
+    grow("coeff_big_pos", "coeff_big_val", per * F * M * 26 * 16)
+    grow("i4_pos", "i4_val", per * F * M)
     grow("mv_exc_pos", "mv_exc_val", per * F * M * 16)
     if packs[0].mv1_exc_pos is not None:
         grow("mv1_exc_pos", "mv1_exc_val", per * F * M * 16)

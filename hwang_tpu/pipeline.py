@@ -96,6 +96,10 @@ class ClipBatchDecoder:
             max_refs = max(max_refs, d.n_refs)
         self.n_refs = n_refs or max_refs
         self._pool = concurrent.futures.ThreadPoolExecutor(io_threads)
+        # transfers are network/DMA-bound, not CPU-bound: a dedicated
+        # pool so an in-flight upload never queues behind entropy work
+        # (io_threads is clamped to core count, often 1 on this host)
+        self._xfer_pool = concurrent.futures.ThreadPoolExecutor(2)
 
     # ------------------------------------------------------------------
     def _plan(self, rows_per_clip) -> list[_SpanJob]:
@@ -226,7 +230,15 @@ class ClipBatchDecoder:
                 # once.
                 s, pos = max(4, n_dev), 0
                 while pos < len(idxs):
-                    sz = -(-min(s, bpad) // n_dev) * n_dev
+                    sz = min(s, bpad)
+                    rem = len(idxs) - pos
+                    if rem < sz:
+                        # tail: the smallest power-of-two that fits, not
+                        # the full steady-state chunk — padding is real
+                        # device work (a 12-span tail padded to 32 wastes
+                        # 20 slots of decode)
+                        sz = 1 << (rem - 1).bit_length()
+                    sz = max(4, -(-sz // n_dev) * n_dev)
                     part = idxs[pos : pos + sz]
                     chunked.append((fpad, cqo, part, sz - len(part)))
                     pos += sz
@@ -242,7 +254,38 @@ class ClipBatchDecoder:
         for _, _, idxs, _ in chunked:
             for i in idxs:
                 futures[i] = self._pool.submit(host_decode, jobs[i])
+
+        # H2D uploads also run on the pool: the relay transfer is
+        # network-bound while pack is CPU-bound, so uploading chunk i
+        # from a worker thread overlaps it with the main thread packing
+        # chunk i+1 (this host often has ONE core — thread-level overlap
+        # only helps when one side blocks off-CPU, which a relay
+        # device_put does)
+        def upload(buf):
+            import time as _time
+
+            t0 = _time.perf_counter()
+            d = jax.device_put(buf)
+            prof.add_interval("h2d_upload", _time.perf_counter() - t0)
+            return d
+
         tensors: dict[int, object] = {}
+        staged = []  # (fut_dev_buf, layout, cqo) awaiting dispatch
+        results = []  # per-chunk (Ys, Us, Vs)
+
+        def flush_staged(wait: bool):
+            # dispatch staged chunks in order; without `wait`, stop at the
+            # first still-uploading chunk instead of stalling pack
+            while staged and (wait or staged[0][0].done()):
+                fut, layout, c_cqo = staged.pop(0)
+                with prof.span("h2d_wait"):
+                    dbuf = fut.result()
+                with prof.span("device_decode_dispatch"):
+                    results.append(
+                        decode_gop_fused(dbuf, layout, mb_w, mb_h, c_cqo,
+                                         self.n_refs)
+                    )
+
         for fpad, cqo, idxs, pad_b in chunked:
             with prof.span("entropy_wait"):
                 for i in idxs:
@@ -265,18 +308,20 @@ class ClipBatchDecoder:
                     batch = pack_gop_batch_sharded(span_tensors, fpad,
                                                    n_dev)
                 with prof.span("device_decode_dispatch"):
-                    Ys, Us, Vs = decode_gop_packed_sharded(
+                    results.append(decode_gop_packed_sharded(
                         batch, self.mesh, mb_w, mb_h, cqo, self.n_refs
-                    )
+                    ))
             else:
                 with prof.span("pack"):
                     batch = pack_gop_batch(span_tensors, fpad,
                                            to_device=False)
                     buf, layout = fuse_packed(batch)
-                    buf = jnp.asarray(buf)  # the chunk's ONE H2D transfer
-                with prof.span("device_decode_dispatch"):
-                    Ys, Us, Vs = decode_gop_fused(buf, layout, mb_w, mb_h,
-                                                  cqo, self.n_refs)
+                staged.append((self._xfer_pool.submit(upload, buf),
+                               layout, cqo))
+                flush_staged(wait=len(staged) > 2)
+        flush_staged(wait=True)
+
+        for (fpad, cqo, idxs, pad_b), (Ys, Us, Vs) in zip(chunked, results):
             # fused selection: one gather for all requested frames of this
             # bucket, then one epilogue over the stack
             sel_b, sel_f = [], []
@@ -288,8 +333,12 @@ class ClipBatchDecoder:
                     sel_b.append(k)
                     sel_f.append(int(perm[row - jobs[i].start]))
                     index.append((jobs[i].clip, row))
-            sb = jnp.asarray(sel_b)
-            sf = jnp.asarray(sel_f)
+            # one combined transfer (the relay charges fixed latency
+            # per transfer, so two tiny uploads cost two round trips)
+            sel = jnp.asarray(
+                np.stack([sel_b, sel_f]).astype(np.int32)
+            )
+            sb, sf = sel[0], sel[1]
             y = Ys[sb, sf, top : top + H, left : left + W]
             u = Us[sb, sf, top // 2 : (top + H + 1) // 2,
                    left // 2 : (left + W + 1) // 2]
@@ -319,3 +368,4 @@ class ClipBatchDecoder:
 
     def close(self):
         self._pool.shutdown(wait=False)
+        self._xfer_pool.shutdown(wait=False)

@@ -366,6 +366,29 @@ bool parse_pps(BitReader& br, PPS& pps, const std::map<int, SPS>& sps_map,
 // Decoder context
 // ---------------------------------------------------------------------------
 
+// Sparse-transport accumulators (see GopOut::sparse_counts): every
+// residual block adds its TotalCoeff (the exact number of nonzero
+// entries written), every emitted MV set adds its per-4x4 deviations
+// from block 0 — the same quantities hw_h264_pack_clip's count pass
+// re-derives by sweeping the SoA tensors.
+static inline void acc_coeff(GopOut* out, int tc) {
+  if (out->sparse_counts) out->sparse_counts[0] += tc;
+}
+
+static inline void acc_mv_exc(GopOut* out, const int16_t (*mv)[2],
+                              int which) {
+  if (!out->sparse_counts) return;
+  const int16_t bx = mv[0][0], by = mv[0][1];
+  int n = 0;
+  for (int k = 1; k < 16; k++)
+    n += (mv[k][0] != bx) | (mv[k][1] != by);
+  out->sparse_counts[which] += n;
+}
+
+static inline void acc_i4(GopOut* out, uint8_t kind) {
+  if (out->sparse_counts && kind == MB_I4x4) out->sparse_counts[3]++;
+}
+
 struct MbState {
   uint8_t kind = MB_P_SKIP;
   uint8_t intra = 0;
@@ -882,6 +905,8 @@ bool derive_b_skip(Ctx& c, const SliceCtx& sc, int mb, GopOut* out,
   memcpy(out->refidx + base * 4, M.refidx, 4);
   memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
   memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+  acc_mv_exc(out, M.mv, 1);
+  acc_mv_exc(out, M.mv1, 2);
   memset(out->nnz + base * 24, 0, 24);
   return true;
 }
@@ -1346,6 +1371,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
       c.err = "luma DC residual error";
       return false;
     }
+    acc_coeff(out, tc);
     int16_t* dst = out->luma_dc + base * 16;
     for (int i = 0; i < 16; i++) dst[kZigzag4x4[i]] = scan_buf[i];
   }
@@ -1367,6 +1393,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
           c.err = "luma 8x8 residual error at mb " + std::to_string(mb);
           return false;
         }
+        acc_coeff(out, tc);
         M.nnz[rblk] = (uint8_t)tc;
         for (int i = 0; i < 16; i++) s8[4 * i + k] = scan_buf[i];
       }
@@ -1394,6 +1421,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
         c.err = "luma AC residual error at mb " + std::to_string(mb);
         return false;
       }
+      acc_coeff(out, tc);
       M.nnz[rblk] = (uint8_t)tc;
       int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
       for (int i = 0; i < max_coeff; i++)
@@ -1409,6 +1437,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
         c.err = "chroma DC residual error";
         return false;
       }
+      acc_coeff(out, tc);
       int16_t* dst = out->chroma_dc + (base * 2 + comp) * 4;
       for (int i = 0; i < 4; i++) dst[i] = scan_buf[i];  // scan == raster
     }
@@ -1423,6 +1452,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
           c.err = "chroma AC residual error";
           return false;
         }
+        acc_coeff(out, tc);
         M.nnz[16 + comp * 4 + blk] = (uint8_t)tc;
         int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
         for (int i = 0; i < 15; i++) dst[kZigzag4x4[i + 1]] = scan_buf[i];
@@ -1431,6 +1461,7 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   }
 
   out->mb_kind[base] = M.kind;
+  acc_i4(out, M.kind);
   out->qp[base] = M.qp;
   memcpy(out->nnz + base * 24, M.nnz, 24);
   out->transform8[base] = M.transform8x8;
@@ -1452,9 +1483,11 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
   if (!M.intra) {
     memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
     memcpy(out->refidx + base * 4, M.refidx, 4);
+    acc_mv_exc(out, M.mv, 1);
     if (is_b) {
       memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
       memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+      acc_mv_exc(out, M.mv1, 2);
     }
   }
   return true;
@@ -2136,6 +2169,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   if (M.kind == MB_I16x16) {
     int tc = cabac_residual(c, cb, cx, mb, 0, 0, 0, 16, scan_buf);
     if (tc < 0) return false;
+    acc_coeff(out, tc);
     int16_t* dst = out->luma_dc + base * 16;
     for (int i = 0; i < 16; i++) dst[kZigzag4x4[i]] = scan_buf[i];
   }
@@ -2147,6 +2181,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
       int16_t r8[64];
       int tc = cabac_residual8x8(c, cb, cx, r8);
       if (tc < 0) return false;
+      acc_coeff(out, tc);
       int b0 = (q >> 1) * 8 + (q & 1) * 2;
       // cbf/nnz of all four covered 4x4s (neighbor contexts + deblock)
       for (int d : {0, 1, 4, 5}) {
@@ -2170,6 +2205,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
       int tc = cabac_residual(c, cb, cx, mb, cat, 0, rblk, max_coeff,
                               scan_buf);
       if (tc < 0) return false;
+      acc_coeff(out, tc);
       M.nnz[rblk] = (uint8_t)tc;
       int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
       for (int i = 0; i < max_coeff; i++)
@@ -2181,6 +2217,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     for (int comp = 0; comp < 2; comp++) {
       int tc = cabac_residual(c, cb, cx, mb, 3, comp, 0, 4, scan_buf);
       if (tc < 0) return false;
+      acc_coeff(out, tc);
       int16_t* dst = out->chroma_dc + (base * 2 + comp) * 4;
       for (int i = 0; i < 4; i++) dst[i] = scan_buf[i];
     }
@@ -2190,6 +2227,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
       for (int blk = 0; blk < 4; blk++) {
         int tc = cabac_residual(c, cb, cx, mb, 4, comp, blk, 15, scan_buf);
         if (tc < 0) return false;
+        acc_coeff(out, tc);
         M.nnz[16 + comp * 4 + blk] = (uint8_t)tc;
         int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
         for (int i = 0; i < 15; i++) dst[kZigzag4x4[i + 1]] = scan_buf[i];
@@ -2198,6 +2236,7 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   }
 
   out->mb_kind[base] = M.kind;
+  acc_i4(out, M.kind);
   out->qp[base] = M.qp;
   memcpy(out->nnz + base * 24, M.nnz, 24);
   out->transform8[base] = M.transform8x8;
@@ -2205,9 +2244,11 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
   if (!M.intra) {
     memcpy(out->mv + base * 32, M.mv, sizeof(M.mv));
     memcpy(out->refidx + base * 4, M.refidx, 4);
+    acc_mv_exc(out, M.mv, 1);
     if (is_b) {
       memcpy(out->mv_l1 + base * 32, M.mv1, sizeof(M.mv1));
       memcpy(out->refidx_l1 + base * 4, M.refidx1, 4);
+      acc_mv_exc(out, M.mv1, 2);
     }
   }
   return true;

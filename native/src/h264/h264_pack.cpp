@@ -31,25 +31,29 @@ using namespace hwh264;
 
 namespace {
 
-constexpr int U8_STRIDE = 31;
+constexpr int U8_STRIDE = 15;
 constexpr int MB_STRIDE = 26 * 16;  // unified coeff lanes per MB
 
 }  // namespace
 
 // Returns 0 on success, -1 if a sparse buffer capacity was exceeded.
 // counts[0] = coefficient entries, counts[1] = L0 MV exceptions,
-// counts[2] = L1 MV exceptions.  Count-only mode when u8 == NULL.
+// counts[2] = L1 MV exceptions, counts[3] = I4x4 macroblocks (whose
+// prediction modes ship as a sparse 16-byte-row stream — most MBs in
+// P/B-heavy content are not I4x4, so the dense u8 lane would be ~half
+// wasted bytes).  Count-only mode when u8 == NULL.
 HW_API int hw_h264_pack_clip(
     const GopOut* t, int n_frames, int n_mbs, int f_pad,
-    uint8_t* u8,            // [F_pad, M, 31] this clip's slice
+    uint8_t* u8,            // [F_pad, M, 15] this clip's slice
     int16_t* mv_base,       // [F_pad, M, 2]
     int16_t* mv1_base,      // [F_pad, M, 2] or NULL (no B frames)
     int64_t* cpos, int16_t* cval, int64_t ccap, int64_t cbase,
     int64_t* mpos, int16_t* mval, int64_t mcap, int64_t mbase,
     int64_t* m1pos, int16_t* m1val, int64_t m1cap, int64_t m1base,
+    int64_t* i4pos, uint8_t* i4val, int64_t i4cap, int64_t i4base,
     int64_t* counts) {
   const bool count_only = u8 == nullptr;
-  int64_t nc = 0, nm = 0, nm1 = 0;
+  int64_t nc = 0, nm = 0, nm1 = 0, ni4 = 0;
 
   for (int f = 0; f < n_frames; f++) {
     for (int mb = 0; mb < n_mbs; mb++) {
@@ -64,16 +68,25 @@ HW_API int hw_h264_pack_clip(
         d[5] = t->intra_pred_avail[fm];
         d[6] = (uint8_t)(t->alpha_off[fm] + 128);
         d[7] = (uint8_t)(t->beta_off[fm] + 128);
-        const int8_t* i4 = t->i4_modes + fm * 16;
-        for (int k = 0; k < 16; k++) d[8 + k] = (uint8_t)(i4[k] + 1);
         const int8_t* ri = t->refidx + fm * 4;
-        for (int k = 0; k < 4; k++) d[24 + k] = (uint8_t)(ri[k] + 1);
+        for (int k = 0; k < 4; k++) d[8 + k] = (uint8_t)(ri[k] + 1);
         const uint8_t* nnz = t->nnz + fm * 24;
         uint32_t bits = 0;
         for (int k = 0; k < 24; k++) bits |= (uint32_t)(nnz[k] > 0) << k;
-        d[28] = bits & 0xFF;
-        d[29] = (bits >> 8) & 0xFF;
-        d[30] = bits >> 16;
+        d[12] = bits & 0xFF;
+        d[13] = (bits >> 8) & 0xFF;
+        d[14] = bits >> 16;
+      }
+
+      if (t->mb_kind[fm] == 2 /* MB_I4x4 */) {
+        if (!count_only) {
+          if (ni4 >= i4cap) return -1;
+          i4pos[ni4] = i4base + (int64_t)fm;
+          const int8_t* i4 = t->i4_modes + fm * 16;
+          for (int k = 0; k < 16; k++)
+            i4val[ni4 * 16 + k] = (uint8_t)i4[k];
+        }
+        ni4++;
       }
 
       // L0 motion: per-MB base (block 0) + sparse per-4x4 exceptions
@@ -141,5 +154,6 @@ HW_API int hw_h264_pack_clip(
   counts[0] = nc;
   counts[1] = nm;
   counts[2] = nm1;
+  counts[3] = ni4;
   return 0;
 }

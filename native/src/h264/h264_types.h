@@ -177,6 +177,12 @@ struct GopOut {
                                        // (weighted_bipred_idc == 1)
   int16_t* ring_slot = nullptr;        // [F] device reference-ring slot the
                                        // frame writes (-1 = not a reference)
+  int64_t* sparse_counts = nullptr;    // [4] optional accumulators, filled
+                                       // during decode: [0] nonzero coeffs,
+                                       // [1] L0 per-4x4 MV exceptions,
+                                       // [2] L1, [3] I4x4 macroblocks —
+                                       // lets the packed transport skip
+                                       // its separate count pass
 };
 
 }  // namespace hwh264

@@ -13,6 +13,8 @@ import jax
 from hwang_tpu.models.h264.packed import (
     PackedBatch,
     U8_STRIDE,
+    decode_delta_positions,
+    delta_encode_pad,
     fuse_packed,
     unfuse_packed,
 )
@@ -65,3 +67,34 @@ def test_fuse_round_trip(with_b):
     # int8 sign preservation is the regression of record
     if with_b:
         assert np.asarray(got.refidx_l1).min() == -1
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_delta_position_grammar(seed):
+    """uint16-delta sparse positions: encode on host, decode in jit.
+    Covers multi-escape gaps (> 2*0xFFFE), position 0, bucket padding,
+    and the empty stream."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    total = int(rng.integers(1, 1_000_000))
+    k = int(rng.integers(0, min(total, 400)))
+    pos = np.sort(rng.choice(total, size=k, replace=False)).astype(np.int64)
+    if seed == 0 and total > 3:  # pin the grammar edges
+        pos = np.array([0, 1, total - 1], np.int64)
+    vals = rng.integers(-300, 300, size=len(pos)).astype(np.int16)
+    d, v = delta_encode_pad(pos, vals, min_bucket=8)
+    assert d.dtype == np.uint16
+    sp = np.asarray(
+        jax.jit(lambda x: decode_delta_positions(x, total))(jnp.asarray(d))
+    )
+    dense = np.zeros(total + 1, np.int16)
+    dense[sp] = v
+    ref = np.zeros(total + 1, np.int16)
+    ref[pos] = vals
+    assert np.array_equal(dense, ref)
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode_pad(np.array([3, 3]), np.array([1, 2], np.int16))
