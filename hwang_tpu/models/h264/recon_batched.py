@@ -741,11 +741,12 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             use_ip = _os.environ.get(
                 "HWANG_INTRA",
                 "pallas" if (_inp._is_tpu_backend()
-                             and res8 is None
                              and _inp.fits_vmem(mb_w, mb_h))
                 else "skewed",
             )
-            if use_ip == "pallas" and res8 is None:
+            if use_ip == "pallas":
+                # i8x8 spans compile the kernel's with_i8 branch; the 8x8
+                # residual is already merged into luma_res16 above
                 Y, U, V = _inp.intra_stage_pallas(
                     Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
                     chroma_res,

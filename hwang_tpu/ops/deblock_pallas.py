@@ -599,7 +599,7 @@ def deblock_stage_pallas(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset,
                                  n_steps=n_steps, bt=bt)
         mbh8 = (mb_h + 7) & ~7
         par_p = jnp.pad(par_p, ((0, 0), (0, 0), (0, mbh8 - mb_h), (0, 0)))
-        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
         y_o, c_o = pl.pallas_call(
             kern,
             grid=(G,),

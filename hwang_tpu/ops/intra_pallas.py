@@ -23,9 +23,12 @@ Chroma is interleaved (unlike deblock's U|V halves) so both planes of a
 prediction step are one contiguous 2*bt lane group — the predictors never
 need cross-group shuffles.
 
-Scope: I4x4 + I16 + chroma modes (baseline/main and High without the 8x8
-transform).  Spans carrying intra_8x8 MBs use the XLA skewed stage
-(recon_batched routes on `transform8 is None`).
+Scope: I4x4 + I16 + chroma modes, plus High-profile intra 8x8 (spec
+8.3.2) — the 8x8 branch is compiled in only when the span carries
+transform-8x8 MBs (`with_i8`), so baseline/main spans pay nothing for it.
+The 8x8 residual arrives pre-merged in the pixel-layout res16 buffer
+(recon_batched overlays res8_asm where transform8 is set); the per-MB
+transform8 flag rides avail bit 6.
 
 Ground truth: recon_skewed.intra_stage_skewed == ops/intra.py ==
 ref_recon == libavcodec (tests/test_intra_pallas.py).
@@ -179,8 +182,125 @@ def _predict_4x4_positions(l, t, tl, tr):
     return out
 
 
+def _w3(flag, a, b):
+    """where(flag, a, b) with flag=None meaning statically-true."""
+    return a if flag is None else jnp.where(flag, a, b)
+
+
+def _filter_8x8(l, t16, tl, have_l, have_t, have_tl):
+    """Spec 8.3.2.2.1 reference-sample low-pass filter for intra 8x8.
+
+    l: 8-list of left samples (top->bottom); t16: 16-list of top samples
+    (top-right substitution already applied); tl: topleft; have_* either
+    an array flag or None (= statically available).  Returns
+    (fl 8-list, ft 16-list, ftl).  Ground truth: ops/intra.predict_i8x8's
+    filtering block (intra.py:294-326).
+    """
+    a = t16
+    ft = [_w3(have_tl, (tl + 2 * a[0] + a[1] + 2) >> 2,
+              (3 * a[0] + a[1] + 2) >> 2)]
+    for i in range(1, 15):
+        ft.append((a[i - 1] + 2 * a[i] + a[i + 1] + 2) >> 2)
+    ft.append((a[14] + 3 * a[15] + 2) >> 2)
+    both = (a[0] + 2 * tl + l[0] + 2) >> 2
+    only_t = (3 * tl + a[0] + 2) >> 2
+    only_l = (3 * tl + l[0] + 2) >> 2
+    if have_l is None and have_t is None:
+        ftl = both
+    elif have_l is None:
+        ftl = _w3(have_t, both, only_l)
+    elif have_t is None:
+        ftl = _w3(have_l, both, only_t)
+    else:
+        ftl = jnp.where(have_l & have_t, both,
+                        jnp.where(have_t, only_t,
+                                  jnp.where(have_l, only_l, tl)))
+    fl = [_w3(have_tl, (tl + 2 * l[0] + l[1] + 2) >> 2,
+              (3 * l[0] + l[1] + 2) >> 2)]
+    for i in range(1, 7):
+        fl.append((l[i - 1] + 2 * l[i] + l[i + 1] + 2) >> 2)
+    fl.append((l[6] + 3 * l[7] + 2) >> 2)
+    return fl, ft, ftl
+
+
+def _predict_8x8_positions(fl, ft, ftl):
+    """Spec 8.3.2.2.2-.2.9 mode values per 8x8 position over FILTERED
+    samples — same positional style as _predict_4x4_positions.  Returns 64
+    row-major entries, each a 9-list with slot 2 (DC) left None.  Ground
+    truth: ops/intra.predict_i8x8 (intra.py:333-443)."""
+    t, l, tl = ft, fl, ftl
+
+    def T(i):
+        return tl if i < 0 else t[i]
+
+    def L(i):
+        return tl if i < 0 else l[i]
+
+    out = []
+    for y in range(8):
+        for x in range(8):
+            c = [None] * 9
+            c[0] = t[x]                                  # vertical
+            c[1] = l[y]                                  # horizontal
+            i = x + y                                    # ddl
+            if i == 14:
+                c[3] = (t[14] + 3 * t[15] + 2) >> 2
+            else:
+                c[3] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            if x > y:                                    # ddr
+                i = x - y
+                c[4] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+            elif x < y:
+                i = y - x
+                c[4] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+            else:
+                c[4] = (T(0) + 2 * tl + L(0) + 2) >> 2
+            z = 2 * x - y                                # vertical-right
+            if z >= 0 and z % 2 == 0:
+                i = x - (y >> 1)
+                c[5] = (T(i - 1) + T(i) + 1) >> 1
+            elif z >= 0:
+                i = x - (y >> 1)
+                c[5] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+            elif z == -1:
+                c[5] = (L(0) + 2 * tl + T(0) + 2) >> 2
+            else:
+                i = y - 2 * x - 1
+                c[5] = (L(i) + 2 * L(i - 1) + L(i - 2) + 2) >> 2
+            z = 2 * y - x                                # horizontal-down
+            if z >= 0 and z % 2 == 0:
+                i = y - (x >> 1)
+                c[6] = (L(i - 1) + L(i) + 1) >> 1
+            elif z >= 0:
+                i = y - (x >> 1)
+                c[6] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+            elif z == -1:
+                c[6] = (T(0) + 2 * tl + L(0) + 2) >> 2
+            else:
+                i = x - 2 * y - 1
+                c[6] = (T(i) + 2 * T(i - 1) + T(i - 2) + 2) >> 2
+            i = x + (y >> 1)                             # vertical-left
+            if y % 2 == 0:
+                c[7] = (t[i] + t[i + 1] + 1) >> 1
+            else:
+                c[7] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            z = x + 2 * y                                # horizontal-up
+            if z > 13:
+                c[8] = l[7]
+            elif z == 13:
+                c[8] = (l[6] + 3 * l[7] + 2) >> 2
+            elif z % 2 == 0:
+                c[8] = (l[z >> 1] + l[(z >> 1) + 1] + 1) >> 1
+            else:
+                i = z >> 1
+                c[8] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+            out.append(c)
+    return out
+
+
 def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
-                ctl8, r16col, rbcol, crescol, par_col, *, mb_w, mb_h, bt):
+                ctl8, r16col, rbcol, crescol, par_col, *, mb_w, mb_h, bt,
+                with_i8=False):
     """One intra wavefront step.  Inputs are the raw skewed columns
     (p, p-1, p-2, p-3) of the luma/chroma planes plus this column's
     residuals and packed syntax.  Returns (new_luma_col, new_chroma_col)
@@ -345,6 +465,95 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     ]
     i4_pix = jnp.concatenate(bands, axis=-2)           # [mbh, 16, 16bt]
 
+    # ---------------- intra 8x8 (High profile, with_i8 only) ----------
+    # 4 quadrants chained in raster order, canvas-free like B4; neighbor
+    # samples come from the producing quadrant or the MB border strips.
+    # Residual is read from R16 (recon_batched pre-merges res8_asm into
+    # the pixel-layout res16 where transform8 is set); the i8 modes live
+    # in the i4-mode slots 0/2/8/10 (host replicates per quadrant,
+    # h264_decode.cpp:1274); transform8 rides avail bit 6.
+    if with_i8:
+        t8f = (av & 64) == 64
+        is_i8 = is_i4 & t8f
+        B8: dict[tuple[int, int], jnp.ndarray] = {}
+        for q in range(4):
+            qx, qy = q & 1, q >> 1
+            if qx == 0:
+                l8 = [left_k[8 * qy + k] for k in range(8)]
+            else:
+                nb = B8[(qy, 0)]
+                l8 = [nb[:, k, 7 * bt:8 * bt] for k in range(8)]
+            if qy == 0:
+                t_un = [top_j[8 * qx + i] for i in range(8)]
+            else:
+                nb = B8[(0, qx)]
+                t_un = [nb[:, 7, i * bt:(i + 1) * bt] for i in range(8)]
+            # top-right 8 samples, substitution-resolved (8.3.2.2.1's
+            # "not available" repeat of p[7,-1]); availability per
+            # quadrant mirrors recon_skewed's btr derivation
+            if q == 0:
+                # available iff the top MB is (same source row) — when it
+                # isn't, top itself is garbage-but-unselected, so as-is
+                tr_un = [top_j[8 + i] for i in range(8)]
+            elif q == 1:
+                tr_un = [
+                    jnp.where(have_tr, tr_j[i], top_j[15]) for i in range(8)
+                ]
+            elif q == 2:
+                nb = B8[(0, 1)]
+                tr_un = [nb[:, 7, i * bt:(i + 1) * bt] for i in range(8)]
+            else:
+                tr_un = [t_un[7]] * 8
+            if q == 0:
+                tl8b = tl_px
+                hl, ht, htl = have_l, have_t, (av & 8) == 8
+            elif q == 1:
+                tl8b = top_j[7]
+                hl, ht, htl = None, have_t, have_t
+            elif q == 2:
+                tl8b = left_k[7]
+                hl, ht, htl = have_l, None, have_l
+            else:
+                tl8b = B8[(0, 0)][:, 7, 7 * bt:8 * bt]
+                hl, ht, htl = None, None, None
+            fl8, ft8, ftl8 = _filter_8x8(l8, t_un + tr_un, tl8b,
+                                         hl, ht, htl)
+            pos = _predict_8x8_positions(fl8, ft8, ftl8)
+            suml8 = functools.reduce(lambda x, y: x + y, fl8)
+            sumt8 = functools.reduce(lambda x, y: x + y, ft8[:8])
+            both8 = (suml8 + sumt8 + 8) >> 4
+            if hl is None and ht is None:
+                dc8 = both8
+            elif hl is None:
+                dc8 = jnp.where(ht, both8, (suml8 + 4) >> 3)
+            elif ht is None:
+                dc8 = jnp.where(hl, both8, (sumt8 + 4) >> 3)
+            else:
+                dc8 = jnp.where(
+                    hl & ht, both8,
+                    jnp.where(hl, (suml8 + 4) >> 3,
+                              jnp.where(ht, (sumt8 + 4) >> 3, 128)),
+                )
+            mode8 = pseg(4 + (qy * 2) * 4 + qx * 2) - 1
+            new_rows = []
+            for dy in range(8):
+                vals = []
+                for dx in range(8):
+                    c = pos[dy * 8 + dx]
+                    c[2] = dc8
+                    vals.append(_sel(mode8, c, bt))
+                row = jnp.clip(
+                    _lanes(vals)
+                    + R16[:, 8 * qy + dy, 8 * qx * bt:(8 * qx + 8) * bt],
+                    0, 255,
+                )
+                new_rows.append(row)
+            B8[(qy, qx)] = _rows(new_rows)             # [mbh, 8, 8bt]
+        i8_pix = jnp.concatenate(
+            [_lanes([B8[(qy, 0)], B8[(qy, 1)]]) for qy in range(2)],
+            axis=-2,
+        )                                              # [mbh, 16, 16bt]
+
     def expand16(m, rows=16):
         # int32 throughout: Mosaic rejects lane-concats of i1 vectors
         return _rows([_lanes([m.astype(jnp.int32)] * 16)] * rows) > 0
@@ -352,6 +561,8 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
     w_i4 = expand16(is_i4)
     w_i16 = expand16(is_i16)
     newcur = jnp.where(w_i4, i4_pix, jnp.where(w_i16, mb16, CUR))
+    if with_i8:
+        newcur = jnp.where(expand16(is_i8), i8_pix, newcur)
     out_y = newcur.reshape(mb_h * 16, W).astype(jnp.uint8)
 
     # ---------------- chroma (interleaved U0 V0 U1 ... V7) ----------------
@@ -426,7 +637,7 @@ def _intra_step(t_step, cur8, left8, top8, tl8, ccur8, cleft8, ctop8,
 
 
 def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
-            y_out, c_out, *, mb_w, mb_h, n_steps, bt):
+            y_out, c_out, *, mb_w, mb_h, n_steps, bt, with_i8=False):
     import jax.experimental.pallas as pl
 
     g = pl.program_id(0)
@@ -445,7 +656,7 @@ def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
                 c_out[0, p], c_out[0, p - 1], c_out[0, p - 2],
                 c_out[0, p - 3],
                 r16_in[0, p], rb_in[0, p], cres_in[0, p], par_in[0, p],
-                mb_w=mb_w, mb_h=mb_h, bt=bt,
+                mb_w=mb_w, mb_h=mb_h, bt=bt, with_i8=with_i8,
             )
             y_out[0, p] = ny
             c_out[0, p] = nc
@@ -458,7 +669,8 @@ def _kernel(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
 def _kernel_ring(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
                  y_out, c_out,
                  y_ring, c_ring, r16_ring, rb_ring, cres_ring, par_ring,
-                 in_sems, out_sems, *, mb_w, mb_h, n_steps, bt):
+                 in_sems, out_sems, *, mb_w, mb_h, n_steps, bt,
+                 with_i8=False):
     """Ring-DMA variant for frames whose whole skewed buffers exceed VMEM
     (1080p-class): HBM-resident arrays, a 4-column ring for the mutable
     planes (the step reads columns p..p-3) and a 2-column double buffer
@@ -514,7 +726,7 @@ def _kernel_ring(flags, y_in, c_in, r16_in, rb_in, cres_in, par_in,
                 c_ring[(p - 3) % 4],
                 r16_ring[s_ro], rb_ring[s_ro], cres_ring[s_ro],
                 par_ring[s_ro][:mb_h],
-                mb_w=mb_w, mb_h=mb_h, bt=bt,
+                mb_w=mb_w, mb_h=mb_h, bt=bt, with_i8=with_i8,
             )
             y_ring[s_cur] = ny
             c_ring[s_cur] = nc
@@ -596,12 +808,18 @@ def _interpret_default():
 
 def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
                        chroma_res, res8=None, interpret=None):
-    """Drop-in replacement for recon_skewed.intra_stage_skewed (when the
-    span has no intra-8x8 MBs — callers route on `res8 is None`)."""
+    """Drop-in replacement for recon_skewed.intra_stage_skewed.
+
+    High-profile intra 8x8 is handled in-kernel when
+    fr["transform8"] is not None; `res8` is accepted for signature parity
+    with the skewed stage but unused — recon_batched already overlays the
+    assembled 8x8 residual into `luma_res16` (pixel layout) wherever
+    transform8 is set, which is exactly what the kernel adds."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert res8 is None, "intra 8x8 uses the skewed XLA stage"
+    del res8
+    with_i8 = fr.get("transform8") is not None
     if interpret is None:
         interpret = _interpret_default()
     B = Y.shape[0]
@@ -681,10 +899,15 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     cres_p = pack_lanes(to_cols(cres), 8, 16)
 
     # ---- packed syntax
+    avail = fr["avail"]
+    if with_i8:
+        # bit 6: bits 0-3 are intra neighbor avail, 4/5 are the deblock
+        # same-slice flags (avail_bits, h264_decode.cpp:559-574)
+        avail = avail | (fr["transform8"].astype(avail.dtype) << 6)
     par = jnp.concatenate(
         [
             fr["mb_kind"].astype(jnp.uint8)[..., None],
-            fr["avail"].astype(jnp.uint8)[..., None],
+            avail.astype(jnp.uint8)[..., None],
             (fr["i16_mode"] + 1).astype(jnp.uint8)[..., None],
             (fr["chroma_mode"] + 1).astype(jnp.uint8)[..., None],
             (fr["i4_modes"] + 1).astype(jnp.uint8),
@@ -731,7 +954,7 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
     )
     if not use_ring:
         kern = functools.partial(_kernel, mb_w=mb_w, mb_h=mb_h,
-                                 n_steps=n_steps, bt=bt)
+                                 n_steps=n_steps, bt=bt, with_i8=with_i8)
 
         def blk(r, w):
             return pl.BlockSpec(
@@ -751,10 +974,10 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
         )(flags, y_p, c_p, r16_p, rb_p, cres_p, par_p)
     else:
         kern = functools.partial(_kernel_ring, mb_w=mb_w, mb_h=mb_h,
-                                 n_steps=n_steps, bt=bt)
+                                 n_steps=n_steps, bt=bt, with_i8=with_i8)
         mbh8 = (mb_h + 7) & ~7
         par_p = jnp.pad(par_p, ((0, 0), (0, 0), (0, mbh8 - mb_h), (0, 0)))
-        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
         y_o, c_o = pl.pallas_call(
             kern,
             in_specs=[flag_spec] + [anyspec] * 6,
