@@ -12,7 +12,7 @@ namespace hwh264 {
 class BitReader {
  public:
   BitReader(const uint8_t* data, size_t size)
-      : buf_(data), nbits_(size * 8), pos_(0), error_(false) {}
+      : buf_(data), nbits_(size * 8), nbytes_(size), pos_(0), error_(false) {}
 
   bool error() const { return error_; }
   size_t bits_left() const { return pos_ < nbits_ ? nbits_ - pos_ : 0; }
@@ -32,41 +32,20 @@ class BitReader {
 
   uint32_t u(int n) {
     if (n == 0) return 0;
-    if (pos_ + n > nbits_) {
+    if (pos_ + (size_t)n > nbits_) {
       error_ = true;
       pos_ = nbits_;
       return 0;
     }
-    uint32_t v = 0;
-    size_t p = pos_;
+    uint32_t v = peek(n);
     pos_ += n;
-    // byte-wise gather
-    while (n > 0) {
-      int byte = p >> 3;
-      int bit = p & 7;
-      int take = 8 - bit;
-      if (take > n) take = n;
-      uint32_t chunk = (buf_[byte] >> (8 - bit - take)) & ((1u << take) - 1);
-      v = (v << take) | chunk;
-      p += take;
-      n -= take;
-    }
     return v;
   }
 
-  // Peek up to 24 bits without consuming (zero-padded past the end).
+  // Peek up to 32 bits without consuming (zero-padded past the end).
   uint32_t peek(int n) {
-    uint32_t v = 0;
-    size_t p = pos_;
-    int got = 0;
-    while (got < n) {
-      uint32_t bit = 0;
-      if (p < nbits_) bit = (buf_[p >> 3] >> (7 - (p & 7))) & 1;
-      v = (v << 1) | bit;
-      p++;
-      got++;
-    }
-    return v;
+    if (n == 0) return 0;
+    return (uint32_t)(window() >> (64 - n));
   }
 
   void skip(int n) {
@@ -78,15 +57,31 @@ class BitReader {
   }
 
   uint32_t ue() {
-    int zeros = 0;
-    while (pos_ < nbits_ && u1() == 0) {
-      zeros++;
-      if (zeros > 31) {
-        error_ = true;
-        return 0;
-      }
+    if (pos_ >= nbits_) return 0;
+    uint32_t w = peek(32);
+    if (w == 0) {
+      // >= 32 leading zeros (or all-zero tail running past the end):
+      // the bit-serial reference errored in both cases
+      error_ = true;
+      pos_ = nbits_;
+      return 0;
     }
-    if (zeros == 0) return 0;
+    int zeros = __builtin_clz(w);
+    if (zeros == 0) {
+      pos_++;
+      return 0;
+    }
+    if (pos_ + 2 * (size_t)zeros + 1 > nbits_) {
+      error_ = true;
+      pos_ = nbits_;
+      return 0;
+    }
+    if (zeros <= 15) {  // whole code is inside the peeked 32 bits
+      uint32_t suffix = (w >> (31 - 2 * zeros)) & ((1u << zeros) - 1);
+      pos_ += 2 * (size_t)zeros + 1;
+      return (1u << zeros) - 1 + suffix;
+    }
+    pos_ += zeros + 1;
     return (1u << zeros) - 1 + u(zeros);
   }
 
@@ -121,8 +116,27 @@ class BitReader {
   }
 
  private:
+  // 64-bit big-endian window at the current bit position, MSB-aligned;
+  // >= 57 valid (zero-padded past the end) bits — enough for peek(32).
+  uint64_t window() const {
+    size_t byte = pos_ >> 3;
+    uint64_t w;
+    if (byte + 8 <= nbytes_) {
+      memcpy(&w, buf_ + byte, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      w = 0;
+      for (int i = 0; i < 8; i++) {
+        uint64_t b = (byte + i < nbytes_) ? buf_[byte + i] : 0;
+        w = (w << 8) | b;
+      }
+    }
+    return w << (pos_ & 7);
+  }
+
   const uint8_t* buf_;
   size_t nbits_;
+  size_t nbytes_;
   size_t pos_;
   bool error_;
 };

@@ -22,6 +22,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <map>
 #include <string>
 #include <vector>
@@ -40,6 +41,97 @@ namespace {
 // VLC decode helpers
 // ---------------------------------------------------------------------------
 
+// Two-level LUT over a prefix-free code (codes up to 16 bits): level 1
+// indexes the top 8 peeked bits; longer codes escape to a per-prefix
+// 256-entry level-2 block on the next 8 bits.  Entries are
+// (len << 11) | symbol (symbol < 2048, len 1..8 per level); 0 = invalid,
+// bit 15 = escape.  Built once at startup from the spec tables in
+// h264_cavlc_tables.h (which stay the single source of truth — the
+// linear-scan decoder matched the peeked prefix against those entries).
+struct VlcLut {
+  uint16_t l1[256] = {};
+  std::vector<std::array<uint16_t, 256>> l2;
+
+  void add(int len, uint32_t bits, int sym) {
+    if (len <= 8) {
+      uint32_t base = bits << (8 - len);
+      for (uint32_t i = 0; i < (1u << (8 - len)); i++)
+        l1[base + i] = (uint16_t)((len << 11) | sym);
+    } else {
+      uint32_t top = bits >> (len - 8);
+      int idx;
+      if (l1[top] & 0x8000) {
+        idx = l1[top] & 0x7FFF;
+      } else {
+        idx = (int)l2.size();
+        l2.emplace_back();
+        l2.back().fill(0);
+        l1[top] = (uint16_t)(0x8000 | idx);
+      }
+      int rlen = len - 8;  // <= 8: all CAVLC codes are <= 16 bits
+      uint32_t rbits = bits & ((1u << rlen) - 1);
+      uint32_t base = rbits << (8 - rlen);
+      for (uint32_t i = 0; i < (1u << (8 - rlen)); i++)
+        l2[idx][base + i] = (uint16_t)((rlen << 11) | sym);
+    }
+  }
+};
+
+inline int vlc_get(BitReader& br, const VlcLut& t) {
+  uint32_t p = br.peek(16);
+  uint16_t e = t.l1[p >> 8];
+  if (e & 0x8000) {
+    uint16_t e2 = t.l2[e & 0x7FFF][p & 0xFF];
+    if (e2 == 0) return -1;
+    br.skip(8 + (e2 >> 11));
+    return e2 & 0x7FF;
+  }
+  if (e == 0) return -1;
+  br.skip(e >> 11);
+  return e & 0x7FF;
+}
+
+struct CavlcLuts {
+  VlcLut token[3];   // coeff_token for nC classes [0,2) [2,4) [4,8)
+  VlcLut token_cdc;  // coeff_token, chroma DC (nC == -1)
+  VlcLut tz4[15];    // total_zeros, 4x4 (indexed total_coeff - 1)
+  VlcLut tzc[3];     // total_zeros, chroma DC
+  VlcLut run[7];     // run_before (indexed min(zeros_left,7) - 1)
+
+  CavlcLuts() {
+    const Vlc(*toks[3])[17] = {kCoeffToken0, kCoeffToken1, kCoeffToken2};
+    for (int k = 0; k < 3; k++)
+      for (int t1 = 0; t1 < 4; t1++)
+        for (int tc = 0; tc <= 16; tc++) {
+          Vlc v = toks[k][t1][tc];
+          if (v.len) token[k].add(v.len, v.bits, (tc << 2) | t1);
+        }
+    for (int t1 = 0; t1 < 4; t1++)
+      for (int tc = 0; tc <= 4; tc++) {
+        Vlc v = kCoeffTokenChromaDC[t1][tc];
+        if (v.len) token_cdc.add(v.len, v.bits, (tc << 2) | t1);
+      }
+    for (int r = 0; r < 15; r++)
+      for (int i = 0; i < 16; i++)
+        if (kTotalZeros4x4[r][i].len)
+          tz4[r].add(kTotalZeros4x4[r][i].len, kTotalZeros4x4[r][i].bits, i);
+    for (int r = 0; r < 3; r++)
+      for (int i = 0; i < 4; i++)
+        if (kTotalZerosChromaDC[r][i].len)
+          tzc[r].add(kTotalZerosChromaDC[r][i].len,
+                     kTotalZerosChromaDC[r][i].bits, i);
+    for (int r = 0; r < 7; r++)
+      for (int i = 0; i < 15; i++)
+        if (kRunBefore[r][i].len)
+          run[r].add(kRunBefore[r][i].len, kRunBefore[r][i].bits, i);
+  }
+};
+
+const CavlcLuts& cavlc_luts() {
+  static const CavlcLuts luts;  // thread-safe one-time build
+  return luts;
+}
+
 // Decode coeff_token: returns total_coeff<<2 | trailing_ones, or -1.
 int decode_coeff_token(BitReader& br, int nC) {
   if (nC >= 8) {
@@ -49,43 +141,10 @@ int decode_coeff_token(BitReader& br, int nC) {
     int t1 = v & 3;
     return (total << 2) | t1;
   }
-  const Vlc(*tab)[17] = nullptr;
-  int maxc = 16;
-  const Vlc(*ctab)[5] = nullptr;
-  if (nC < 0) {
-    ctab = kCoeffTokenChromaDC;
-    maxc = 4;
-  } else if (nC < 2) {
-    tab = kCoeffToken0;
-  } else if (nC < 4) {
-    tab = kCoeffToken1;
-  } else {
-    tab = kCoeffToken2;
-  }
-  uint32_t peek = br.peek(16);
-  for (int t1 = 0; t1 < 4; t1++) {
-    for (int tc = 0; tc <= maxc; tc++) {
-      Vlc v = ctab ? ctab[t1][tc] : tab[t1][tc];
-      if (v.len == 0) continue;
-      if ((peek >> (16 - v.len)) == v.bits) {
-        br.skip(v.len);
-        return (tc << 2) | t1;
-      }
-    }
-  }
-  return -1;
-}
-
-int decode_vlc_row(BitReader& br, const Vlc* row, int n) {
-  uint32_t peek = br.peek(16);
-  for (int i = 0; i < n; i++) {
-    if (row[i].len == 0) continue;
-    if ((peek >> (16 - row[i].len)) == row[i].bits) {
-      br.skip(row[i].len);
-      return i;
-    }
-  }
-  return -1;
+  const CavlcLuts& L = cavlc_luts();
+  const VlcLut& t =
+      nC < 0 ? L.token_cdc : L.token[nC < 2 ? 0 : (nC < 4 ? 1 : 2)];
+  return vlc_get(br, t);
 }
 
 // CAVLC residual block decode (spec 9.2).  Writes coefficients in the
@@ -101,42 +160,64 @@ int decode_residual_block(BitReader& br, int nC, int max_coeff,
   if (total_coeff > max_coeff) return -1;
 
   int level[16];
+  if (trailing_ones) {  // all T1 sign bits in one peek
+    uint32_t signs = br.peek(trailing_ones);
+    br.skip(trailing_ones);
+    for (int i = 0; i < trailing_ones; i++)
+      level[i] = (signs >> (trailing_ones - 1 - i)) & 1 ? -1 : 1;
+  }
   int suffix_length = (total_coeff > 10 && trailing_ones < 3) ? 1 : 0;
-  for (int i = 0; i < total_coeff; i++) {
-    if (i < trailing_ones) {
-      level[i] = br.u1() ? -1 : 1;
+  for (int i = trailing_ones; i < total_coeff; i++) {
+    // level_prefix: count of zero bits before the marker 1 (clz fast
+    // path; the bit-serial loop only for >31-zero / end-of-stream tails)
+    int prefix;
+    int suffix_size;
+    int suffix = 0;
+    uint32_t w = br.peek(32);
+    if (w != 0) {
+      prefix = __builtin_clz(w);
+      suffix_size = suffix_length;
+      if (prefix == 14 && suffix_length == 0) suffix_size = 4;
+      if (prefix >= 15) suffix_size = prefix - 3;
+      if (prefix + 1 + suffix_size <= 32) {  // suffix already in w
+        if (suffix_size > 0)
+          suffix = (w >> (31 - prefix - suffix_size)) &
+                   ((1u << suffix_size) - 1);
+        br.skip(prefix + 1 + suffix_size);
+      } else {
+        br.skip(prefix + 1);
+        suffix = br.u(suffix_size);
+      }
+      if (br.error()) return -1;
     } else {
-      // level_prefix
-      int prefix = 0;
+      prefix = 32;
+      br.skip(32);
       while (br.u1() == 0) {
         prefix++;
         if (prefix > 32 || br.error()) return -1;
       }
-      int suffix_size = suffix_length;
-      if (prefix == 14 && suffix_length == 0) suffix_size = 4;
+      if (prefix > 32 || br.error()) return -1;
+      suffix_size = suffix_length;
       if (prefix >= 15) suffix_size = prefix - 3;
-      int level_code = (prefix < 15 ? prefix : 15) << suffix_length;
-      if (suffix_size > 0) level_code += br.u(suffix_size);
-      if (prefix >= 15 && suffix_length == 0) level_code += 15;
-      if (prefix >= 16) level_code += (1 << (prefix - 3)) - 4096;
-      if (i == trailing_ones && trailing_ones < 3) level_code += 2;
-      level[i] = (level_code & 1) ? -((level_code + 1) >> 1)
-                                 : ((level_code + 2) >> 1);
-      if (suffix_length == 0) suffix_length = 1;
-      int abs_level = level[i] < 0 ? -level[i] : level[i];
-      if (abs_level > (3 << (suffix_length - 1)) && suffix_length < 6)
-        suffix_length++;
+      if (suffix_size > 0) suffix = br.u(suffix_size);
     }
+    int level_code = ((prefix < 15 ? prefix : 15) << suffix_length) + suffix;
+    if (prefix >= 15 && suffix_length == 0) level_code += 15;
+    if (prefix >= 16) level_code += (1 << (prefix - 3)) - 4096;
+    if (i == trailing_ones && trailing_ones < 3) level_code += 2;
+    level[i] = (level_code & 1) ? -((level_code + 1) >> 1)
+                                : ((level_code + 2) >> 1);
+    if (suffix_length == 0) suffix_length = 1;
+    int abs_level = level[i] < 0 ? -level[i] : level[i];
+    if (abs_level > (3 << (suffix_length - 1)) && suffix_length < 6)
+      suffix_length++;
   }
 
   int total_zeros = 0;
   if (total_coeff < max_coeff) {
-    if (nC < 0) {
-      total_zeros =
-          decode_vlc_row(br, kTotalZerosChromaDC[total_coeff - 1], 4);
-    } else {
-      total_zeros = decode_vlc_row(br, kTotalZeros4x4[total_coeff - 1], 16);
-    }
+    const CavlcLuts& L = cavlc_luts();
+    total_zeros = vlc_get(br, nC < 0 ? L.tzc[total_coeff - 1]
+                                     : L.tz4[total_coeff - 1]);
     if (total_zeros < 0 || br.error()) return -1;
   }
 
@@ -150,7 +231,7 @@ int decode_residual_block(BitReader& br, int nC, int max_coeff,
     int run;
     if (zeros_left > 0) {
       int zl = zeros_left > 7 ? 7 : zeros_left;
-      run = decode_vlc_row(br, kRunBefore[zl - 1], 15);
+      run = vlc_get(br, cavlc_luts().run[zl - 1]);
       if (run < 0 || br.error()) return -1;
     } else {
       run = 0;
