@@ -1,11 +1,11 @@
 // CABAC arithmetic decoding engine (H.264 spec 9.3.3.2) and context
 // model storage (9.3.1.1).
 //
-// Straight spec implementation: codIRange/codIOffset with bit-serial
-// renormalisation.  Throughput is irrelevant here next to table-driven
-// tricks' risk: the host entropy decode is already overlapped across
-// clips by the pipeline's thread pool, and correctness (bit-exactness
-// with libavcodec) is the contract.  Constants live in
+// Spec-faithful codIRange/codIOffset state machine; the stream feed is
+// window-based (one unaligned 64-bit big-endian load serves up to 32
+// bits) and renormalisation is a single clz-derived shift instead of the
+// spec's bit-serial loop — bit-for-bit the same consumption, verified by
+// the randomized codec soak against libavcodec.  Constants live in
 // h264_cabac_tables.h (generated; see native/tools/extract_cabac_tables.py).
 #pragma once
 
@@ -21,13 +21,13 @@ class Cabac {
   // `data`/`nbits` is the slice RBSP; `bitpos` must be byte-aligned
   // (cabac_alignment_one_bit already consumed by the caller).
   Cabac(const uint8_t* data, size_t nbits, size_t bitpos)
-      : buf_(data), nbits_(nbits), pos_(bitpos) {
+      : buf_(data), nbits_(nbits), nbytes_((nbits + 7) / 8), pos_(bitpos) {
     range_ = 510;
-    offset_ = 0;
-    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | bit();
+    offset_ = next_bits(9);
   }
 
-  bool error() const { return over_ > 64; }
+  // Reads past the end feed zeros; >64 overrun bits = corrupt stream.
+  bool error() const { return pos_ > nbits_ + 64; }
   size_t bitpos() const { return pos_; }
 
   // Context-coded bin (9.3.3.2.1 + 9.3.3.2.2).  `s` is the packed
@@ -54,7 +54,7 @@ class Cabac {
   }
 
   int bypass() {
-    offset_ = (offset_ << 1) | bit();
+    offset_ = (offset_ << 1) | next_bits(1);
     if (offset_ >= range_) {
       offset_ -= range_;
       return 1;
@@ -76,43 +76,46 @@ class Cabac {
   // bytes, and restarts decoding with a fresh engine init (9.3.1.2).
   void byte_align() { pos_ = (pos_ + 7) & ~(size_t)7; }
 
-  int raw_u8() {
-    int v = 0;
-    for (int i = 0; i < 8; i++) v = (v << 1) | (int)bit();
-    return v;
-  }
+  int raw_u8() { return (int)next_bits(8); }
 
   void reinit() {
     range_ = 510;
-    offset_ = 0;
-    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | bit();
+    offset_ = next_bits(9);
   }
 
  private:
-  uint32_t bit() {
-    if (pos_ >= nbits_) {
-      over_++;
-      pos_++;
-      return 0;
+  // Next n (1..32) stream bits, zero-padded past the end.
+  uint32_t next_bits(int n) {
+    size_t byte = pos_ >> 3;
+    uint64_t w;
+    if (byte + 8 <= nbytes_) {
+      memcpy(&w, buf_ + byte, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      w = 0;
+      for (int i = 0; i < 8; i++) {
+        uint64_t b = (byte + i < nbytes_) ? buf_[byte + i] : 0;
+        w = (w << 8) | b;
+      }
     }
-    uint32_t b = (buf_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
-    pos_++;
-    return b;
+    w <<= (pos_ & 7);
+    pos_ += n;
+    return (uint32_t)(w >> (64 - n));
   }
 
   void renorm() {
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | bit();
-    }
+    if (range_ >= 256) return;
+    int sh = __builtin_clz(range_) - 23;  // doublings until range >= 256
+    offset_ = (offset_ << sh) | next_bits(sh);
+    range_ <<= sh;
   }
 
   const uint8_t* buf_;
   size_t nbits_;
+  size_t nbytes_;
   size_t pos_;
   uint32_t range_ = 510;
   uint32_t offset_ = 0;
-  int over_ = 0;
 };
 
 // Context variable initialisation (9.3.1.1): state from (m,n) at SliceQPY.

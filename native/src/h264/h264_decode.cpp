@@ -515,6 +515,9 @@ struct Ctx {
   // current picture state
   std::vector<MbState> mbs;
   int mb_width = 0, mb_height = 0, n_mbs = 0;
+  // mb -> (x, y) lookup: nb_mb/mb_x/mb_y run per-bin-adjacent in the
+  // entropy hot loop; a table beats the div/mod pair there
+  std::vector<uint16_t> mbx_tab, mby_tab;
   int cur_slice_id = 0;
   int qp_prev = 26;
 
@@ -537,8 +540,8 @@ struct Ctx {
   bool trace = false;
 };
 
-inline int mb_x(const Ctx& c, int mb) { return mb % c.mb_width; }
-inline int mb_y(const Ctx& c, int mb) { return mb / c.mb_width; }
+inline int mb_x(const Ctx& c, int mb) { return c.mbx_tab[mb]; }
+inline int mb_y(const Ctx& c, int mb) { return c.mby_tab[mb]; }
 
 // Neighbor MB address or -1 (picture bounds + slice bounds).
 int nb_mb(const Ctx& c, int mb, int dx, int dy, bool same_slice = true) {
@@ -670,11 +673,10 @@ struct NbMv {
 // selects the L0 (default) or L1 motion field.
 NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4, int list = 0) {
   NbMv r;
-  int dmbx = 0, dmby = 0;
-  while (x4 < 0) { x4 += 4; dmbx--; }
-  while (x4 > 3) { x4 -= 4; dmbx++; }
-  while (y4 < 0) { y4 += 4; dmby--; }
-  while (y4 > 3) { y4 -= 4; dmby++; }
+  // callers stay within one MB of distance: x4/y4 in [-4, 7]
+  int dmbx = x4 >> 2, dmby = y4 >> 2;
+  x4 &= 3;
+  y4 &= 3;
   int n = (dmbx == 0 && dmby == 0) ? mb : nb_mb(c, mb, dmbx, dmby);
   if (n < 0) return r;
   const MbState& m = c.mbs[n];
@@ -2757,6 +2759,12 @@ bool parse_avcc(Ctx& c, const uint8_t* data, int len) {
     c.mb_width = c.sps.width_mbs();
     c.mb_height = c.sps.height_mbs();
     c.n_mbs = c.mb_width * c.mb_height;
+    c.mbx_tab.resize(c.n_mbs);
+    c.mby_tab.resize(c.n_mbs);
+    for (int i = 0; i < c.n_mbs; i++) {
+      c.mbx_tab[i] = (uint16_t)(i % c.mb_width);
+      c.mby_tab[i] = (uint16_t)(i / c.mb_width);
+    }
   }
   return !c.sps_map.empty();
 }
