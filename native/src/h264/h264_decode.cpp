@@ -3319,5 +3319,79 @@ HW_API int hw_h264_check_tables(void) {
           return -1;
       }
   }
+
+  // Every decode-time LUT must reproduce the spec tables' linear-scan
+  // match on every possible 16-bit prefix (symbol AND consumed length).
+  struct Code {
+    int len, sym;
+    uint32_t bits;
+  };
+  auto lut_equals_scan = [](const VlcLut& t, const std::vector<Code>& v) {
+    for (uint32_t p = 0; p < (1u << 16); p++) {
+      int scan_sym = -1, scan_len = 0;
+      for (const Code& cd : v)
+        if ((p >> (16 - cd.len)) == cd.bits) {
+          scan_sym = cd.sym;
+          scan_len = cd.len;
+          break;
+        }
+      int lut_sym = -1, lut_len = 0;
+      uint16_t e = t.l1[p >> 8];
+      if (e & 0x8000) {
+        uint16_t e2 = t.l2[e & 0x7FFF][p & 0xFF];
+        if (e2) {
+          lut_sym = e2 & 0x7FF;
+          lut_len = 8 + (e2 >> 11);
+        }
+      } else if (e) {
+        lut_sym = e & 0x7FF;
+        lut_len = e >> 11;
+      }
+      if (scan_sym != lut_sym || scan_len != lut_len) return false;
+    }
+    return true;
+  };
+  const CavlcLuts& L = cavlc_luts();
+  const Vlc(*toks[3])[17] = {kCoeffToken0, kCoeffToken1, kCoeffToken2};
+  for (int k = 0; k < 3; k++) {
+    std::vector<Code> v;
+    for (int to = 0; to < 4; to++)
+      for (int tc = 0; tc <= 16; tc++)
+        if (toks[k][to][tc].len)
+          v.push_back({toks[k][to][tc].len, (tc << 2) | to,
+                       toks[k][to][tc].bits});
+    if (!lut_equals_scan(L.token[k], v)) return -2;
+  }
+  {
+    std::vector<Code> v;
+    for (int to = 0; to < 4; to++)
+      for (int tc = 0; tc <= 4; tc++)
+        if (kCoeffTokenChromaDC[to][tc].len)
+          v.push_back({kCoeffTokenChromaDC[to][tc].len, (tc << 2) | to,
+                       kCoeffTokenChromaDC[to][tc].bits});
+    if (!lut_equals_scan(L.token_cdc, v)) return -3;
+  }
+  for (int r = 0; r < 15; r++) {
+    std::vector<Code> v;
+    for (int i = 0; i < 16; i++)
+      if (kTotalZeros4x4[r][i].len)
+        v.push_back({kTotalZeros4x4[r][i].len, i, kTotalZeros4x4[r][i].bits});
+    if (!lut_equals_scan(L.tz4[r], v)) return -4;
+  }
+  for (int r = 0; r < 3; r++) {
+    std::vector<Code> v;
+    for (int i = 0; i < 4; i++)
+      if (kTotalZerosChromaDC[r][i].len)
+        v.push_back({kTotalZerosChromaDC[r][i].len, i,
+                     kTotalZerosChromaDC[r][i].bits});
+    if (!lut_equals_scan(L.tzc[r], v)) return -5;
+  }
+  for (int r = 0; r < 7; r++) {
+    std::vector<Code> v;
+    for (int i = 0; i < 15; i++)
+      if (kRunBefore[r][i].len)
+        v.push_back({kRunBefore[r][i].len, i, kRunBefore[r][i].bits});
+    if (!lut_equals_scan(L.run[r], v)) return -6;
+  }
   return 0;
 }

@@ -177,3 +177,12 @@ def test_weighted_prediction_bit_exact(tmp_path):
                            idx.sample_sizes)
         assert t.weight_flag.any(), "fixture did not trigger pred weights"
         assert_exact(p)
+
+
+def test_vlc_tables_self_check():
+    """Native table self-check: spec-table prefix-freeness AND the
+    decode-time two-level VLC LUTs reproducing the linear-scan match
+    (symbol + consumed length) on every 16-bit prefix."""
+    lib = get_lib()
+    lib.hw_h264_check_tables.restype = ctypes.c_int
+    assert lib.hw_h264_check_tables() == 0
