@@ -1,11 +1,23 @@
 // CABAC arithmetic decoding engine (H.264 spec 9.3.3.2) and context
 // model storage (9.3.1.1).
 //
-// Spec-faithful codIRange/codIOffset state machine; the stream feed is
-// window-based (one unaligned 64-bit big-endian load serves up to 32
-// bits) and renormalisation is a single clz-derived shift instead of the
-// spec's bit-serial loop — bit-for-bit the same consumption, verified by
-// the randomized codec soak against libavcodec.  Constants live in
+// Scaled-state design: instead of the spec's 9-bit codIRange/codIOffset
+// pair renormalised bit-by-bit, the engine keeps both values pre-shifted
+// left by `k_` buffered lookahead bits:
+//
+//   range_sc_ = codIRange  << k_
+//   off_      = codIOffset << k_  |  (next k_ stream bits)
+//
+// Renormalisation then never moves data at all: consuming `sh` stream
+// bits into codIOffset is the identity on `off_` (the bits are already
+// in place) and only re-declares the split point, so renorm collapses to
+// `k_ = bitlen(range_sc_) - 9` — branchless, since codIRange is always
+// exactly 9 bits after renorm.  A bypass bin is ~4 ops (shift, compare,
+// conditional subtract).  The stream is touched only when the buffer
+// runs low: one unaligned 64-bit big-endian load appends 32 bits per
+// ~32 decoded bins, vs one load per bin for a windowed feed.
+// Bit-for-bit the same consumption as the spec loop, verified by the
+// randomized codec soak against libavcodec.  Constants live in
 // h264_cabac_tables.h (generated; see native/tools/extract_cabac_tables.py).
 #pragma once
 
@@ -22,41 +34,48 @@ class Cabac {
   // (cabac_alignment_one_bit already consumed by the caller).
   Cabac(const uint8_t* data, size_t nbits, size_t bitpos)
       : buf_(data), nbits_(nbits), nbytes_((nbits + 7) / 8), pos_(bitpos) {
-    range_ = 510;
-    offset_ = next_bits(9);
+    reinit();
   }
 
   // Reads past the end feed zeros; >64 overrun bits = corrupt stream.
-  bool error() const { return pos_ > nbits_ + 64; }
-  size_t bitpos() const { return pos_; }
+  // (pos_ - k_ is the logical consumed-bit cursor; pos_ runs ahead by
+  // the k_ buffered lookahead bits.)
+  bool error() const { return pos_ - k_ > nbits_ + 64; }
+  size_t bitpos() const { return pos_ - k_; }
 
   // Context-coded bin (9.3.3.2.1 + 9.3.3.2.2).  `s` is the packed
   // context state: (pStateIdx << 1) | valMPS.
   int decode(uint8_t* s) {
+    if (k_ < 8) refill();
     int state = *s >> 1;
     int mps = *s & 1;
-    uint32_t rlps = kRangeTabLPS[state][(range_ >> 6) & 3];
-    range_ -= rlps;
+    uint32_t rlps = kRangeTabLPS[state][(uint32_t)(range_sc_ >> (k_ + 6)) & 3];
+    uint64_t rlps_sc = (uint64_t)rlps << k_;
+    range_sc_ -= rlps_sc;
     int bin;
-    if (offset_ >= range_) {
+    if (off_ >= range_sc_) {
       bin = mps ^ 1;
-      offset_ -= range_;
-      range_ = rlps;
+      off_ -= range_sc_;
+      range_sc_ = rlps_sc;
       if (state == 0) mps ^= 1;
       state = kTransIdxLPS[state];
     } else {
       bin = mps;
-      if (state < 62) state++;
+      state += (state < 62);
     }
     *s = (uint8_t)((state << 1) | mps);
-    renorm();
+    // renorm: codIRange is 9 bits ⇒ k_ = bitlen(range_sc_) - 9 (no-op
+    // when no renorm is due).
+    k_ = 55 - __builtin_clzll(range_sc_);
     return bin;
   }
 
   int bypass() {
-    offset_ = (offset_ << 1) | next_bits(1);
-    if (offset_ >= range_) {
-      offset_ -= range_;
+    if (k_ < 8) refill();
+    k_ -= 1;
+    range_sc_ >>= 1;
+    if (off_ >= range_sc_) {
+      off_ -= range_sc_;
       return 1;
     }
     return 0;
@@ -64,23 +83,31 @@ class Cabac {
 
   // end_of_slice_flag / I_PCM escape (9.3.3.2.4).
   int terminate() {
-    range_ -= 2;
-    if (offset_ >= range_) return 1;
-    renorm();
+    if (k_ < 8) refill();
+    range_sc_ -= (uint64_t)2 << k_;
+    if (off_ >= range_sc_) return 1;
+    k_ = 55 - __builtin_clzll(range_sc_);
     return 0;
   }
 
-  // I_PCM support: after terminate() == 1 for an I_PCM escape, the bit
-  // cursor (incl. the 9-bit preload) sits exactly at the encoder's
-  // post-flush position; the caller byte-aligns, reads the raw sample
-  // bytes, and restarts decoding with a fresh engine init (9.3.1.2).
-  void byte_align() { pos_ = (pos_ + 7) & ~(size_t)7; }
+  // I_PCM support: after terminate() == 1 for an I_PCM escape, the
+  // logical bit cursor sits exactly at the encoder's post-flush
+  // position; the caller byte-aligns (dropping the lookahead), reads
+  // the raw sample bytes, and restarts decoding with a fresh engine
+  // init (9.3.1.2).
+  void byte_align() {
+    pos_ -= k_;
+    k_ = 0;
+    pos_ = (pos_ + 7) & ~(size_t)7;
+  }
 
   int raw_u8() { return (int)next_bits(8); }
 
   void reinit() {
-    range_ = 510;
-    offset_ = next_bits(9);
+    pos_ -= k_;
+    k_ = 0;
+    range_sc_ = 510;
+    off_ = next_bits(9);
   }
 
  private:
@@ -103,19 +130,19 @@ class Cabac {
     return (uint32_t)(w >> (64 - n));
   }
 
-  void renorm() {
-    if (range_ >= 256) return;
-    int sh = __builtin_clz(range_) - 23;  // doublings until range >= 256
-    offset_ = (offset_ << sh) | next_bits(sh);
-    range_ <<= sh;
+  void refill() {
+    off_ = (off_ << 32) | next_bits(32);
+    range_sc_ <<= 32;
+    k_ += 32;
   }
 
   const uint8_t* buf_;
   size_t nbits_;
   size_t nbytes_;
   size_t pos_;
-  uint32_t range_ = 510;
-  uint32_t offset_ = 0;
+  uint64_t range_sc_ = 510;  // codIRange << k_
+  uint64_t off_ = 0;         // codIOffset << k_ | buffered stream bits
+  int k_ = 0;                // buffered lookahead bits
 };
 
 // Context variable initialisation (9.3.1.1): state from (m,n) at SliceQPY.
