@@ -491,6 +491,15 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     slices to int32 — keeping full-GOP int32 copies around blows HBM at
     large batch x frame shapes.  `ipcm` stays None when no clip has I_PCM
     macroblocks (the overwhelmingly common case).
+
+    At-rest shapes are FLAT: every tensor with per-MB structure is stored
+    as [B, F, M*K] (and small per-frame tables as [B, F, K]) so the
+    trailing dim is lane-sized.  Structured [.., M, 16, ..] at-rest
+    layouts tile to T(8,128) with 16 of 128 lanes used — a ~10x physical
+    HBM blowup ([.., 2] trailing dims: 64x) that both OOMs 1080p-class
+    chunks and multiplies the scan's HBM read traffic.  The frame scan
+    reshapes its per-frame slices back to structured views (transient,
+    fused into consumers).
     """
     B, F, M, _ = p.u8.shape
     u = p.u8.astype(jnp.int16)
@@ -507,25 +516,30 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     dense = dense.at[cpos].set(p.coeff_val.astype(jnp.int16))
     if p.coeff_big_pos is not None:
         dense = dense.at[p.coeff_big_pos].set(p.coeff_big_val)
-    coeff = dense[:-1].reshape(B, F, M, _COEFF_BLOCKS, 16)
+    coeff_all = dense[:-1].reshape(B, F, M * _COEFF_BLOCKS * 16)
 
     # intra-4x4 modes: one 16-byte row per I4x4 MB (zeros elsewhere,
     # matching the host SoA default)
     i4p = decode_delta_positions(p.i4_pos, B * F * M)
     i4dense = jnp.zeros((B * F * M + 1, 16), jnp.int16)
     i4dense = i4dense.at[i4p].set(p.i4_val.astype(jnp.int16))
-    i4_modes = i4dense[:-1].reshape(B, F, M, 16)
+    i4_modes = i4dense[:-1].reshape(B, F, M * 16)
 
-    # rebuild per-4x4 MVs: broadcast base, scatter exceptions
+    # rebuild per-4x4 MVs: broadcast base, scatter exceptions.  The
+    # scatter target is a FLAT interleaved [x0 y0 x1 y1 ..] vector (an
+    # [N, 2] target would tile 2 lanes of 128); exception positions are
+    # doubled into component positions, so the scatter stays on the fast
+    # per-row path.
     def mv_unpack(mbase, epos, eval_):
+        N = B * F * M * 16
         flat = jnp.broadcast_to(
             mbase[:, :, :, None, :], (B, F, M, 16, 2)
-        ).reshape(B * F * M * 16, 2)
-        flat = jnp.concatenate([flat, jnp.zeros((1, 2), jnp.int16)])
-        flat = flat.at[decode_delta_positions(epos, B * F * M * 16)].set(
-            eval_
-        )
-        return flat[:-1].reshape(B, F, M, 16, 2)
+        ).reshape(N * 2)
+        flat = jnp.concatenate([flat, jnp.zeros(2, jnp.int16)])
+        pos = decode_delta_positions(epos, N)  # sentinel N -> slots 2N,2N+1
+        pos2 = jnp.stack([pos * 2, pos * 2 + 1], axis=-1).reshape(-1)
+        flat = flat.at[pos2].set(eval_.reshape(-1))
+        return flat[:-2].reshape(B, F, M * 32)
 
     mv16 = mv_unpack(p.mv_base, p.mv_exc_pos, p.mv_exc_val)
     mv16_l1 = (
@@ -550,16 +564,17 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         i16_mode=fields["i16_mode"],
         chroma_mode=fields["chroma_mode"],
         mv=mv16,
-        refidx=fields["refidx"],
-        luma_dc=coeff[:, :, :, 24],
-        luma_ac=coeff[:, :, :, :16],
-        chroma_dc=coeff[:, :, :, 25, :8].reshape(B, F, M, 2, 4),
-        chroma_ac=coeff[:, :, :, 16:24].reshape(B, F, M, 2, 4, 16),
-        nnz=nnz24,
+        refidx=fields["refidx"].reshape(B, F, M * 4),
+        luma_dc=None,
+        luma_ac=None,
+        chroma_dc=None,
+        chroma_ac=None,
+        coeff_all=coeff_all,
+        nnz=nnz24.reshape(B, F, M * 24),
         ring_slot=hdr[..., 34],
         **(
             {
-                "weights_l1": p.weights_l1,
+                "weights_l1": p.weights_l1.reshape(B, F, 128),
                 "bi_explicit": hdr[..., 35],
             }
             if p.weights_l1 is not None
@@ -569,9 +584,10 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         alpha_off=fields["alpha_off"],
         beta_off=fields["beta_off"],
         avail=fields["avail"],
-        ipcm=p.ipcm,
+        ipcm=p.ipcm.reshape(B, F, M * 384) if p.ipcm is not None else None,
         n_valid_frames=jnp.zeros((B,), jnp.int32),
-        weights=p.weights,
+        weights=p.weights.reshape(B, F, 128) if p.weights is not None
+        else None,
         **(
             {"transform8": p.transform8.astype(jnp.int16)}
             if p.transform8 is not None
@@ -588,10 +604,11 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         **(
             {
                 "mv_l1": mv16_l1,
-                "refidx_l1": p.refidx_l1.astype(jnp.int16),
+                "refidx_l1":
+                    p.refidx_l1.astype(jnp.int16).reshape(B, F, M * 4),
                 "ref_map_l1": hdr[..., 17:33],
                 "is_ref": hdr[..., 33],
-                "bi_w": p.bi_w,
+                "bi_w": p.bi_w.reshape(B, F, 512),
             }
             if p.mv1_base is not None
             else {}

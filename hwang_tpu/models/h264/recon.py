@@ -171,6 +171,13 @@ class GopArrays(NamedTuple):
     # tables and the per-frame flag selecting the eq 8-272 bi combine
     weights_l1: jnp.ndarray | None = None  # [F, 16, 8]
     bi_explicit: jnp.ndarray | None = None  # [F] 1 = explicit bi combine
+    # Combined coefficient space [.., M*26*16] int16 (packed-transport
+    # path): when set, luma_ac/luma_dc/chroma_ac/chroma_dc above are None
+    # and per-frame views are sliced out of this inside the frame scan.
+    # Rationale: separate [.., M, 26, 16]-shaped at-rest tensors tile to
+    # T(8,128) on TPU — 16 lanes used of 128 — a ~10x physical HBM
+    # blowup; one flat [.., M*416] tensor stores ~1:1.
+    coeff_all: jnp.ndarray | None = None
 
     @staticmethod
     def from_tensors(t, pad_frames: int | None = None) -> "GopArrays":

@@ -47,7 +47,7 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         if f not in ("n_valid_frames", "weights", "mv_l1", "refidx_l1",
                      "ref_map_l1", "is_ref", "bi_w", "transform8",
                      "scaling_w4", "scaling_w8", "ring_slot",
-                     "weights_l1", "bi_explicit")
+                     "weights_l1", "bi_explicit", "coeff_all")
     ]
     for name in names:
         arrs = []
@@ -57,7 +57,10 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
             if pad_frames != F:
                 a = np.pad(a, [(0, pad_frames - F)] + [(0, 0)] * (a.ndim - 1))
             arrs.append(a.astype(np.int32))
-        fields[name] = jnp.asarray(np.stack(arrs))
+        s = np.stack(arrs)
+        if s.ndim > 3:  # flat at-rest contract (see packed.unpack)
+            s = s.reshape(s.shape[0], s.shape[1], -1)
+        fields[name] = jnp.asarray(s)
     fields["n_valid_frames"] = jnp.asarray(
         np.array([t.n_frames for t in tensors], np.int32)
     )
@@ -75,7 +78,8 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
         ).copy().astype(np.int32)
         for b, t in enumerate(tensors):
             w[b, : t.n_frames] = weights_or_identity(t)
-        fields["weights"] = jnp.asarray(w)
+        fields["weights"] = jnp.asarray(w.reshape(len(tensors), pad_frames,
+                                                  128))
     else:
         fields["weights"] = None
     if any(getattr(t, "scaling_w4", None) is not None for t in tensors):
@@ -104,7 +108,10 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
             a = np.full((len(tensors), pad_frames) + shape_tail, fill, dtype)
             for b, t in enumerate(tensors):
                 a[b, : t.n_frames] = get(t)
-            return jnp.asarray(a.astype(np.int32))
+            a = a.astype(np.int32)
+            if a.ndim > 3:  # flat at-rest contract (see packed.unpack)
+                a = a.reshape(a.shape[0], a.shape[1], -1)
+            return jnp.asarray(a)
 
         from .recon import explicit_b_frames, weights_l1_or_identity
 
@@ -118,12 +125,14 @@ def stack_tensors(tensors, pad_frames: int) -> GopArrays:
             for b, t in enumerate(tensors):
                 w1[b, : t.n_frames] = weights_l1_or_identity(t)
                 be[b, : t.n_frames] = explicit_b_frames(t)
-            fields["weights_l1"] = jnp.asarray(w1)
+            fields["weights_l1"] = jnp.asarray(
+                w1.reshape(len(tensors), pad_frames, 128))
             fields["bi_explicit"] = jnp.asarray(be)
+        M = tensors[0].n_mbs
         fields["mv_l1"] = pad_stack(lambda t: t.mv_l1, 0, (
-            tensors[0].n_mbs, 16, 2), np.int32)
+            M, 16, 2), np.int32)
         fields["refidx_l1"] = pad_stack(lambda t: t.refidx_l1, -1, (
-            tensors[0].n_mbs, 4), np.int32)
+            M, 4), np.int32)
         fields["ref_map_l1"] = pad_stack(lambda t: t.ref_map_l1, -1, (16,),
                                          np.int32)
         fields["is_ref"] = pad_stack(lambda t: t.frame_is_ref, 1, (),
@@ -667,31 +676,43 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
 
     def frame_step(carry, f):
         ring_y, ring_u, ring_v, ring_ids = carry
-        i32 = lambda a: a[:, f].astype(jnp.int32)
+
+        # per-frame structured views: at-rest tensors are FLAT [B, F, X]
+        # (lane-friendly tiling, see packed.unpack); the slice + reshape
+        # back to the structured shape is per-frame transient work that
+        # fuses into the consumers.
+        def fv(a, *tail):
+            x = a[:, f]
+            if tail:
+                x = x.reshape((B,) + tail)
+            return x.astype(jnp.int32)
+
         fr = {
-            "mb_kind": i32(g.mb_kind),
-            "qp": i32(g.qp),
-            "i4_modes": i32(g.i4_modes),
-            "i16_mode": i32(g.i16_mode),
-            "chroma_mode": i32(g.chroma_mode),
-            "mv": i32(g.mv),
-            "refidx": i32(g.refidx),
-            "ref_map": i32(g.ref_map),
-            "ipcm": i32(g.ipcm) if g.ipcm is not None else None,
-            "avail": i32(g.avail),
-            "weights": i32(g.weights) if g.weights is not None else None,
+            "mb_kind": fv(g.mb_kind),
+            "qp": fv(g.qp),
+            "i4_modes": fv(g.i4_modes, M, 16),
+            "i16_mode": fv(g.i16_mode),
+            "chroma_mode": fv(g.chroma_mode),
+            "mv": fv(g.mv, M, 16, 2),
+            "refidx": fv(g.refidx, M, 4),
+            "ref_map": fv(g.ref_map),
+            "ipcm": fv(g.ipcm, M, 384) if g.ipcm is not None else None,
+            "avail": fv(g.avail),
+            "weights": fv(g.weights, 16, 8) if g.weights is not None
+            else None,
             "weights_l1":
-                i32(g.weights_l1) if g.weights_l1 is not None else None,
+                fv(g.weights_l1, 16, 8) if g.weights_l1 is not None else None,
             "bi_explicit":
                 g.bi_explicit[:, f].astype(jnp.int32)
                 if g.bi_explicit is not None else None,
             "transform8":
-                i32(g.transform8) if g.transform8 is not None else None,
-            "mv_l1": i32(g.mv_l1) if g.mv_l1 is not None else None,
-            "refidx_l1": i32(g.refidx_l1) if g.refidx_l1 is not None else None,
+                fv(g.transform8) if g.transform8 is not None else None,
+            "mv_l1": fv(g.mv_l1, M, 16, 2) if g.mv_l1 is not None else None,
+            "refidx_l1":
+                fv(g.refidx_l1, M, 4) if g.refidx_l1 is not None else None,
             "ref_map_l1":
-                i32(g.ref_map_l1) if g.ref_map_l1 is not None else None,
-            "bi_w": i32(g.bi_w) if g.bi_w is not None else None,
+                fv(g.ref_map_l1) if g.ref_map_l1 is not None else None,
+            "bi_w": fv(g.bi_w, 16, 16, 2) if g.bi_w is not None else None,
         }
         qp = fr["qp"]
         qpc = chroma_qp_from_luma(qp, chroma_qp_offset)
@@ -702,18 +723,32 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         w8 = g.scaling_w8.astype(jnp.int32) if g.scaling_w8 is not None \
             else None
 
+        if g.coeff_all is not None:
+            # combined coefficient space: [M, 26, 16] = 16 luma AC, 8
+            # chroma AC, luma DC (24), chroma DC (25, 2x4 in :8)
+            cf = g.coeff_all[:, f].astype(jnp.int32).reshape(B, M, 26, 16)
+            luma_ac_f = cf[:, :, :16]
+            luma_dc_f = cf[:, :, 24]
+            chroma_ac_f = cf[:, :, 16:24].reshape(B, M, 2, 4, 16)
+            chroma_dc_f = cf[:, :, 25, :8].reshape(B, M, 2, 4)
+        else:
+            luma_ac_f = fv(g.luma_ac, M, 16, 16)
+            luma_dc_f = fv(g.luma_dc, M, 16)
+            chroma_ac_f = fv(g.chroma_ac, M, 2, 4, 16)
+            chroma_dc_f = fv(g.chroma_dc, M, 2, 4)
+
         luma_res16, luma_blocks = luma_residual_b(
-            i32(g.luma_ac), i32(g.luma_dc), qp, is_i16, intra=intra, w4=w4
+            luma_ac_f, luma_dc_f, qp, is_i16, intra=intra, w4=w4
         )
         res8 = None
         if g.transform8 is not None:
             from ...ops.transforms_batched import luma_residual8_b
 
-            res8_asm, res8 = luma_residual8_b(i32(g.luma_ac), qp,
+            res8_asm, res8 = luma_residual8_b(luma_ac_f, qp,
                                               intra=intra, w8=w8)
             t8m = fr["transform8"].astype(bool)[..., None, None]
             luma_res16 = jnp.where(t8m, res8_asm, luma_res16)
-        chroma_res = chroma_residual_b(i32(g.chroma_ac), i32(g.chroma_dc),
+        chroma_res = chroma_residual_b(chroma_ac_f, chroma_dc_f,
                                        qpc, intra=intra, w4=w4)
 
         import os as _os
@@ -768,11 +803,11 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         meta = {
             "qp": qp,
             "kind": fr["mb_kind"],
-            "idc": i32(g.deblock_idc),
-            "a_off": i32(g.alpha_off),
-            "b_off": i32(g.beta_off),
+            "idc": fv(g.deblock_idc),
+            "a_off": fv(g.alpha_off),
+            "b_off": fv(g.beta_off),
             "avail": fr["avail"],
-            "nnz": i32(g.nnz),
+            "nnz": fv(g.nnz, M, 24),
             "mv": fr["mv"],
             "ref": resolve(fr["refidx"], fr["ref_map"]),
             "mv1": fr["mv_l1"],

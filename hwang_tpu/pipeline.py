@@ -215,7 +215,16 @@ class ClipBatchDecoder:
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         ramp = os.environ.get("HWANG_CHUNK_RAMP", "1") == "1"
         for (fpad, cqo), idxs in buckets.items():
-            max_b = max(1, min(64, int(0.75e9 // (fpad * M * 26 * 16 * 2))))
+            # Physical-HBM chunk cap.  Per (clip, frame): coeff_all int16
+            # [M*416] (~1.23x tiling pad) + mv/nnz/i4/u8 side tensors +
+            # YUV output ~= 1700 B/MB; per clip: the (R+1)-slot paired-word
+            # reference ring ~= 49 kB/MB-col + per-step transients.
+            # Rounded DOWN to a power of two so the pow2 batch padding
+            # below can never exceed the cap (at 1080p the old cap of 3
+            # padded up to 4 and the padding itself OOMed the chip).
+            max_b = max(1, min(64, int(
+                6e9 // (M * (fpad * 1700 + 66000)))))
+            max_b = 1 << (max_b.bit_length() - 1)
             n_chunks = -(-len(idxs) // max_b)
             per = -(-len(idxs) // n_chunks)
             bpad = 1 << (per - 1).bit_length()
