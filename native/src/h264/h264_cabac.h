@@ -44,8 +44,10 @@ class Cabac {
   size_t bitpos() const { return pos_ - k_; }
 
   // Context-coded bin (9.3.3.2.1 + 9.3.3.2.2).  `s` is the packed
-  // context state: (pStateIdx << 1) | valMPS.
-  int decode(uint8_t* s) {
+  // context state: (pStateIdx << 1) | valMPS.  always_inline: the call
+  // overhead is comparable to the bin decode itself in the residual
+  // loops, and -O3 alone leaves several hot sites out-of-line.
+  __attribute__((always_inline)) inline int decode(uint8_t* s) {
     if (k_ < 8) refill();
     int state = *s >> 1;
     int mps = *s & 1;
@@ -70,7 +72,7 @@ class Cabac {
     return bin;
   }
 
-  int bypass() {
+  __attribute__((always_inline)) inline int bypass() {
     if (k_ < 8) refill();
     k_ -= 1;
     range_sc_ >>= 1;

@@ -544,7 +544,9 @@ inline int mb_x(const Ctx& c, int mb) { return c.mbx_tab[mb]; }
 inline int mb_y(const Ctx& c, int mb) { return c.mby_tab[mb]; }
 
 // Neighbor MB address or -1 (picture bounds + slice bounds).
-int nb_mb(const Ctx& c, int mb, int dx, int dy, bool same_slice = true) {
+__attribute__((always_inline)) inline int nb_mb(const Ctx& c, int mb, int dx,
+                                                int dy,
+                                                bool same_slice = true) {
   int x = mb_x(c, mb) + dx;
   int y = mb_y(c, mb) + dy;
   if (x < 0 || x >= c.mb_width || y < 0 || y >= c.mb_height) return -1;
@@ -671,7 +673,9 @@ struct NbMv {
 // Fetch the MV/ref of the 4x4 block at (x4,y4) in units of 4x4 blocks from
 // MB-grid origin of `mb`; dx4,dy4 may reach into neighbor MBs.  `list`
 // selects the L0 (default) or L1 motion field.
-NbMv fetch_mv(const Ctx& c, int mb, int x4, int y4, int list = 0) {
+__attribute__((always_inline)) inline NbMv fetch_mv(const Ctx& c, int mb,
+                                                    int x4, int y4,
+                                                    int list = 0) {
   NbMv r;
   // callers stay within one MB of distance: x4/y4 in [-4, 7]
   int dmbx = x4 >> 2, dmby = y4 >> 2;

@@ -58,6 +58,9 @@ HW_API int hw_h264_pack_clip(
   for (int f = 0; f < n_frames; f++) {
     for (int mb = 0; mb < n_mbs; mb++) {
       const size_t fm = (size_t)f * n_mbs + mb;
+      const uint8_t* nnz = t->nnz + fm * 24;
+      uint32_t nnz_bits = 0;
+      for (int k = 0; k < 24; k++) nnz_bits |= (uint32_t)(nnz[k] > 0) << k;
       if (!count_only) {
         uint8_t* d = u8 + fm * U8_STRIDE;
         d[0] = t->mb_kind[fm];
@@ -70,12 +73,9 @@ HW_API int hw_h264_pack_clip(
         d[7] = (uint8_t)(t->beta_off[fm] + 128);
         const int8_t* ri = t->refidx + fm * 4;
         for (int k = 0; k < 4; k++) d[8 + k] = (uint8_t)(ri[k] + 1);
-        const uint8_t* nnz = t->nnz + fm * 24;
-        uint32_t bits = 0;
-        for (int k = 0; k < 24; k++) bits |= (uint32_t)(nnz[k] > 0) << k;
-        d[12] = bits & 0xFF;
-        d[13] = (bits >> 8) & 0xFF;
-        d[14] = bits >> 16;
+        d[12] = nnz_bits & 0xFF;
+        d[13] = (nnz_bits >> 8) & 0xFF;
+        d[14] = nnz_bits >> 16;
       }
 
       if (t->mb_kind[fm] == 2 /* MB_I4x4 */) {
@@ -129,24 +129,49 @@ HW_API int hw_h264_pack_clip(
         }
       }
 
-      // sparse coefficients into the unified [26, 16] per-MB lane space
+      // sparse coefficients into the unified [26, 16] per-MB lane space.
+      // The AC sweeps are nnz-guided: a block whose decoded total_coeff
+      // is 0 has an all-zero SoA slice by construction, so ~5x less
+      // memory is scanned on typical inter content (the DC groups are
+      // 24 lanes total and stay unconditional — I16 DC energy is not in
+      // nnz).
       const int64_t mb_off = cbase + ((int64_t)f * n_mbs + mb) * MB_STRIDE;
       const int16_t* la = t->luma_ac + fm * 256;
       const int16_t* ca = t->chroma_ac + fm * 128;
       const int16_t* ld = t->luma_dc + fm * 16;
       const int16_t* cd = t->chroma_dc + fm * 8;
-      const struct { const int16_t* a; int n; int o; } groups[4] = {
-          {la, 256, 0}, {ca, 128, 256}, {ld, 16, 384}, {cd, 8, 400}};
-      for (const auto& g : groups) {
-        for (int k = 0; k < g.n; k++) {
-          if (g.a[k] != 0) {
+      auto sweep16 = [&](const int16_t* a, int o) {
+        for (int k = 0; k < 16; k++) {
+          if (a[k] != 0) {
             if (!count_only) {
-              if (nc >= ccap) return -1;
-              cpos[nc] = mb_off + g.o + k;
-              cval[nc] = g.a[k];
+              if (nc >= ccap) return false;
+              cpos[nc] = mb_off + o + k;
+              cval[nc] = a[k];
             }
             nc++;
           }
+        }
+        return true;
+      };
+      if (nnz_bits & 0xFFFF) {
+        for (int b = 0; b < 16; b++)
+          if ((nnz_bits >> b) & 1)
+            if (!sweep16(la + b * 16, b * 16)) return -1;
+      }
+      if (nnz_bits >> 16) {
+        for (int b = 0; b < 8; b++)
+          if ((nnz_bits >> (16 + b)) & 1)
+            if (!sweep16(ca + b * 16, 256 + b * 16)) return -1;
+      }
+      if (!sweep16(ld, 384)) return -1;
+      for (int k = 0; k < 8; k++) {
+        if (cd[k] != 0) {
+          if (!count_only) {
+            if (nc >= ccap) return -1;
+            cpos[nc] = mb_off + 400 + k;
+            cval[nc] = cd[k];
+          }
+          nc++;
         }
       }
     }

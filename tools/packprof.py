@@ -34,12 +34,22 @@ def main():
     from hwang_tpu.utils.fixtures import fixture
 
     n_clips = int(os.environ.get("PP_CLIPS", 16))
-    paths = [
-        fixture(f"bench_640x368_f64_g16_baseline_{i}", 64, 640, 368,
-                profile="baseline", gop_size=16, crf=23, seed=i)
-        for i in range(n_clips)
-    ]
-    rows = list(range(16))  # first GOP dense
+    if os.environ.get("PP_1080") == "1":
+        # config2 shape: 31-frame 1080p CABAC spans (PP_CLIPS of them,
+        # cycled from the single bench fixture's GOPs)
+        extra = ("keyint=60:min-keyint=60:no-scenecut=1:ref=2"
+                 ":subme=2:me=hex:trellis=0:rc-lookahead=10")
+        paths = [fixture("bench_1920x1088_f720_g60_main_0", 720, 1920, 1088,
+                         profile="main", gop_size=60, crf=26, seed=0,
+                         b_frames=0, extra_opts=extra)] * n_clips
+        rows = list(range(31))
+    else:
+        paths = [
+            fixture(f"bench_640x368_f64_g16_baseline_{i}", 64, 640, 368,
+                    profile="baseline", gop_size=16, crf=23, seed=i)
+            for i in range(n_clips)
+        ]
+        rows = list(range(16))  # first GOP dense
 
     work = []
     for p in paths:
@@ -47,6 +57,7 @@ def main():
             idx = index_video(f)
             ivs = slice_into_video_intervals(idx, rows)
             s, e = ivs.sample_index_intervals[0]
+            e = min(e, s + len(rows))  # trim to the request (as pipeline)
             f.seek(idx.sample_offsets[s])
             nbytes = (idx.sample_offsets[e - 1] + idx.sample_sizes[e - 1]
                       - idx.sample_offsets[s])
@@ -66,7 +77,7 @@ def main():
     print(f"entropy: {t_ent*1e3:.0f} ms for {nf} frames "
           f"({t_ent/nf*1e3:.2f} ms/frame)")
 
-    fpad = 16
+    fpad = 32 if os.environ.get("PP_1080") == "1" else 16
     for _ in range(3):
         t0 = time.time()
         batch = pack_gop_batch(tensors, fpad, to_device=False)
