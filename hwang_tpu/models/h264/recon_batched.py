@@ -773,11 +773,13 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         if _ablate not in ("inter", "nomc"):
             from ...ops import intra_pallas as _inp
 
+            # pallas on TPU at every size: fits_vmem picks the in-VMEM
+            # block kernel, larger frames take the ring-DMA variant
+            # (intra_pallas auto) — 1080p on the skewed XLA path was the
+            # dominant 1080p stage cost
             use_ip = _os.environ.get(
                 "HWANG_INTRA",
-                "pallas" if (_inp._is_tpu_backend()
-                             and _inp.fits_vmem(mb_w, mb_h))
-                else "skewed",
+                "pallas" if _inp._is_tpu_backend() else "skewed",
             )
             if use_ip == "pallas":
                 # i8x8 spans compile the kernel's with_i8 branch; the 8x8

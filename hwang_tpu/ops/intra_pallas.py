@@ -52,7 +52,11 @@ from ..models.h264.skew import (
 from ..models.h264.recon import _BTR_STATIC, _DEC_ORDER
 
 _LEAD = 3
-PW = 20  # packed per-MB syntax width: kind, avail, i16+1, cmode+1, i4[16]+1
+# packed per-MB syntax width: kind, avail, i16+1, cmode+1, i4[16]+1 (20
+# used bytes) + 12 pad bytes so PW*bt is 128-lane-aligned for the
+# ring-DMA variant at every bt multiple of 8 (20*bt only aligns at
+# bt=32, which silently restricted the ring kernel to 32-clip batches)
+PW = 32
 
 
 def _shift_down(x):
@@ -911,6 +915,7 @@ def intra_stage_pallas(Y, U, V, fr, mb_w, mb_h, luma_blocks, luma_res16,
             (fr["i16_mode"] + 1).astype(jnp.uint8)[..., None],
             (fr["chroma_mode"] + 1).astype(jnp.uint8)[..., None],
             (fr["i4_modes"] + 1).astype(jnp.uint8),
+            jnp.zeros((B, M, PW - 20), jnp.uint8),  # lane-align pad
         ],
         axis=-1,
     ).reshape(B, mb_h, mb_w, PW)

@@ -80,9 +80,48 @@ def main():
         return (s[i] & jnp.uint64(1)).astype(jnp.uint32).sum() + \
                (s[i + 1] & jnp.uint64(1)).astype(jnp.uint32).sum()
 
+    # wider single-gather rows: if rows/s stays flat past 8 B, the MC
+    # gathers should fetch wider windows and serve 8/16 px per row
+    h32x4 = rng.integers(0, 2**32, (n_src, 4), np.uint32)
+    src32x4 = jnp.asarray(h32x4)
+    src32x8 = jnp.asarray(
+        rng.integers(0, 2**32, (n_src // 2, 8), np.uint32))
+    idx_half = jnp.asarray(rng.integers(0, n_src // 2 - 2, n_rows, np.int32))
+
+    @jax.jit
+    def g32x4(s, i):
+        r = s[i]
+        return sum(r[:, k].sum() for k in range(4))
+
+    @jax.jit
+    def g32x8(s, i):
+        r = s[i]
+        return sum(r[:, k].sum() for k in range(8))
+
+    src32x16 = jnp.asarray(
+        rng.integers(0, 2**32, (n_src // 4, 16), np.uint32))
+    src32x32 = jnp.asarray(
+        rng.integers(0, 2**32, (n_src // 8, 32), np.uint32))
+    idx_q = jnp.asarray(rng.integers(0, n_src // 4 - 2, n_rows, np.int32))
+    idx_o = jnp.asarray(rng.integers(0, n_src // 8 - 2, n_rows, np.int32))
+
+    @jax.jit
+    def g32x16(s, i):
+        r = s[i]
+        return sum(r[:, k].sum() for k in range(16))
+
+    @jax.jit
+    def g32x32(s, i):
+        r = s[i]
+        return sum(r[:, k].sum() for k in range(32))
+
     timeit("u8 flat", g8, src8, idx, rows=n_rows)
     timeit("u32 flat", g32, src32, idx, rows=n_rows)
     timeit("u32x2 rows", g32x2, src32x2, idx, rows=n_rows)
+    timeit("u32x4 rows (16B)", g32x4, src32x4, idx, rows=n_rows)
+    timeit("u32x8 rows (32B)", g32x8, src32x8, idx_half, rows=n_rows)
+    timeit("u32x16 rows (64B)", g32x16, src32x16, idx_q, rows=n_rows)
+    timeit("u32x32 rows (128B)", g32x32, src32x32, idx_o, rows=n_rows)
     timeit("u64 flat", g64, src64, idx, rows=n_rows)
     timeit("u64x2 (16B window)", g64x2, src64, idx, rows=n_rows)
 

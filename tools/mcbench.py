@@ -45,8 +45,10 @@ def timeit(name, fn, *args, iters=4):
 
 
 def main():
-    B, F, R = 32, 16, 4
-    W, H = 640, 368
+    B, F, R = (int(os.environ.get("SB_B", 32)),
+               int(os.environ.get("SB_F", 16)), 4)
+    W = int(os.environ.get("SB_W", 640))
+    H = int(os.environ.get("SB_H", 368))
     m = 8
     Hp, Wp = H + 2 * m, W + 2 * m
     Ww = Wp // 4
@@ -119,7 +121,28 @@ def main():
         _, o = jax.lax.scan(step, 0, (cmvx, cmvy, cslot))
         return o.sum()
 
+    @jax.jit
+    def gather_barrier(ring, mvx, mvy, slot):
+        rows = ring.reshape(-1, 2)
+
+        def step(c, xs_):
+            mx, my, sl = xs_
+            ys = jnp.clip(
+                jnp.arange(H)[None, :, None] + (my >> 2) + m, 0, Hp - 1)
+            xs = jnp.clip(
+                jnp.arange(W // 4)[None, None, :] * 4 + (mx >> 2) + m,
+                0, Wp - 4)
+            frac = (my & 3) * 4 + (mx & 3)
+            boff = (jnp.arange(B) * R)[:, None, None]
+            wi = (((boff + sl) * 16 + frac) * Hp + ys) * Ww + (xs >> 2)
+            wi = jax.lax.optimization_barrier(wi)
+            got = rows[wi]
+            return c, got[..., 0].sum() + got[..., 1].sum()
+        _, o = jax.lax.scan(step, 0, (mvx, mvy, slot))
+        return o.sum()
+
     timeit("luma gather-only", gather_only, ring, mvx, mvy, slot)
+    timeit("luma gather (idx barrier)", gather_barrier, ring, mvx, mvy, slot)
     timeit("luma +funnel", with_funnel, ring, mvx, mvy, slot)
     timeit("luma full", full, ring, mvx, mvy, slot)
     timeit("chroma full", cfull, cring, cmvx, cmvy, cslot)

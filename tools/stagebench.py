@@ -174,6 +174,67 @@ def main():
     timeit("MC gathers (paired)", mc, ring, cring, mvx, mvy, slot_g,
            cmvx, cmvy, cslot, scale=scale)
 
+    # --- intra wavefront (Pallas kernel, per-frame loop like the scan) --
+    from hwang_tpu.ops import deblock_pallas as ops_dbp
+    from hwang_tpu.ops import intra_pallas as ops_inp
+    from hwang_tpu.ops.transforms_batched import chroma_qp_from_luma
+
+    kind = jnp.asarray(
+        np.where(rng.random((F, B, M)) < 0.2, 2, 0).astype(np.int32))
+    avail = jnp.asarray(np.full((F, B, M), 0x3F, np.int32))
+    i4m = jnp.asarray(rng.integers(0, 9, (F, B, M, 16), np.int32))
+    i16m = jnp.asarray(rng.integers(0, 4, (F, B, M), np.int32))
+    cm = jnp.asarray(rng.integers(0, 4, (F, B, M), np.int32))
+    lres = jnp.asarray(rng.integers(-20, 20, (B, M, 16, 16), np.int32))
+    lblk = jnp.asarray(rng.integers(-20, 20, (B, M, 16, 16), np.int32))
+    cres = jnp.asarray(rng.integers(-20, 20, (B, M, 2, 8, 8), np.int32))
+
+    @jax.jit
+    def intra_k(Y, U, V, kind, avail, i4m, i16m, cm, lres, lblk, cres):
+        def step(c, xs):
+            y, u, v, k, av, i4, i16, cmode = xs
+            fr = {"mb_kind": k, "avail": av, "i4_modes": i4,
+                  "i16_mode": i16, "chroma_mode": cmode}
+            yo, uo, vo = ops_inp.intra_stage_pallas(
+                y.astype(jnp.int32), u.astype(jnp.int32),
+                v.astype(jnp.int32), fr, mb_w, mb_h, lblk, lres, cres)
+            return c, (yo.astype(jnp.uint32).sum()
+                       + uo.astype(jnp.uint32).sum()
+                       + vo.astype(jnp.uint32).sum())
+        _, s = jax.lax.scan(step, 0, (Y, U, V, kind, avail, i4m, i16m, cm))
+        return s.sum()
+
+    timeit("intra wavefront (pallas)", intra_k, Y, U, V, kind, avail,
+           i4m, i16m, cm, lres, lblk, cres, scale=scale)
+
+    # --- deblock (Pallas kernel, per-frame loop) ------------------------
+    qpf = jnp.asarray(rng.integers(20, 36, (F, B, M), np.int32))
+    nnz24 = jnp.asarray(
+        (rng.random((F, B, M, 24)) < 0.3).astype(np.int32))
+    mv16 = jnp.asarray(rng.integers(-64, 64, (F, B, M, 16, 2), np.int32))
+    ref4 = jnp.asarray(rng.integers(0, 3, (F, B, M, 4), np.int32))
+
+    @jax.jit
+    def deblock_k(Y, U, V, qpf, kind, avail, nnz24, mv16, ref4):
+        def step(c, xs):
+            y, u, v, q, k, av, nz, mv, rf = xs
+            meta = {"qp": q, "kind": k, "idc": jnp.zeros_like(q),
+                    "a_off": jnp.zeros_like(q), "b_off": jnp.zeros_like(q),
+                    "avail": av, "nnz": nz, "mv": mv, "ref": rf,
+                    "mv1": None, "ref1": None}
+            yo, uo, vo = ops_dbp.deblock_stage_pallas(
+                y.astype(jnp.int32), u.astype(jnp.int32),
+                v.astype(jnp.int32), meta, mb_w, mb_h, 0)
+            return c, (yo.astype(jnp.uint32).sum()
+                       + uo.astype(jnp.uint32).sum()
+                       + vo.astype(jnp.uint32).sum())
+        _, s = jax.lax.scan(
+            step, 0, (Y, U, V, qpf, kind, avail, nnz24, mv16, ref4))
+        return s.sum()
+
+    timeit("deblock (pallas)", deblock_k, Y, U, V, qpf, kind, avail,
+           nnz24, mv16, ref4, scale=scale)
+
     # --- epilogue: YUV420 -> RGB -> 224px resize ------------------------
     N = B * F
     Yf = jnp.asarray(rng.integers(0, 255, (N, H, W)).astype(np.uint8))
