@@ -28,6 +28,23 @@
 
 namespace hwh264 {
 
+// Fused context-transition table over the packed state sv =
+// (pStateIdx << 1) | valMPS: entry (sv << 1 | is_lps) is the next packed
+// state (9.3.3.2.1.1 — MPS: pStateIdx += (pStateIdx < 62); LPS:
+// pStateIdx = TransIdxLPS, valMPS flips at pStateIdx 0).
+struct NextStateTab {
+  uint8_t t[256];
+  NextStateTab() {
+    for (int sv = 0; sv < 128; sv++) {
+      int st = sv >> 1, mp = sv & 1;
+      t[(sv << 1) | 0] = (uint8_t)(((st + (st < 62)) << 1) | mp);
+      int mpl = (st == 0) ? (mp ^ 1) : mp;
+      t[(sv << 1) | 1] = (uint8_t)((kTransIdxLPS[st] << 1) | mpl);
+    }
+  }
+};
+inline const NextStateTab kNextStateTab{};
+
 class Cabac {
  public:
   // `data`/`nbits` is the slice RBSP; `bitpos` must be byte-aligned
@@ -47,40 +64,91 @@ class Cabac {
   // context state: (pStateIdx << 1) | valMPS.  always_inline: the call
   // overhead is comparable to the bin decode itself in the residual
   // loops, and -O3 alone leaves several hot sites out-of-line.
+  // Branchless MPS/LPS select (cmov): residual-loop contexts run
+  // 60/40-ish, where a data-dependent branch mispredicts enough to cost
+  // more than three selects; next-state is one fused table (kNextState).
   __attribute__((always_inline)) inline int decode(uint8_t* s) {
     if (k_ < 8) refill();
-    int state = *s >> 1;
-    int mps = *s & 1;
-    uint32_t rlps = kRangeTabLPS[state][(uint32_t)(range_sc_ >> (k_ + 6)) & 3];
+    uint32_t sv = *s;
+    uint32_t rlps =
+        kRangeTabLPS[sv >> 1][(uint32_t)(range_sc_ >> (k_ + 6)) & 3];
     uint64_t rlps_sc = (uint64_t)rlps << k_;
-    range_sc_ -= rlps_sc;
-    int bin;
-    if (off_ >= range_sc_) {
-      bin = mps ^ 1;
-      off_ -= range_sc_;
-      range_sc_ = rlps_sc;
-      if (state == 0) mps ^= 1;
-      state = kTransIdxLPS[state];
-    } else {
-      bin = mps;
-      state += (state < 62);
-    }
-    *s = (uint8_t)((state << 1) | mps);
+    uint64_t mps_sc = range_sc_ - rlps_sc;
+    int is_lps = off_ >= mps_sc;
+    off_ -= is_lps ? mps_sc : 0;
+    range_sc_ = is_lps ? rlps_sc : mps_sc;
+    *s = kNextStateTab.t[(sv << 1) | is_lps];
     // renorm: codIRange is 9 bits ⇒ k_ = bitlen(range_sc_) - 9 (no-op
     // when no renorm is due).
     k_ = 55 - __builtin_clzll(range_sc_);
-    return bin;
+    return (int)((sv ^ is_lps) & 1);
   }
 
+  // Branchless: bypass bins are fair coins (signs, EG suffix bits), so a
+  // data-dependent branch here mispredicts ~50% of the time.
   __attribute__((always_inline)) inline int bypass() {
     if (k_ < 8) refill();
     k_ -= 1;
     range_sc_ >>= 1;
-    if (off_ >= range_sc_) {
-      off_ -= range_sc_;
-      return 1;
+    uint64_t ge = -(uint64_t)(off_ >= range_sc_);
+    off_ -= range_sc_ & ge;
+    return (int)(ge & 1);
+  }
+
+  // ---- multi-bin bypass (peek / consume) ----------------------------------
+  //
+  // Bypass bins never touch the context state and halve codIRange each,
+  // so with the scaled-state representation the next n bypass bins are
+  // exactly the base-2 digits of  off_ / (range_sc_ >> n)  whenever the
+  // low n bits of range_sc_ are zero (k_ >= n guarantees it: range_sc_ =
+  // codIRange << k_).  One 64-bit division therefore decodes a whole
+  // Exp-Golomb suffix + sign in place of a branchy bin-by-bin loop.
+  // Consumption is deferred: peek, inspect, then consume exactly t bins.
+  // Bit-exact vs the sequential loop by construction (same splits).
+
+  // Raise the buffered lookahead to >= n bits (n <= 45; off_ then holds
+  // 9 + 45 = 54 significant bits, within uint64).
+  __attribute__((always_inline)) inline void ensure(int n) {
+    while (k_ < n) {
+      int add = 45 - k_;
+      if (add > 32) add = 32;
+      off_ = (off_ << add) | next_bits(add);
+      range_sc_ <<= add;
+      k_ += add;
     }
-    return 0;
+  }
+
+  // Next n bypass bins as an integer, consuming nothing.  Requires
+  // k_ >= n (call ensure(n) first).  q < 2^n since off_ < range_sc_.
+  __attribute__((always_inline)) inline uint32_t peek_bypass(int n) {
+    return (uint32_t)(off_ / (range_sc_ >> n));
+  }
+
+  // Consume the first t of the n bins previously peeked as q.
+  __attribute__((always_inline)) inline void consume_bypass(int n, int t,
+                                                            uint32_t q) {
+    range_sc_ >>= t;
+    k_ -= t;
+    off_ -= (uint64_t)(q >> (n - t)) * range_sc_;
+  }
+
+  // Exp-Golomb order-k suffix + sign in one division: prefix of l ones, a
+  // zero, k + l suffix bits, then the sign bin — 2*l + k + 2 bins total.
+  // Returns the non-negative magnitude contribution ((2^l - 1) << k) +
+  // suffix and sets *neg; returns -1 when the prefix is too long for one
+  // peek window (caller falls back to the bin loop — nothing consumed).
+  __attribute__((always_inline)) inline int eg_suffix_sign(int k, int* neg) {
+    ensure(30);
+    uint32_t q = peek_bypass(30);
+    // leading-ones count of the 30-bin window
+    int l = __builtin_clz(~(q << 2) | 3u);
+    if (2 * l + k + 2 > 30) return -1;
+    int t = 2 * l + k + 2;
+    uint32_t bits = q >> (30 - t);
+    consume_bypass(30, t, q);
+    uint32_t suffix = (bits >> 1) & ((1u << (k + l)) - 1);
+    *neg = (int)(bits & 1);
+    return (int)((((1u << l) - 1) << k) + suffix);
   }
 
   // end_of_slice_flag / I_PCM escape (9.3.3.2.4).

@@ -1695,29 +1695,36 @@ int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
   int gt1_cap = cat == 3 ? 3 : 4;  // chroma DC has 9 abs contexts
   for (int j = n - 1; j >= 0; j--) {
     int m1 = 0;
+    int neg = -1;
     int inc0 = num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
     if (cb.decode(&absc[inc0])) {
       m1 = 1;
       int incn = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
       while (m1 < 14 && cb.decode(&absc[incn])) m1++;
-      if (m1 == 14) {  // EG0 suffix, bypass-coded
-        int k = 0;
-        while (cb.bypass()) {
-          m1 += 1 << k;
-          k++;
-          if (k > 24) {
-            c.err = "coeff EG0 overflow";
-            return -1;
+      if (m1 == 14) {  // EG0 suffix + sign, one bypass division
+        int add = cb.eg_suffix_sign(0, &neg);
+        if (add >= 0) {
+          m1 += add;
+        } else {  // prefix too long for one peek window
+          int k = 0;
+          while (cb.bypass()) {
+            m1 += 1 << k;
+            k++;
+            if (k > 24) {
+              c.err = "coeff EG0 overflow";
+              return -1;
+            }
           }
+          while (k--) m1 += cb.bypass() << k;
         }
-        while (k--) m1 += cb.bypass() << k;
       }
       num_gt1++;
     } else {
       num_eq1++;
     }
     int level = m1 + 1;
-    if (cb.bypass()) level = -level;
+    if (neg < 0) neg = cb.bypass();
+    if (neg) level = -level;
     coeff[pos[j]] = (int16_t)level;
   }
   return n;
@@ -1745,29 +1752,36 @@ int cabac_residual8x8(Ctx& c, Cabac& cb, CabacContexts& cx, int16_t* r8) {
   int num_eq1 = 0, num_gt1 = 0;
   for (int j = n - 1; j >= 0; j--) {
     int m1 = 0;
+    int neg = -1;
     int inc0 = num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
     if (cb.decode(&absc[inc0])) {
       m1 = 1;
       int incn = 5 + (num_gt1 < 4 ? num_gt1 : 4);
       while (m1 < 14 && cb.decode(&absc[incn])) m1++;
-      if (m1 == 14) {
-        int k = 0;
-        while (cb.bypass()) {
-          m1 += 1 << k;
-          k++;
-          if (k > 24) {
-            c.err = "coeff EG0 overflow (8x8)";
-            return -1;
+      if (m1 == 14) {  // EG0 suffix + sign, one bypass division
+        int add = cb.eg_suffix_sign(0, &neg);
+        if (add >= 0) {
+          m1 += add;
+        } else {
+          int k = 0;
+          while (cb.bypass()) {
+            m1 += 1 << k;
+            k++;
+            if (k > 24) {
+              c.err = "coeff EG0 overflow (8x8)";
+              return -1;
+            }
           }
+          while (k--) m1 += cb.bypass() << k;
         }
-        while (k--) m1 += cb.bypass() << k;
       }
       num_gt1++;
     } else {
       num_eq1++;
     }
     int level = m1 + 1;
-    if (cb.bypass()) level = -level;
+    if (neg < 0) neg = cb.bypass();
+    if (neg) level = -level;
     s8[pos[j]] = (int16_t)level;
   }
   memset(r8, 0, 64 * sizeof(int16_t));
@@ -1785,7 +1799,10 @@ int cabac_mvd(Ctx& c, Cabac& cb, CabacContexts& cx, int ctx_base, int amvd) {
     if (ctx < 6) ctx++;
     m++;
   }
-  if (m == 9) {  // EG3 suffix
+  if (m == 9) {  // EG3 suffix + sign, one bypass division
+    int neg;
+    int add = cb.eg_suffix_sign(3, &neg);
+    if (add >= 0) return neg ? -(m + add) : m + add;
     int k = 3;
     while (cb.bypass()) {
       m += 1 << k;
