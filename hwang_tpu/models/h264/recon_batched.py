@@ -166,6 +166,20 @@ def _repvh(a, nv, nh):
     return jnp.repeat(out, nh, axis=-1) if nh > 1 else out
 
 
+def _mc_mode() -> str:
+    """MC gather formulation (HWANG_MC): pixel | wide | wide2 | yquad.
+
+    Default wide2 (paired-word flat ring).  yquad's 32-byte rows halve
+    the gather count (1.6x the gather stage, tools/mcab.py) but its ring
+    relayout — a stride-4 row zip XLA lowers as a slow lane-crossing
+    transpose — currently costs more than the gather win at every
+    measured size; it stays selectable for hardware where the tradeoff
+    flips."""
+    import os
+
+    return os.environ.get("HWANG_MC", "wide2")
+
+
 def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
     B, M = fr["mb_kind"].shape
     H, W = mb_h * 16, mb_w * 16
@@ -185,8 +199,27 @@ def _inter_stage_b(fr, ring, mb_w, mb_h, luma_res, chroma_res):
         slot_blk = _assemble_b(slot8.reshape(B, M, 2, 2), mb_w, mb_h, 2)
         import os as _os
 
-        mc_mode = _os.environ.get("HWANG_MC", "wide2")
-        if mc_mode == "wide2":
+        mc_mode = _mc_mode()
+        if mc_mode == "yquad":
+            # y-quad flat ring: one gathered 32-byte row holds 4
+            # consecutive plane rows' paired words, so a 4x4 luma block
+            # is TWO gathered rows and a 2x2 chroma block two — half the
+            # paired variant's rows again at the same ring bytes
+            # (tools/gatherbench.py: 32B rows gather at ~0.93x the 8B
+            # row rate), bit-identical to the per-pixel formulation
+            m = _MARGIN
+            R = ring_ids.shape[1]
+            Hp, Wp = mb_h * 16 + 2 * m, mb_w * 16 + 2 * m
+            Hcp, Wcp = mb_h * 8 + 2 * m, mb_w * 8 + 2 * m
+            py = ops_mc.luma_mc_gather16_yquad_flat(
+                planes_y, (B, R + 1, Hp, Wp // 4),
+                _repvh(slot_blk, 2, 2), mvx_blk, mvy_blk,
+            )
+            puv = ops_mc.chroma_mc_gather_pair_yquad_flat(
+                ring_u, (B, R + 1, Hcp, (Wcp * 2) // 4),
+                _repvh(slot_blk, 2, 2), mvx_blk, mvy_blk,
+            )
+        elif mc_mode == "wide2":
             # paired-word flat ring: one gathered 8-byte row per 4 luma
             # px / 2 per 2-px chroma group, ring kept FLAT in the scan
             # carry (structured carries pay a per-step relayout before
@@ -653,12 +686,22 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
 
     import os as _os
 
-    mc_mode = _os.environ.get("HWANG_MC", "wide2")
+    mc_mode = _mc_mode()
     Hp, Wp = H + 2 * m, W + 2 * m
     Hcp, Wcp = Hc + 2 * m, Wc + 2 * m
     s_y = 16 * Hp * (Wp // 4)   # paired-word rows per (clip, slot)
     s_c = Hcp * (Wcp // 2)
-    if mc_mode == "wide2":
+    s_yq = 16 * (Hp // 4) * (Wp // 4)   # y-quad rows per (clip, slot)
+    s_cq = (Hcp // 4) * ((Wcp * 2) // 4)
+    if mc_mode == "yquad":
+        # y-quad ring: 32-byte gather rows, each holding 4 consecutive
+        # plane rows' paired words (pure layout permutation of the
+        # paired ring — same bytes, half the gather rows per MC block;
+        # see ops/mc.py y-quad variants).  Flat in the scan carry, one
+        # write-off slot per clip, same as the paired layout below.
+        ring_y0 = jnp.zeros((B * (R + 1) * s_yq, 8), jnp.uint32)
+        ring_u0 = jnp.zeros((B * (R + 1) * s_cq, 8), jnp.uint32)
+    elif mc_mode == "wide2":
         # paired-word ring: 8-byte gather windows precomputed (see
         # ops/mc.py paired variants) — a quarter of the per-pixel MC
         # gather rows at 2x ring memory.  The ring lives FLAT in the
@@ -845,7 +888,17 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
         slot = g.ring_slot[:, f]                   # [B] host-assigned
         isr = slot >= 0
         pos = jnp.where(isr, slot, 0) % R
-        if mc_mode == "wide2":
+        if mc_mode == "yquad":
+            qw = ops_mc.yquad_words(planes.reshape(B, 16 * Hp, Wp))
+            cq = ops_mc.yquad_words(cplanes.reshape(B, Hcp, Wcp * 2))
+            pos_eff = jnp.where(isr, pos, R).astype(jnp.int32)
+            for b in range(B):
+                off = b * (R + 1) + pos_eff[b]
+                ring_y = jax.lax.dynamic_update_slice(
+                    ring_y, qw[b], (off * s_yq, 0))
+                ring_u = jax.lax.dynamic_update_slice(
+                    ring_u, cq[b], (off * s_cq, 0))
+        elif mc_mode == "wide2":
             pw = ops_mc.pair_words(
                 planes.reshape(B, 16 * Hp, Wp)).reshape(B, s_y, 2)
             cw = ops_mc.pair_words(

@@ -630,6 +630,169 @@ def chroma_mc_gather_pair_paired_flat(rows, dims, ref_slot_g, mvx_g, mvy_g):
     return jnp.stack(outs, axis=1)
 
 
+# -- y-quad rings: rows/s on XLA:TPU gathers stays ~flat up to 32-byte
+# rows (tools/gatherbench.py: 139M rows/s at 8B vs 129M at 32B), so the
+# ring groups FOUR consecutive plane rows' paired words into one 32-byte
+# gather row ([Hp/4, Ww, 4, 2] u32 — a pure layout permutation of the
+# paired ring, same bytes).  A 4x4 luma block (constant mv/slot/frac by
+# H.264 partition granularity) then needs TWO gathered rows (its 4
+# source rows span at most 2 y-quads) instead of four; a 2x2 chroma
+# block's 3 bilinear rows likewise 2 instead of 4.  In-register row
+# selection is a 3-deep where-chain over ys & 3 — pure VPU.
+
+
+def yquad_words(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, NR, Wp] (NR % 4 == 0, Wp % 4 == 0) -> [B, (NR/4)*Ww, 8]
+    uint32: row (yb, xw) holds the paired words (w, w+1) of source rows
+    4*yb .. 4*yb+3 at word xw — one 32-byte window per gather row.
+
+    The optimization barrier keeps the transpose OUT of the producer
+    fusion: fused into the subpel-plane computation it forces XLA to
+    materialize the untransposed pairs anyway and re-read them (+160
+    ms/step at 1080p, tools/yqprep.py); standalone the relayout costs
+    ~10 ms/step over pair_words."""
+    import jax
+
+    planes = jax.lax.optimization_barrier(planes)
+    B, NR, Wp = planes.shape
+    pw = pair_words(planes)                    # [B, NR, Ww, 2]
+    Ww = Wp // 4
+    return (
+        pw.reshape(B, NR // 4, 4, Ww, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, (NR // 4) * Ww, 8)
+    )
+
+
+def _sel_row(g0, g1, j0, t):
+    """Row words t = (ys & 3) + r from the two fetched y-quads
+    g0/g1 [..., 4, 2]: g0 row j0+r while j0+r < 4, else g1 row j0+r-4.
+    `t` is the per-block row offset r; selection is a 3-deep where-chain
+    over j0 (0..3)."""
+    def pick(j):
+        return g0[..., j, :] if j < 4 else g1[..., j - 4, :]
+
+    out = pick(3 + t)
+    for j in (2, 1, 0):
+        out = jnp.where((j0 == j)[..., None], pick(j + t), out)
+    return out
+
+
+def luma_mc_gather16_yquad_flat(rows, dims, ref_slot_b, mvx_b, mvy_b):
+    """Y-quad variant of :func:`luma_mc_gather16_paired_flat`.
+
+    rows: [B*Rs*16*(Hp/4)*Ww, 8] uint32 (`yquad_words` of the subpel
+    planes); dims = (B, Rs, Hp, Ww).  Maps are per 4x4 BLOCK:
+    [B, H/4, W/4].  Two gathered 32-byte rows per 16 output pixels —
+    half the paired variant's rows — bit-identical output.
+
+    Base-clamp exactness: ys is clamped to [0, Hp-4] (vs per-row clamps
+    in the per-pixel path), which only changes WHICH padded row is read
+    when the true row is >= Hp-1 or < 0; every row that deep in the
+    8-row edge-replicated margin holds identical values (all beyond the
+    6-tap filter reach), so the fetched bytes are equal."""
+    B, Rs, Hp, Ww = dims
+    Hb = Hp // 4
+    Wp = Ww * 4
+    _, hb, wb = mvx_b.shape
+    m = _MARGIN
+    ys = jnp.clip(
+        jnp.arange(hb)[None, :, None] * 4 + (mvy_b >> 2) + m, 0, Hp - 4
+    )
+    xs = jnp.clip(
+        jnp.arange(wb)[None, None, :] * 4 + (mvx_b >> 2) + m, 0, Wp - 4
+    )
+    frac = (mvy_b & 3) * 4 + (mvx_b & 3)
+    boff = (jnp.arange(B) * Rs)[:, None, None]
+    yb0 = ys >> 2
+    j0 = ys & 3
+    base = ((boff + ref_slot_b) * 16 + frac) * Hb
+    wx = xs >> 2
+    g0 = _gflat(rows, (base + yb0) * Ww + wx).reshape(
+        B, hb, wb, 4, 2
+    )
+    g1 = _gflat(rows, (base + jnp.minimum(yb0 + 1, Hb - 1)) * Ww + wx
+                ).reshape(B, hb, wb, 4, 2)
+    s = ((xs & 3) * 8).astype(jnp.uint32)
+    out_rows = []
+    for r in range(4):
+        w = _sel_row(g0, g1, j0, r)
+        w0, w1 = w[..., 0], w[..., 1]
+        comb = jnp.where(
+            s == 0, w0, (w0 >> s) | (w1 << (jnp.uint32(32) - s))
+        )
+        bytes4 = [
+            ((comb >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
+                jnp.int32)
+            for j in range(4)
+        ]
+        out_rows.append(jnp.stack(bytes4, axis=-1))   # [B, hb, wb, 4]
+    out = jnp.stack(out_rows, axis=3)                  # [B, hb, wb, 4r, 4c]
+    return out.transpose(0, 1, 3, 2, 4).reshape(B, hb * 4, wb * 4)
+
+
+def chroma_mc_gather_pair_yquad_flat(rows, dims, ref_slot_b, mvx_b, mvy_b):
+    """Y-quad variant of :func:`chroma_mc_gather_pair_paired_flat`.
+
+    rows: [B*Rs*(Hcp/4)*Ww, 8] uint32 (`yquad_words` of the interleaved
+    (U, V) chroma bytes); dims = (B, Rs, Hcp, Ww).  Maps are per 2x2
+    chroma block: [B, Hc/2, Wc/2].  Two gathered 32-byte rows per block
+    (its 3 bilinear source rows span at most 2 y-quads) instead of four.
+    Returns [B, 2, Hc, Wc] int32, bit-equal to the per-pixel path."""
+    B, Rs, Hp, Ww = dims
+    Hb = Hp // 4
+    Wp = Ww * 2          # (U, V) pairs per row
+    _, hb, wb = mvx_b.shape
+    m = _MARGIN
+    ys = jnp.clip(
+        jnp.arange(hb)[None, :, None] * 2 + (mvy_b >> 3) + m, 0, Hp - 3
+    )
+    p = jnp.clip(
+        jnp.arange(wb)[None, None, :] * 2 + (mvx_b >> 3) + m, 0, Wp - 3
+    )
+    fx = (mvx_b & 7).astype(jnp.int32)
+    fy = (mvy_b & 7).astype(jnp.int32)
+    boff = (jnp.arange(B) * Rs)[:, None, None]
+    yb0 = ys >> 2
+    j0 = ys & 3
+    base = (boff + ref_slot_b) * Hb
+    wx = (p * 2) >> 2
+    o = (p & 1) * 2
+    g0 = _gflat(rows, (base + yb0) * Ww + wx).reshape(B, hb, wb, 4, 2)
+    g1 = _gflat(rows, (base + jnp.minimum(yb0 + 1, Hb - 1)) * Ww + wx
+                ).reshape(B, hb, wb, 4, 2)
+
+    def six(w):
+        w0, w1 = w[..., 0], w[..., 1]
+        byt = [_byte(w0, w1, k) for k in range(8)]
+        sel = o == 0
+        return [jnp.where(sel, byt[i], byt[i + 2]) for i in range(6)]
+
+    # bilinear source rows j0 .. j0+2
+    lines = [six(_sel_row(g0, g1, j0, t)) for t in range(3)]
+
+    def blend(A, Bc, C, D):
+        return (
+            (8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bc
+            + (8 - fx) * fy * C + fx * fy * D + 32
+        ) >> 6
+
+    outs = []
+    for c in range(2):
+        px = []
+        for rr in range(2):          # chroma row within the block
+            top, bot = lines[rr], lines[rr + 1]
+            row_px = []
+            for jx in range(2):      # chroma column within the block
+                k = 2 * jx + c
+                row_px.append(blend(top[k], top[k + 2], bot[k], bot[k + 2]))
+            px.append(jnp.stack(row_px, axis=-1))     # [B, hb, wb, 2]
+        o2 = jnp.stack(px, axis=3)                    # [B, hb, wb, 2r, 2c]
+        outs.append(
+            o2.transpose(0, 1, 3, 2, 4).reshape(B, hb * 2, wb * 2))
+    return jnp.stack(outs, axis=1)
+
+
 def luma_mc_gather16_b(planes16, ref_slot, mvx, mvy):
     """planes16 [B, R, 16, Hp, Wp]; maps [B, H, W] -> [B, H, W] int32."""
     B, R, P, Hp, Wp = planes16.shape

@@ -74,3 +74,52 @@ def resize_bilinear_rgb(rgb: jnp.ndarray, out_h: int, out_w: int
     wy_ = wy[:, None, None]
     out = (top * (256 - wy_) + bot * wy_ + (1 << 15)) >> 16
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+# ---------------------------------------------------------------------------
+# numpy mirrors — used by the pipeline's host (latency) route so routed
+# output is bit-identical to the device epilogue.  Kept in lockstep by
+# tests/test_pipeline.py::test_yuv_numpy_mirrors_match_jax.
+# ---------------------------------------------------------------------------
+
+
+def yuv420_to_rgb_np(y, u, v):
+    """numpy mirror of :func:`yuv420_to_rgb` (same exact integer BT.601)."""
+    import numpy as np
+
+    H, W = y.shape[-2], y.shape[-1]
+    up = np.repeat(np.repeat(u, 2, axis=-2), 2, axis=-1)[..., :H, :W]
+    vp = np.repeat(np.repeat(v, 2, axis=-2), 2, axis=-1)[..., :H, :W]
+    yy = 298 * (y.astype(np.int32) - 16)
+    uu = up.astype(np.int32) - 128
+    vv = vp.astype(np.int32) - 128
+    r = np.clip((yy + 409 * vv + 128) >> 8, 0, 255)
+    g = np.clip((yy - 100 * uu - 208 * vv + 128) >> 8, 0, 255)
+    b = np.clip((yy + 516 * uu + 128) >> 8, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def resize_bilinear_rgb_np(rgb, out_h, out_w):
+    """numpy mirror of :func:`resize_bilinear_rgb` (same fixed-point)."""
+    import numpy as np
+
+    H, W = rgb.shape[-3], rgb.shape[-2]
+    sy = H / out_h
+    sx = W / out_w
+    ys = (np.arange(out_h) + 0.5) * sy - 0.5
+    xs = (np.arange(out_w) + 0.5) * sx - 0.5
+    y0 = np.clip(np.floor(ys), 0, H - 1).astype(np.int32)
+    x0 = np.clip(np.floor(xs), 0, W - 1).astype(np.int32)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = np.clip(np.round((ys - y0) * 256), 0, 256).astype(np.int32)
+    wx = np.clip(np.round((xs - x0) * 256), 0, 256).astype(np.int32)
+    a = rgb[..., y0, :, :][..., :, x0, :].astype(np.int32)
+    b = rgb[..., y0, :, :][..., :, x1, :].astype(np.int32)
+    c = rgb[..., y1, :, :][..., :, x0, :].astype(np.int32)
+    d = rgb[..., y1, :, :][..., :, x1, :].astype(np.int32)
+    wx_ = wx[:, None]
+    top = a * (256 - wx_) + b * wx_
+    bot = c * (256 - wx_) + d * wx_
+    wy_ = wy[:, None, None]
+    out = (top * (256 - wy_) + bot * wy_ + (1 << 15)) >> 16
+    return np.clip(out, 0, 255).astype(np.uint8)

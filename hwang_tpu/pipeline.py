@@ -158,6 +158,21 @@ class ClipBatchDecoder:
         with prof.span("plan_spans"):
             jobs = self._plan(rows_per_clip)
 
+        # Latency route: seek-class requests (a few spans, <= a GOP or
+        # two of decode work) are dominated by device dispatch/transfer
+        # round trips, not decode throughput — serve them from the host
+        # decoder with a bit-identical output contract (exact-integer
+        # RGB + fixed-point resize, device-resident unless to_host).
+        # Batch-scale requests always take the device pipeline.
+        route_max = int(os.environ.get("HWANG_ROUTE_HOST_MAX", "96"))
+        if (
+            self.mesh is None
+            and jobs
+            and os.environ.get("HWANG_ROUTER", "auto") != "off"
+            and sum(len(j.offsets) for j in jobs) <= route_max
+        ):
+            return self._decode_host(jobs, out_size, output, to_host)
+
         # The native entropy context is stateful (per-picture MB state,
         # DPB) — one context per worker thread.
         import threading
@@ -373,6 +388,71 @@ class ClipBatchDecoder:
         stacked = jnp.concatenate(out_frames) if len(out_frames) > 1 else out_frames[0]
         if to_host:
             stacked = np.asarray(stacked)
+        return stacked, index
+
+    def _decode_host(self, jobs, out_size, output, to_host):
+        """Host (latency) route of :meth:`decode` — libavcodec decode +
+        numpy epilogue mirrors, bit-identical to the device pipeline's
+        output (tests/test_pipeline.py asserts equality).  libavcodec
+        emits display order, so a span's requested display positions map
+         1:1 to its emit order."""
+        from .backends.interface import FrameInfo
+        from .backends.software import SoftwareVideoDecoder
+        from .ops.yuv import resize_bilinear_rgb_np, yuv420_to_rgb_np
+
+        prof = self.profiler
+        out_frames, index = [], []
+        with prof.span("host_route"):
+            for job in jobs:
+                vi = self.indexes[job.clip]
+                dec = SoftwareVideoDecoder(output_format="yuv420")
+                dec.configure(
+                    FrameInfo(vi.frame_width, vi.frame_height, vi.format),
+                    vi.metadata_bytes,
+                )
+                want = {r - job.start for r in job.valid}
+                got: dict[int, np.ndarray] = {}
+                emitted = 0
+
+                def drain():
+                    nonlocal emitted
+                    while dec.decoded_frames_buffered() > 0:
+                        if emitted in want:
+                            got[emitted] = dec.get_frame()
+                        else:
+                            dec.discard_frame()
+                        emitted += 1
+
+                for i in range(len(job.offsets)):
+                    o, s = int(job.offsets[i]), int(job.sizes[i])
+                    dec.feed(job.data[o : o + s], i == 0)
+                    drain()
+                dec.flush()
+                drain()
+                dec.close()
+                prof.increment("spans_decoded", 1)
+                prof.increment("frames_decoded", emitted)
+                H, W = vi.frame_height, vi.frame_width
+                cw, ch = (W + 1) // 2, (H + 1) // 2
+                for r in job.valid:
+                    buf = got[r - job.start]
+                    if output == "rgb":
+                        y = buf[: H * W].reshape(H, W)
+                        u = buf[H * W : H * W + cw * ch].reshape(ch, cw)
+                        v = buf[H * W + cw * ch :].reshape(ch, cw)
+                        fr = yuv420_to_rgb_np(y, u, v)
+                        if out_size is not None:
+                            fr = resize_bilinear_rgb_np(
+                                fr, out_size[0], out_size[1])
+                        out_frames.append(fr)
+                    else:
+                        out_frames.append(buf)
+                    index.append((job.clip, r))
+        stacked = np.stack(out_frames)
+        if not to_host:
+            import jax.numpy as jnp
+
+            stacked = jnp.asarray(stacked)
         return stacked, index
 
     def close(self):

@@ -20,6 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Tests exercise the DEVICE pipeline by default: the latency router would
+# send their (tiny) requests to the host decoder and silently bypass the
+# code under test.  Router-specific tests opt back in via monkeypatch.
+os.environ.setdefault("HWANG_ROUTER", "off")
+
 import pytest  # noqa: E402
 
 

@@ -76,7 +76,7 @@ def test_jax_deblock_matches_reference(decoded):
     assert np.array_equal(np.asarray(gv), db[f][2].astype(np.int64))
 
 
-@pytest.mark.parametrize("mc_mode", ["pixel", "wide", "wide2"])
+@pytest.mark.parametrize("mc_mode", ["pixel", "wide", "wide2", "yquad"])
 def test_batched_decode_bit_exact(decoded, mc_mode, monkeypatch):
     """Natively-batched decoder (the production path) vs libavcodec, for
     every MC gather formulation (per-pixel / wide word-row / paired-word

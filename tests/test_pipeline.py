@@ -44,3 +44,69 @@ def test_pipeline_mixed_clip_settings(tmp_path):
             )
             assert np.array_equal(frames[k], want), f"{p} frame {r}"
             k += 1
+
+def test_yuv_numpy_mirrors_match_jax():
+    """The host route's numpy epilogue mirrors must be bit-identical to
+    the device epilogue (same exact-integer BT.601 / fixed-point resize)."""
+    import jax.numpy as jnp
+
+    from hwang_tpu.ops.yuv import (
+        resize_bilinear_rgb,
+        resize_bilinear_rgb_np,
+        yuv420_to_rgb,
+        yuv420_to_rgb_np,
+    )
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (48, 64), np.uint8)
+    u = rng.integers(0, 256, (24, 32), np.uint8)
+    v = rng.integers(0, 256, (24, 32), np.uint8)
+    rj = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v)))
+    rn = yuv420_to_rgb_np(y, u, v)
+    assert np.array_equal(rj, rn)
+    zj = np.asarray(resize_bilinear_rgb(jnp.asarray(rn), 20, 28))
+    zn = resize_bilinear_rgb_np(rn, 20, 28)
+    assert np.array_equal(zj, zn)
+
+
+@pytest.mark.parametrize("output,resize", [("rgb", None), ("rgb", (24, 32)),
+                                           ("yuv", None)])
+def test_latency_router_bit_identical(tmp_path, monkeypatch, output, resize):
+    """Small (seek-class) requests route to the host decoder; the routed
+    output must be bit-identical to the device pipeline's, same mapping."""
+    p = str(tmp_path / "seek.mp4")
+    encode_video(p, 16, 64, 48, profile="main", gop_size=8, crf=24, seed=11,
+                 extra_opts="keyint=8:min-keyint=8:no-scenecut=1:bframes=2")
+    rows = [[7, 12]]
+
+    monkeypatch.setenv("HWANG_ROUTER", "off")
+    dec = ClipBatchDecoder([p])
+    dev_frames, dev_map = dec.decode(rows, out_size=resize, output=output,
+                                     to_host=True)
+    dec.close()
+
+    monkeypatch.setenv("HWANG_ROUTER", "auto")
+    dec = ClipBatchDecoder([p])
+    host_frames, host_map = dec.decode(rows, out_size=resize, output=output,
+                                       to_host=True)
+    dec.close()
+    assert host_map == dev_map
+    assert np.array_equal(np.asarray(dev_frames), np.asarray(host_frames))
+
+
+def test_latency_router_threshold(tmp_path, monkeypatch):
+    """Requests above HWANG_ROUTE_HOST_MAX decoded frames stay on the
+    device pipeline (profiler shows no host_route span)."""
+    from hwang_tpu.utils.profiler import Profiler
+
+    p = str(tmp_path / "thresh.mp4")
+    encode_video(p, 16, 64, 48, gop_size=8, crf=24, seed=5,
+                 extra_opts="keyint=8:min-keyint=8:no-scenecut=1")
+    monkeypatch.setenv("HWANG_ROUTER", "auto")
+    monkeypatch.setenv("HWANG_ROUTE_HOST_MAX", "4")
+    prof = Profiler()
+    dec = ClipBatchDecoder([p], profiler=prof)
+    dec.decode([[0, 15]], output="yuv", to_host=True)   # 16 decode frames
+    dec.close()
+    assert "host_route" not in prof.report()
