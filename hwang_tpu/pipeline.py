@@ -30,6 +30,45 @@ from .mp4_index import index_video
 from .video_index import VideoIndex
 
 
+def plan_chunk_sizes(n: int, max_b: int, n_dev: int = 1,
+                     ramp: bool = True) -> list[int]:
+    """Chunk-size plan for a bucket of `n` spans: returns slot counts
+    per chunk (sum >= n; slots beyond n are padding, decoded and thrown
+    away).  Sizes are powers of two rounded to mesh multiples so each
+    size compiles once.
+
+    With `ramp`, the first chunks are small — chunk 0's entropy decode
+    and H2D upload are fully exposed (nothing earlier to overlap them),
+    so the device should get working quickly — growing 4x toward the
+    steady-state size.  The TAIL splits into descending powers of two
+    instead of rounding up: padding is real device work, and the old
+    round-up rule padded the bench's 44-span tail to 64 (24% of all
+    device slots wasted on pad decode).
+    """
+    def rnd(x):
+        return -(-x // n_dev) * n_dev
+
+    n_chunks = -(-n // max_b)
+    per = -(-n // n_chunks)
+    bpad = rnd(1 << (per - 1).bit_length())
+    if not (ramp and n > 4 and bpad > 4):
+        return [bpad] * n_chunks
+    low = max(4, n_dev)
+    sizes = []
+    s, pos = low, 0
+    while pos < n:
+        rem = n - pos
+        sz = min(s, bpad)
+        if rem < sz:
+            # largest power of two <= rem (clamped up to the minimum
+            # chunk; the final sub-minimum remainder pads)
+            sz = max(low, rnd(1 << (rem.bit_length() - 1)))
+        sizes.append(sz)
+        pos += min(sz, rem)
+        s *= 4
+    return sizes
+
+
 @dataclasses.dataclass
 class _SpanJob:
     clip: int
@@ -240,37 +279,12 @@ class ClipBatchDecoder:
             max_b = max(1, min(64, int(
                 6e9 // (M * (fpad * 1700 + 66000)))))
             max_b = 1 << (max_b.bit_length() - 1)
-            n_chunks = -(-len(idxs) // max_b)
-            per = -(-len(idxs) // n_chunks)
-            bpad = 1 << (per - 1).bit_length()
-            # sharded decode needs the padded batch to divide the mesh
-            bpad = -(-bpad // n_dev) * n_dev
-            if ramp and len(idxs) > 4 and bpad > 4:
-                # ramp-up chunking: the FIRST chunk's entropy decode and
-                # H2D upload are fully exposed (nothing earlier to overlap
-                # them) — start small so the device gets working quickly,
-                # then grow to the steady-state chunk size.  Sizes stay
-                # powers of two (and mesh multiples) so each size compiles
-                # once.
-                s, pos = max(4, n_dev), 0
-                while pos < len(idxs):
-                    sz = min(s, bpad)
-                    rem = len(idxs) - pos
-                    if rem < sz:
-                        # tail: the smallest power-of-two that fits, not
-                        # the full steady-state chunk — padding is real
-                        # device work (a 12-span tail padded to 32 wastes
-                        # 20 slots of decode)
-                        sz = 1 << (rem - 1).bit_length()
-                    sz = max(4, -(-sz // n_dev) * n_dev)
-                    part = idxs[pos : pos + sz]
-                    chunked.append((fpad, cqo, part, sz - len(part)))
-                    pos += sz
-                    s *= 4
-                continue
-            for s in range(0, len(idxs), per):
-                part = idxs[s : s + per]
-                chunked.append((fpad, cqo, part, bpad - len(part)))
+            # sharded decode needs every chunk to divide the mesh
+            pos = 0
+            for sz in plan_chunk_sizes(len(idxs), max_b, n_dev, ramp):
+                part = idxs[pos : pos + sz]
+                chunked.append((fpad, cqo, part, sz - len(part)))
+                pos += sz
 
         # entropy decode streams through the pool in chunk order; the
         # result() waits below only block on the not-yet-overlapped tail

@@ -110,3 +110,46 @@ def test_latency_router_threshold(tmp_path, monkeypatch):
     dec.decode([[0, 15]], output="yuv", to_host=True)   # 16 decode frames
     dec.close()
     assert "host_route" not in prof.report()
+
+
+def test_plan_chunk_sizes():
+    """Chunk planner invariants: every span gets a slot, sizes are
+    powers of two (times the mesh multiple), padding is bounded, and
+    the bench's 64-span bucket no longer rounds its 44-span tail up to
+    a full 64-slot chunk (24% wasted device decode)."""
+    from hwang_tpu.pipeline import plan_chunk_sizes
+
+    def check(n, max_b, n_dev=1, ramp=True):
+        sizes = plan_chunk_sizes(n, max_b, n_dev, ramp)
+        assert sum(sizes) >= n
+        for s in sizes:
+            assert s <= max(max_b, n_dev)
+            assert s % n_dev == 0
+            # power of two (of the per-device share)
+            per_dev = s // n_dev if s % n_dev == 0 else s
+            assert per_dev & (per_dev - 1) == 0 or s == -(-s // n_dev) * n_dev
+        return sizes
+
+    # the config-4 bench bucket: 64 spans, max_b=64
+    sizes = check(64, 64)
+    assert sum(sizes) == 64, sizes          # exact cover, zero padding
+    assert sizes[0] < sizes[-3]             # still ramps up
+
+    assert check(4, 64) == [4]              # small request: one chunk
+    assert sum(check(5, 64)) == 8
+    assert sum(check(100, 64)) == 100       # 4+16+64+16
+    assert sum(check(44, 64)) == 44
+
+    # mesh multiples: every chunk divides an 8-device mesh
+    for s in check(20, 64, n_dev=8):
+        assert s % 8 == 0
+
+    # no-ramp path: evenly sized power-of-two chunks
+    sizes = plan_chunk_sizes(100, 32, 1, ramp=False)
+    assert all(s == sizes[0] for s in sizes)
+    assert sum(sizes) >= 100
+
+    # padding never exceeds the minimum chunk size
+    for n in range(1, 200):
+        sizes = plan_chunk_sizes(n, 64)
+        assert sum(sizes) - n < max(4, 8), (n, sizes)
