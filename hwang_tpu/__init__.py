@@ -15,6 +15,12 @@ Lower layers (also public, mirroring the reference C++/pybind surface):
     DeviceType / DeviceHandle / VideoDecoderType
 """
 
+from .utils.jaxcache import enable_if_requested as _jaxcache_fix
+
+# JAX_COMPILATION_CACHE_DIR is dead-on-arrival in this image (sitecustomize
+# imports jax before user code); re-apply the user's intent if they set it.
+_jaxcache_fix()
+
 from .automata import DecoderAutomata, EncodedData, MAX_BUFFERED_FRAMES
 from .backends.interface import (
     FrameInfo,

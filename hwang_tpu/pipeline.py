@@ -40,10 +40,13 @@ def plan_chunk_sizes(n: int, max_b: int, n_dev: int = 1,
     With `ramp`, the first chunks are small — chunk 0's entropy decode
     and H2D upload are fully exposed (nothing earlier to overlap them),
     so the device should get working quickly — growing 4x toward the
-    steady-state size.  The TAIL splits into descending powers of two
-    instead of rounding up: padding is real device work, and the old
-    round-up rule padded the bench's 44-span tail to 64 (24% of all
-    device slots wasted on pad decode).
+    steady-state size.  Every size is drawn from a small LADDER
+    {low, 4*low, 16*low, ..., bpad}: the tail splits into ladder sizes
+    instead of rounding up (padding is real device work — the old
+    round-up rule padded the bench's 44-span tail to 64, 24% of all
+    device slots wasted on pad decode), and restricting to the ladder
+    bounds the number of DISTINCT sizes — each distinct size is a
+    separate executable, 30-150 s per remote compile on this host.
     """
     def rnd(x):
         return -(-x // n_dev) * n_dev
@@ -52,20 +55,26 @@ def plan_chunk_sizes(n: int, max_b: int, n_dev: int = 1,
     per = -(-n // n_chunks)
     bpad = rnd(1 << (per - 1).bit_length())
     if not (ramp and n > 4 and bpad > 4):
-        return [bpad] * n_chunks
-    low = max(4, n_dev)
+        return [bpad] * (-(-n // bpad))  # never emit an empty chunk
+    low = rnd(4)
+    ladder = []
+    s = low
+    while s < bpad:
+        ladder.append(s)
+        s *= 4
+    ladder.append(bpad)
     sizes = []
-    s, pos = low, 0
+    k, pos = 0, 0
     while pos < n:
         rem = n - pos
-        sz = min(s, bpad)
+        sz = ladder[min(k, len(ladder) - 1)]
         if rem < sz:
-            # largest power of two <= rem (clamped up to the minimum
+            # largest ladder size <= rem (clamped up to the minimum
             # chunk; the final sub-minimum remainder pads)
-            sz = max(low, rnd(1 << (rem.bit_length() - 1)))
+            sz = max([t for t in ladder if t <= rem] or [low])
         sizes.append(sz)
         pos += min(sz, rem)
-        s *= 4
+        k += 1
     return sizes
 
 

@@ -55,6 +55,11 @@ class Profiler:
             self.intervals.clear()
             self.counters.clear()
 
+    def totals(self) -> dict[str, float]:
+        """Interval sums in seconds (for machine-readable stage budgets)."""
+        with self._lock:
+            return {k: sum(v) for k, v in self.intervals.items()}
+
     def report(self) -> str:
         lines = []
         with self._lock:

@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU test mesh: the suite compiles the
+# decoder many times on 8 virtual devices — caching cuts reruns a lot.
+# Separate (gitignored) dir from the committed TPU .jax_cache.
+from hwang_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable(os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+))
+
 # Tests exercise the DEVICE pipeline by default: the latency router would
 # send their (tiny) requests to the host decoder and silently bypass the
 # code under test.  Router-specific tests opt back in via monkeypatch.

@@ -125,15 +125,18 @@ def test_plan_chunk_sizes():
         for s in sizes:
             assert s <= max(max_b, n_dev)
             assert s % n_dev == 0
-            # power of two (of the per-device share)
-            per_dev = s // n_dev if s % n_dev == 0 else s
-            assert per_dev & (per_dev - 1) == 0 or s == -(-s // n_dev) * n_dev
+            # per-device share is a power of two (pow2 meshes; each
+            # size compiles once, so this must be a real assertion)
+            per_dev = s // n_dev
+            assert per_dev & (per_dev - 1) == 0, (s, n_dev)
         return sizes
 
     # the config-4 bench bucket: 64 spans, max_b=64
     sizes = check(64, 64)
     assert sum(sizes) == 64, sizes          # exact cover, zero padding
-    assert sizes[0] < sizes[-3]             # still ramps up
+    assert sizes[0] < max(sizes)            # still ramps up
+    # distinct sizes bounded by the ladder: each is a remote compile
+    assert set(sizes) <= {4, 16, 64}, sizes
 
     assert check(4, 64) == [4]              # small request: one chunk
     assert sum(check(5, 64)) == 8
@@ -149,7 +152,18 @@ def test_plan_chunk_sizes():
     assert all(s == sizes[0] for s in sizes)
     assert sum(sizes) >= 100
 
-    # padding never exceeds the minimum chunk size
+    # no-ramp + mesh rounding must never emit an empty trailing chunk:
+    # bpad can round above n (n=5 spans, 8-device mesh -> one 8-slot
+    # chunk, NOT two); the caller slices idxs[pos:pos+sz] per chunk
+    sizes = plan_chunk_sizes(5, 4, n_dev=8, ramp=False)
+    pos = 0
+    for s in sizes:
+        assert pos < 5, (sizes, "empty chunk")
+        pos += s
+
+    # padding never exceeds the minimum chunk size, and the ladder
+    # bounds distinct sizes (= distinct compiled executables) to 3
     for n in range(1, 200):
         sizes = plan_chunk_sizes(n, 64)
         assert sum(sizes) - n < max(4, 8), (n, sizes)
+        assert len(set(sizes)) <= 3, (n, sizes)
