@@ -37,7 +37,13 @@ def _sources_mtime() -> float:
 
 
 def build(force: bool = False) -> str:
-    """Build libhwang_native.so if stale; returns its path."""
+    """Build libhwang_native.so if stale; returns its path.
+
+    HWANG_NATIVE_LIB overrides with a prebuilt library path (used by
+    perf experiments, e.g. PGO A/B builds) — no staleness check."""
+    env_lib = os.environ.get("HWANG_NATIVE_LIB")
+    if env_lib:
+        return env_lib
     with _lock:
         if (
             not force

@@ -113,7 +113,9 @@ def fixture(
     ).hexdigest()[:12]
     path = os.path.join(_FIXTURE_DIR, f"{name}_{key}.mp4")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # pid-unique temp: two processes may synthesize the same fixture
+        # concurrently (bench + tools); both must not share a .tmp file
+        tmp = f"{path}.{os.getpid()}.tmp"
         encode_video(tmp, n_frames, width, height, **kwargs)
         os.replace(tmp, path)
     return path
