@@ -1660,26 +1660,38 @@ int cbf_bit(int cat, int comp, int blk) {
   return blk;  // luma 4x4 raster
 }
 
-// Residual block decode (9.3.2.7 + 9.3.3.1.3): coded_block_flag,
-// significance map, then levels in reverse scan order.  Writes levels at
-// scan positions into coeff[0..max_coeff); returns total significant
-// coeffs, or -1 on error.
-int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
-                   int comp, int blk, int max_coeff, int16_t* coeff) {
-  memset(coeff, 0, sizeof(int16_t) * max_coeff);
-  int inc = cbf_ctx_inc(c, mb, cat, comp, blk);
-  if (!cb.decode(&cx.s[85 + cat * 4 + inc])) return 0;
-  c.mbs[mb].cbf |= 1u << cbf_bit(cat, comp, blk);
+// Residual block decode (9.3.2.7 + 9.3.3.1.3), specialized per
+// ctxBlockCat: coded_block_flag, significance map, then levels in
+// reverse scan order.  Levels are written DIRECTLY at dst[map[scan_pos]]
+// — no intermediate scan buffer and no full-block copy-out: the output
+// blocks arrive zero-initialized from the Python side (np.zeros in
+// entropy.py decode_gop), so only the n significant coefficients are
+// touched.  ~20% of the 1080p entropy wall was the per-block
+// memset + 16-element zigzag scatter this replaces.
+// Returns total significant coeffs, or -1 on error.
+static const uint8_t kIdent4[4] = {0, 1, 2, 3};
 
-  static const int kSigOff[5] = {0, 15, 29, 44, 47};
-  static const int kAbsOff[5] = {0, 10, 20, 30, 39};
-  uint8_t* sig = &cx.s[105 + kSigOff[cat]];
-  uint8_t* last = &cx.s[166 + kSigOff[cat]];
+template <int CAT>
+__attribute__((always_inline)) inline int cabac_residual_t(
+    Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int comp, int blk,
+    int16_t* dst, const uint8_t* map) {
+  constexpr int kMax =
+      CAT == 0 ? 16 : CAT == 1 ? 15 : CAT == 2 ? 16 : CAT == 3 ? 4 : 15;
+  constexpr int kSigOff =
+      CAT == 0 ? 0 : CAT == 1 ? 15 : CAT == 2 ? 29 : CAT == 3 ? 44 : 47;
+  constexpr int kAbsOff =
+      CAT == 0 ? 0 : CAT == 1 ? 10 : CAT == 2 ? 20 : CAT == 3 ? 30 : 39;
+  int inc = cbf_ctx_inc(c, mb, CAT, comp, blk);
+  if (!cb.decode(&cx.s[85 + CAT * 4 + inc])) return 0;
+  c.mbs[mb].cbf |= 1u << cbf_bit(CAT, comp, blk);
+
+  uint8_t* sig = &cx.s[105 + kSigOff];
+  uint8_t* last = &cx.s[166 + kSigOff];
   int pos[16];
   int n = 0;
   bool got_last = false;
-  for (int i = 0; i < max_coeff - 1; i++) {
-    int si = cat == 3 ? (i < 2 ? i : 2) : i;  // NumC8x8=1 for 4:2:0
+  for (int i = 0; i < kMax - 1; i++) {
+    int si = CAT == 3 ? (i < 2 ? i : 2) : i;  // NumC8x8=1 for 4:2:0
     if (cb.decode(&sig[si])) {
       pos[n++] = i;
       if (cb.decode(&last[si])) {
@@ -1688,11 +1700,11 @@ int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
       }
     }
   }
-  if (!got_last) pos[n++] = max_coeff - 1;  // implicit last position
+  if (!got_last) pos[n++] = kMax - 1;  // implicit last position
 
-  uint8_t* absc = &cx.s[227 + kAbsOff[cat]];
+  uint8_t* absc = &cx.s[227 + kAbsOff];
   int num_eq1 = 0, num_gt1 = 0;
-  int gt1_cap = cat == 3 ? 3 : 4;  // chroma DC has 9 abs contexts
+  constexpr int gt1_cap = CAT == 3 ? 3 : 4;  // chroma DC has 9 abs ctxs
   for (int j = n - 1; j >= 0; j--) {
     int m1 = 0;
     int neg = -1;
@@ -1725,7 +1737,7 @@ int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
     int level = m1 + 1;
     if (neg < 0) neg = cb.bypass();
     if (neg) level = -level;
-    coeff[pos[j]] = (int16_t)level;
+    dst[map[pos[j]]] = (int16_t)level;
   }
   return n;
 }
@@ -1734,7 +1746,7 @@ int cabac_residual(Ctx& c, Cabac& cb, CabacContexts& cx, int mb, int cat,
 // bit implies it); significance/last contexts run through the Table 9-43
 // position maps.  Writes RASTER-order coefficients into r8[64].
 int cabac_residual8x8(Ctx& c, Cabac& cb, CabacContexts& cx, int16_t* r8) {
-  int16_t s8[64] = {0};  // scan order
+  memset(r8, 0, 64 * sizeof(int16_t));
   int pos[64];
   int n = 0;
   bool got_last = false;
@@ -1782,10 +1794,8 @@ int cabac_residual8x8(Ctx& c, Cabac& cb, CabacContexts& cx, int16_t* r8) {
     int level = m1 + 1;
     if (neg < 0) neg = cb.bypass();
     if (neg) level = -level;
-    s8[pos[j]] = (int16_t)level;
+    r8[kZigzag8x8[pos[j]]] = (int16_t)level;  // scan -> raster, in place
   }
-  memset(r8, 0, 64 * sizeof(int16_t));
-  for (int j = 0; j < 64; j++) r8[kZigzag8x8[j]] = s8[j];
   return n;
 }
 
@@ -2271,11 +2281,10 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
 
   // ----- residuals -----
   if (M.kind == MB_I16x16) {
-    int tc = cabac_residual(c, cb, cx, mb, 0, 0, 0, 16, scan_buf);
+    int tc = cabac_residual_t<0>(c, cb, cx, mb, 0, 0,
+                                 out->luma_dc + base * 16, kZigzag4x4);
     if (tc < 0) return false;
     acc_coeff(out, tc);
-    int16_t* dst = out->luma_dc + base * 16;
-    for (int i = 0; i < 16; i++) dst[kZigzag4x4[i]] = scan_buf[i];
   }
   static const uint8_t dec2raster[16] = {0, 1, 4, 5, 2,  3,  6,  7,
                                          8, 9, 12, 13, 10, 11, 14, 15};
@@ -2303,38 +2312,36 @@ bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
     if (!(cbp_luma & (1 << b8))) continue;
     for (int b4 = 0; b4 < 4; b4++) {
       int rblk = dec2raster[b8 * 4 + b4];
-      int cat = M.kind == MB_I16x16 ? 1 : 2;
-      int max_coeff = cat == 1 ? 15 : 16;
-      int start = cat == 1 ? 1 : 0;
-      int tc = cabac_residual(c, cb, cx, mb, cat, 0, rblk, max_coeff,
-                              scan_buf);
+      int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
+      int tc = M.kind == MB_I16x16
+                   ? cabac_residual_t<1>(c, cb, cx, mb, 0, rblk, dst,
+                                         kZigzag4x4 + 1)
+                   : cabac_residual_t<2>(c, cb, cx, mb, 0, rblk, dst,
+                                         kZigzag4x4);
       if (tc < 0) return false;
       acc_coeff(out, tc);
       M.nnz[rblk] = (uint8_t)tc;
-      int16_t* dst = out->luma_ac + (base * 16 + rblk) * 16;
-      for (int i = 0; i < max_coeff; i++)
-        dst[kZigzag4x4[i + start]] = scan_buf[i];
     }
   }
   }
   if (cbp_chroma) {
     for (int comp = 0; comp < 2; comp++) {
-      int tc = cabac_residual(c, cb, cx, mb, 3, comp, 0, 4, scan_buf);
+      int tc = cabac_residual_t<3>(c, cb, cx, mb, comp, 0,
+                                   out->chroma_dc + (base * 2 + comp) * 4,
+                                   kIdent4);
       if (tc < 0) return false;
       acc_coeff(out, tc);
-      int16_t* dst = out->chroma_dc + (base * 2 + comp) * 4;
-      for (int i = 0; i < 4; i++) dst[i] = scan_buf[i];
     }
   }
   if (cbp_chroma == 2) {
     for (int comp = 0; comp < 2; comp++) {
       for (int blk = 0; blk < 4; blk++) {
-        int tc = cabac_residual(c, cb, cx, mb, 4, comp, blk, 15, scan_buf);
+        int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
+        int tc = cabac_residual_t<4>(c, cb, cx, mb, comp, blk, dst,
+                                     kZigzag4x4 + 1);
         if (tc < 0) return false;
         acc_coeff(out, tc);
         M.nnz[16 + comp * 4 + blk] = (uint8_t)tc;
-        int16_t* dst = out->chroma_ac + ((base * 2 + comp) * 4 + blk) * 16;
-        for (int i = 0; i < 15; i++) dst[kZigzag4x4[i + 1]] = scan_buf[i];
       }
     }
   }
