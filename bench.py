@@ -346,6 +346,27 @@ def main():
         extras = [] if fast else ["config2", "config3"]
 
     out_size = (224, 224) if head_name in ("config4", "custom") else None
+
+    # Insurance against a wedged TPU worker: the first device touch of a
+    # fresh process has been observed to take anywhere from 4 s to >540 s
+    # (relay worker recovery).  Land a REAL nonzero number early with a
+    # small batch that reuses the cached size-4 executable, so a deadline
+    # hit later still leaves a meaningful parsed artifact.
+    if head_name == "config4" and not fast:
+        try:
+            mini = (640, 368, 8, 64, "dense", 16, 16, "baseline", 0)
+            m = _run_config("config4-mini", mini, out_size, iters=2)
+            _RESULT = {
+                "metric": "frames/sec/chip dense gather 8x16 @640x368 h264"
+                          " -> 224px RGB in HBM (mini insurance run)",
+                "value": m["fps"], "unit": "frames/s",
+                "vs_baseline": m["vs_ffmpeg_1core"],
+                "extra": {"mini": True},
+            }
+            print(json.dumps(_RESULT), flush=True)
+        except Exception as e:
+            log(f"[config4-mini] FAILED: {type(e).__name__}: {e}")
+
     head = _run_config(head_name, head_cfg, out_size, budget=budget)
 
     W, H, n_clips, _, mode, count, gop, profile, _ = head_cfg

@@ -67,6 +67,34 @@ class Cabac {
   // Branchless MPS/LPS select (cmov): residual-loop contexts run
   // 60/40-ish, where a data-dependent branch mispredicts enough to cost
   // more than three selects; next-state is one fused table (kNextState).
+  // HWANG_CABAC_DUMP: per-bin (kind, ctx, value) log for engine
+  // cross-verification (tests/tools only; requires dump_file set)
+  static inline FILE* dumpf() {
+    static FILE* f = [] {
+      const char* e = getenv("HWANG_CABAC_DUMP");
+      FILE* fh = e && e[0] ? fopen(e, "w") : (FILE*)nullptr;
+      if (fh) setvbuf(fh, nullptr, _IONBF, 0);
+      return fh;
+    }();
+    return f;
+  }
+
+  __attribute__((noinline)) int decode_dump(uint8_t* s, int idx) {
+    int v = decode(s);
+    if (dumpf()) fprintf(dumpf(), "c %d %d\n", idx, v);
+    return v;
+  }
+  int bypass_dump() {
+    int v = bypass();
+    if (dumpf()) fprintf(dumpf(), "b -1 %d\n", v);
+    return v;
+  }
+  int terminate_dump() {
+    int v = terminate();
+    if (dumpf()) fprintf(dumpf(), "t -1 %d\n", v);
+    return v;
+  }
+
   __attribute__((always_inline)) inline int decode(uint8_t* s) {
     if (k_ < 8) refill();
     uint32_t sv = *s;

@@ -1,0 +1,1331 @@
+// HEVC host entropy decoder: NAL/VPS/SPS/PPS/slice-segment parsing and
+// the I-slice CTU CABAC layer (ITU-T H.265 sections 7.3, 8.4, 9.3).
+//
+// Reference parity: the upstream reference never owned an HEVC decoder
+// — it selected AV_CODEC_ID_HEVC into FFmpeg/NVDEC
+// (software_video_decoder.cpp:122-136, videos.h:26-36 fixtures).  This
+// front-end is the TPU-path analog of native/src/h264: the host does
+// serial entropy decode, emitting transform-unit entries (position,
+// size, intra mode, QP, raster coefficients) for a vectorized
+// reconstruction path.
+//
+// The arithmetic decoding engine is shared with H.264: HEVC uses the
+// identical M-coder (Tables 9-46/9-47 equal H.264's rangeTabLPS /
+// transIdxLPS), so hwh264::Cabac is reused verbatim.  Only context
+// initialization (9.3.2.2: m/n derived from packed initValue) and the
+// binarizations/context derivations differ; context layout follows
+// libavcodec's element order because the init table is extracted from
+// its rodata (native/tools/extract_hevc_tables.py).
+//
+// Scope (round 3): 4:2:0 8-bit I slices, single slice segment per
+// picture, no tiles/WPP/PCM/scaling-lists/transform-skip.  Inter
+// slices are staged next.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+#include "../h264/h264_bitreader.h"
+#include "../h264/h264_cabac.h"
+#include "hevc_cabac_tables.h"
+#include "hevc_types.h"
+
+#define HW_API extern "C" __attribute__((visibility("default")))
+
+namespace hwhevc {
+namespace {
+
+using hwh264::BitReader;
+using hwh264::Cabac;
+
+// HWANG_HEVC_TRACE=1: per-CU syntax trace on stderr (debug channel,
+// mirrors HWANG_H264_TRACE on the H.264 front-end)
+bool trace_on() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("HWANG_HEVC_TRACE");
+    v = e && e[0] == '1';
+  }
+  return v;
+}
+#define HTRACE(...) \
+  do {              \
+    if (trace_on()) fprintf(stderr, __VA_ARGS__); \
+  } while (0)
+
+// ---- context offsets (libavcodec element order; see extractor) ----------
+enum {
+  CTX_SAO_MERGE = 0,
+  CTX_SAO_TYPE = 1,
+  CTX_SPLIT_CU = 2,
+  CTX_TQ_BYPASS = 5,
+  CTX_CU_SKIP = 6,
+  CTX_CU_QP_DELTA = 9,
+  CTX_PRED_MODE = 12,
+  CTX_PART_MODE = 13,
+  CTX_PREV_INTRA = 17,
+  CTX_INTRA_CHROMA = 18,
+  CTX_SPLIT_TRANSFORM = 37,
+  CTX_CBF_LUMA = 40,
+  CTX_CBF_CB_CR = 42,
+  CTX_TRANSFORM_SKIP = 47,
+  CTX_LAST_X = 53,
+  CTX_LAST_Y = 71,
+  CTX_SIG_GROUP = 89,
+  CTX_SIG_FLAG = 93,
+  CTX_GT1 = 137,
+  CTX_GT2 = 161,
+  N_CTX = 199,
+};
+
+// Context init (9.3.2.2): initValue -> (m, n) -> preCtxState at SliceQpY;
+// packed (pStateIdx << 1) | valMPS like the H.264 engine expects.
+struct HevcContexts {
+  uint8_t s[N_CTX];
+  void init(int qp, int init_type) {
+    qp = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
+    for (int i = 0; i < N_CTX; i++) {
+      int iv = kInitValues[init_type][i];
+      int m = (iv >> 4) * 5 - 45;
+      int n = ((iv & 15) << 3) - 16;
+      int pre = ((m * qp) >> 4) + n;
+      pre = pre < 1 ? 1 : (pre > 126 ? 126 : pre);
+      s[i] = pre <= 63 ? (uint8_t)((63 - pre) << 1)
+                       : (uint8_t)(((pre - 64) << 1) | 1);
+    }
+  }
+};
+
+
+// Dump-aware bin decode wrappers: with HWANG_CABAC_DUMP set, every bin
+// goes through the engine's logging variants (and multi-bin bypass
+// batching degrades to single bins so the log is complete).
+inline bool dump_on() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("HWANG_CABAC_DUMP");
+    v = e && e[0] ? 1 : 0;
+  }
+  return v;
+}
+inline int DEC(Cabac& cb, HevcContexts& cx, int idx) {
+  return dump_on() ? cb.decode_dump(&cx.s[idx], idx) : DEC(cb, cx, idx);
+}
+inline int BYP(Cabac& cb) {
+  return dump_on() ? cb.bypass_dump() : BYP(cb);
+}
+inline int TERM(Cabac& cb) {
+  return dump_on() ? cb.terminate_dump() : TERM(cb);
+}
+
+// ---- scan order tables (6.5.3-6.5.5), generated at static init ----------
+struct Scans {
+  // [scanIdx][pos] -> (x | y<<4) within a 4x4 block
+  uint8_t coef[3][16];
+  // subblock scans for 8x8/16x16/32x32 TUs: [scanIdx][log2-3][pos]
+  uint8_t sb[3][3][64];
+  Scans() {
+    auto gen = [](int idx, int n, uint8_t* out) {
+      int i = 0;
+      if (idx == 0) {  // up-right diagonal
+        int x = 0, y = 0;
+        while (i < n * n) {
+          while (y >= 0) {
+            if (x < n && y < n) out[i++] = (uint8_t)(x | (y << 4));
+            y--;
+            x++;
+          }
+          y = x;
+          x = 0;
+        }
+      } else if (idx == 1) {  // horizontal
+        for (int y = 0; y < n; y++)
+          for (int x = 0; x < n; x++) out[i++] = (uint8_t)(x | (y << 4));
+      } else {  // vertical
+        for (int x = 0; x < n; x++)
+          for (int y = 0; y < n; y++) out[i++] = (uint8_t)(x | (y << 4));
+      }
+    };
+    for (int s = 0; s < 3; s++) {
+      gen(s, 4, coef[s]);
+      for (int lg = 3; lg <= 5; lg++) gen(s, 1 << (lg - 2), sb[s][lg - 3]);
+    }
+  }
+};
+const Scans kScans{};
+
+// sig_coeff_flag ctxIdxMap for 4x4 TUs (9.3.4.2.5)
+const uint8_t kSigCtx4x4[15] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8};
+
+// ---- parameter-set / slice-header parsing --------------------------------
+
+std::vector<uint8_t> strip_ep(const uint8_t* p, size_t n) {
+  std::vector<uint8_t> out;
+  out.reserve(n);
+  int zeros = 0;
+  for (size_t i = 0; i < n; i++) {
+    if (zeros >= 2 && p[i] == 3) {
+      zeros = 0;
+      continue;  // emulation_prevention_three_byte
+    }
+    zeros = p[i] == 0 ? zeros + 1 : 0;
+    out.push_back(p[i]);
+  }
+  return out;
+}
+
+bool parse_ptl(BitReader& br, int max_sub) {
+  br.skip(88);  // general profile space/tier/idc/compat/constraint flags
+  br.skip(8);   // general_level_idc
+  std::vector<int> prof(max_sub), lev(max_sub);
+  for (int i = 0; i < max_sub; i++) {
+    prof[i] = br.u1();
+    lev[i] = br.u1();
+  }
+  if (max_sub > 0)
+    for (int i = max_sub; i < 8; i++) br.skip(2);
+  for (int i = 0; i < max_sub; i++) {
+    if (prof[i]) br.skip(88);
+    if (lev[i]) br.skip(8);
+  }
+  return !br.error();
+}
+
+// st_ref_pic_set (7.3.7): parsed for exact bit consumption; returns the
+// derived NumDeltaPocs for this set (needed by later inter-predicted sets).
+bool parse_st_rps(BitReader& br, int idx, int num_sets,
+                  std::vector<int>& num_delta_pocs, std::string& err) {
+  int inter_pred = idx != 0 ? (int)br.u1() : 0;
+  if (inter_pred) {
+    int delta_idx = idx == num_sets ? (int)br.ue() + 1 : 1;
+    int ref = idx - delta_idx;
+    if (ref < 0 || ref >= (int)num_delta_pocs.size()) {
+      err = "st_rps bad ref idx";
+      return false;
+    }
+    br.u1();  // delta_rps_sign
+    br.ue();  // abs_delta_rps_minus1
+    int n = 0;
+    for (int j = 0; j <= num_delta_pocs[ref]; j++) {
+      int used = br.u1();
+      int use_delta = 1;
+      if (!used) use_delta = br.u1();
+      if (used || use_delta) n++;
+    }
+    num_delta_pocs.push_back(n);
+  } else {
+    int neg = (int)br.ue(), pos = (int)br.ue();
+    if (neg + pos > 16) {
+      err = "st_rps too many pics";
+      return false;
+    }
+    for (int j = 0; j < neg + pos; j++) {
+      br.ue();  // delta_poc_sX_minus1
+      br.u1();  // used_by_curr_pic_sX
+    }
+    num_delta_pocs.push_back(neg + pos);
+  }
+  return !br.error();
+}
+
+bool parse_sps(BitReader& br, HevcSPS& sps, std::string& err) {
+  br.u(4);  // sps_video_parameter_set_id
+  int max_sub = (int)br.u(3);
+  br.u1();  // temporal_id_nesting
+  if (!parse_ptl(br, max_sub)) {
+    err = "SPS ptl";
+    return false;
+  }
+  sps.sps_id = (int)br.ue();
+  sps.chroma_format_idc = (int)br.ue();
+  if (sps.chroma_format_idc == 3) br.u1();
+  sps.width = (int)br.ue();
+  sps.height = (int)br.ue();
+  if (br.u1())
+    for (int i = 0; i < 4; i++) sps.conf_win[i] = (int)br.ue();
+  sps.bit_depth_luma = (int)br.ue() + 8;
+  sps.bit_depth_chroma = (int)br.ue() + 8;
+  sps.log2_max_poc_lsb = (int)br.ue() + 4;
+  int sub_ordering = br.u1();
+  for (int i = sub_ordering ? 0 : max_sub; i <= max_sub; i++) {
+    br.ue();
+    br.ue();
+    br.ue();
+  }
+  sps.log2_min_cb = (int)br.ue() + 3;
+  sps.log2_ctb = sps.log2_min_cb + (int)br.ue();
+  sps.log2_min_tb = (int)br.ue() + 2;
+  sps.log2_max_tb = sps.log2_min_tb + (int)br.ue();
+  sps.max_trafo_depth_inter = (int)br.ue();
+  sps.max_trafo_depth_intra = (int)br.ue();
+  sps.scaling_list_enabled = br.u1();
+  if (sps.scaling_list_enabled) {
+    err = "scaling lists not supported";
+    return false;
+  }
+  sps.amp_enabled = br.u1();
+  sps.sao_enabled = br.u1();
+  sps.pcm_enabled = br.u1();
+  if (sps.pcm_enabled) {
+    err = "PCM not supported";
+    return false;
+  }
+  sps.num_st_rps = (int)br.ue();
+  std::vector<int> ndp;
+  for (int i = 0; i < sps.num_st_rps; i++)
+    if (!parse_st_rps(br, i, sps.num_st_rps, ndp, err)) return false;
+  sps.long_term_ref_pics = br.u1();
+  if (sps.long_term_ref_pics) {
+    int n = (int)br.ue();
+    for (int i = 0; i < n; i++) {
+      br.u(sps.log2_max_poc_lsb);
+      br.u1();
+    }
+  }
+  sps.temporal_mvp = br.u1();
+  sps.strong_intra_smoothing = br.u1();
+  // vui / extensions ignored
+  if (br.error()) {
+    err = "SPS overrun";
+    return false;
+  }
+  if (sps.chroma_format_idc != 1 || sps.bit_depth_luma != 8 ||
+      sps.bit_depth_chroma != 8) {
+    err = "only 4:2:0 8-bit supported";
+    return false;
+  }
+  sps.valid = true;
+  HTRACE("SPS: %dx%d ctb=%d min_cb=%d tb=[%d,%d] trafo_depth i=%d/inter=%d"
+         " sao=%d amp=%d strong=%d rps=%d\n",
+         sps.width, sps.height, sps.log2_ctb, sps.log2_min_cb,
+         sps.log2_min_tb, sps.log2_max_tb, sps.max_trafo_depth_intra,
+         sps.max_trafo_depth_inter, (int)sps.sao_enabled,
+         (int)sps.amp_enabled, (int)sps.strong_intra_smoothing,
+         sps.num_st_rps);
+  return true;
+}
+
+bool parse_pps(BitReader& br, HevcPPS& pps, std::string& err) {
+  pps.pps_id = (int)br.ue();
+  pps.sps_id = (int)br.ue();
+  pps.dependent_slice_segments = br.u1();
+  pps.output_flag_present = br.u1();
+  pps.num_extra_slice_header_bits = (int)br.u(3);
+  pps.sign_data_hiding = br.u1();
+  pps.cabac_init_present = br.u1();
+  pps.num_ref_l0 = (int)br.ue() + 1;
+  pps.num_ref_l1 = (int)br.ue() + 1;
+  pps.init_qp = 26 + (int)br.se();
+  pps.constrained_intra_pred = br.u1();
+  pps.transform_skip = br.u1();
+  pps.cu_qp_delta_enabled = br.u1();
+  if (pps.cu_qp_delta_enabled) pps.diff_cu_qp_delta_depth = (int)br.ue();
+  pps.cb_qp_offset = (int)br.se();
+  pps.cr_qp_offset = (int)br.se();
+  pps.slice_chroma_qp_offsets_present = br.u1();
+  pps.weighted_pred = br.u1();
+  pps.weighted_bipred = br.u1();
+  pps.transquant_bypass = br.u1();
+  pps.tiles_enabled = br.u1();
+  pps.entropy_coding_sync = br.u1();
+  if (pps.tiles_enabled || pps.entropy_coding_sync) {
+    err = "tiles/WPP not supported";
+    return false;
+  }
+  pps.loop_filter_across_slices = br.u1();
+  pps.deblocking_filter_control_present = br.u1();
+  if (pps.deblocking_filter_control_present) {
+    pps.deblocking_filter_override_enabled = br.u1();
+    pps.deblocking_disabled = br.u1();
+    if (!pps.deblocking_disabled) {
+      pps.beta_offset = (int)br.se();
+      pps.tc_offset = (int)br.se();
+    }
+  }
+  if (br.u1()) {  // pps_scaling_list_data_present
+    err = "PPS scaling lists not supported";
+    return false;
+  }
+  pps.lists_modification = br.u1();
+  pps.log2_parallel_merge_level = (int)br.ue() + 2;
+  pps.slice_header_extension = br.u1();
+  if (br.error()) {
+    err = "PPS overrun";
+    return false;
+  }
+  if (pps.transform_skip) {
+    err = "transform_skip not supported";
+    return false;
+  }
+  pps.valid = true;
+  HTRACE("PPS: init_qp=%d sdh=%d cuqp=%d/%d cb/cr=%d/%d tqb=%d db_ctl=%d"
+         " db_dis=%d\n",
+         pps.init_qp, (int)pps.sign_data_hiding,
+         (int)pps.cu_qp_delta_enabled, pps.diff_cu_qp_delta_depth,
+         pps.cb_qp_offset, pps.cr_qp_offset, (int)pps.transquant_bypass,
+         (int)pps.deblocking_filter_control_present,
+         (int)pps.deblocking_disabled);
+  return true;
+}
+
+// ---- decoder context ------------------------------------------------------
+
+struct Ctx {
+  std::map<int, HevcSPS> sps_map;
+  std::map<int, HevcPPS> pps_map;
+  HevcSPS sps;
+  HevcPPS pps;
+  bool have_active = false;
+  int nal_length_size = 4;
+  std::string err;
+
+  // per-picture state (4x4 min-block grids)
+  int w4 = 0, h4 = 0;  // luma 4x4 grid dims
+  std::vector<uint8_t> ct_depth;  // coding-tree depth per 4x4
+  std::vector<int8_t> ipm;        // intra pred mode per 4x4
+  std::vector<int8_t> qpy;        // luma QP per 4x4
+
+  // slice/CU decode state
+  HevcSliceHeader sh;
+  int qpy_pred = 26;      // qPY_PRED of the current quant group
+  int qpy_prev = 26;      // qPY_PREV (last CU of previous QG)
+  int qpy_cur = 26;       // current CU QpY
+  bool is_qp_coded = false;
+  int qp_delta = 0;
+  int qg_x = 0, qg_y = 0;
+  int ctb_x = 0, ctb_y = 0;  // current CTB origin (luma samples)
+
+  // residual-coding scratch
+  uint8_t csbf[64];  // coded_sub_block_flag map (8x8 subblock grid max)
+
+  // output cursors
+  HevcOut* out = nullptr;
+  int64_t tu_used = 0, coef_used = 0;
+  int frame_tu0 = 0;
+};
+
+struct PublicCtx {
+  Ctx c;
+  char errbuf[512];
+};
+
+int clip3(int lo, int hi, int v) { return v < lo ? lo : (v > hi ? hi : v); }
+
+// chroma QP mapping (Table 8-10, 4:2:0)
+int chroma_qp(int qpy, int off) {
+  static const int tab[14] = {29, 30, 31, 32, 33, 33, 34,
+                              34, 35, 35, 36, 36, 37, 37};
+  int qpi = clip3(0, 57, qpy + off);
+  if (qpi < 30) return qpi;
+  if (qpi > 43) return qpi - 6;
+  return tab[qpi - 30];
+}
+
+// ---- bypass helpers on the shared engine ----------------------------------
+
+uint32_t bypass_bits(Cabac& cb, int n) {
+  uint32_t v = 0;
+  if (dump_on()) {
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)cb.bypass_dump();
+    return v;
+  }
+  while (n > 24) {
+    cb.ensure(24);
+    uint32_t q = cb.peek_bypass(24);
+    cb.consume_bypass(24, 24, q);
+    v = (v << 24) | q;
+    n -= 24;
+  }
+  if (n > 0) {
+    cb.ensure(n);
+    uint32_t q = cb.peek_bypass(n);
+    cb.consume_bypass(n, n, q);
+    v = (v << n) | q;
+  }
+  return v;
+}
+
+// coeff_abs_level_remaining (9.3.3.13): Rice/EG(k) hybrid, all bypass.
+int decode_remaining(Cabac& cb, int rice, std::string& err) {
+  int prefix = 0;
+  while (prefix < 32 && BYP(cb)) prefix++;
+  if (prefix >= 32) {
+    err = "remaining prefix overflow";
+    return -1;
+  }
+  if (prefix <= 3) return (prefix << rice) + (int)bypass_bits(cb, rice);
+  int nbits = rice + prefix - 3;
+  if (nbits > 30) {
+    err = "remaining suffix overflow";
+    return -1;
+  }
+  return (((1 << (prefix - 3)) + 3 - 1) << rice) + (int)bypass_bits(cb, nbits);
+}
+
+// ---- TU entry emission -----------------------------------------------------
+
+bool emit_tu(Ctx& c, int x, int y, int log2, int cidx, int mode, int qp,
+             int cbf, const int16_t* coeffs) {
+  HevcOut* o = c.out;
+  if (c.tu_used >= o->cap_tu) {
+    c.err = "TU capacity exceeded";
+    return false;
+  }
+  int64_t i = c.tu_used++;
+  o->tu_x[i] = (uint16_t)x;
+  o->tu_y[i] = (uint16_t)y;
+  o->tu_log2[i] = (uint8_t)log2;
+  o->tu_cidx[i] = (uint8_t)cidx;
+  o->tu_mode[i] = (uint8_t)mode;
+  o->tu_qp[i] = (int8_t)qp;
+  o->tu_cbf[i] = (uint8_t)(cbf != 0);
+  o->tu_coef_off[i] = c.coef_used;
+  if (cbf) {
+    int n = 1 << (2 * log2);
+    if (c.coef_used + n > o->cap_coeff) {
+      c.err = "coeff capacity exceeded";
+      return false;
+    }
+    memcpy(o->coeff + c.coef_used, coeffs, n * sizeof(int16_t));
+    c.coef_used += n;
+  }
+  return true;
+}
+
+// ---- residual coding (7.3.8.11 / 9.3.4.2) ---------------------------------
+
+// sig_coeff_flag context increment (9.3.4.2.5)
+inline int sig_ctx_inc(int log2, int cidx, int xC, int yC, int scan_idx,
+                       int csbf_right, int csbf_below) {
+  int sig;
+  if (log2 == 2) {
+    sig = kSigCtx4x4[(yC << 2) + xC];
+  } else if ((xC | yC) == 0) {
+    sig = 0;
+  } else {
+    int prev = csbf_right + 2 * csbf_below;
+    int xP = xC & 3, yP = yC & 3;
+    if (prev == 0)
+      sig = (xP + yP == 0) ? 2 : (xP + yP < 3) ? 1 : 0;
+    else if (prev == 1)
+      sig = (yP == 0) ? 2 : (yP == 1) ? 1 : 0;
+    else if (prev == 2)
+      sig = (xP == 0) ? 2 : (xP == 1) ? 1 : 0;
+    else
+      sig = 2;
+    if (cidx == 0) {
+      if ((xC >> 2) | (yC >> 2)) sig += 3;
+      sig += (log2 == 3) ? (scan_idx == 0 ? 9 : 15) : 21;
+    } else {
+      sig += (log2 == 3) ? 9 : 12;
+    }
+  }
+  return sig + (cidx ? 27 : 0);
+}
+
+// Decodes one residual block into coeffs[size*size] (raster, zeroed by
+// caller).  `mode` is the intra pred mode (scan selection).
+bool residual_coding(Ctx& c, Cabac& cb, HevcContexts& cx, int log2, int cidx,
+                     int mode, int16_t* coeffs) {
+  // scan selection (7.4.9.11)
+  int scan_idx = 0;
+  if (log2 == 2 || (log2 == 3 && cidx == 0)) {
+    if (mode >= 6 && mode <= 14)
+      scan_idx = 2;
+    else if (mode >= 22 && mode <= 30)
+      scan_idx = 1;
+  }
+
+  // last significant coefficient position (9.3.4.2.3)
+  int cmax = (log2 << 1) - 1;
+  int off, shift;
+  if (cidx == 0) {
+    off = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+    shift = (log2 + 1) >> 2;
+  } else {
+    off = 15;
+    shift = log2 - 2;
+  }
+  int px = 0, py = 0;
+  while (px < cmax && DEC(cb, cx, CTX_LAST_X + off + (px >> shift))) px++;
+  while (py < cmax && DEC(cb, cx, CTX_LAST_Y + off + (py >> shift))) py++;
+  int last_x = px, last_y = py;
+  if (px > 3) {
+    int nb = (px >> 1) - 1;
+    last_x = ((2 + (px & 1)) << nb) + (int)bypass_bits(cb, nb);
+  }
+  if (py > 3) {
+    int nb = (py >> 1) - 1;
+    last_y = ((2 + (py & 1)) << nb) + (int)bypass_bits(cb, nb);
+  }
+  if (scan_idx == 2) {
+    int t = last_x;
+    last_x = last_y;
+    last_y = t;
+  }
+  HTRACE("    RC log2=%d c%d scan=%d last=(%d,%d)\n", log2, cidx, scan_idx,
+         last_x, last_y);
+  int size = 1 << log2;
+  if (last_x >= size || last_y >= size) {
+    c.err = "last coeff out of block";
+    return false;
+  }
+
+  const uint8_t* csc = kScans.coef[scan_idx];
+  const uint8_t* sbs = log2 > 2 ? kScans.sb[scan_idx][log2 - 3] : nullptr;
+  int n_sb = 1 << (2 * (log2 - 2));
+  int sb_w = 1 << (log2 - 2);
+
+  // locate (lastSubBlock, lastScanPos)
+  int last_sb = 0, last_pos = 0;
+  {
+    int sx = last_x >> 2, sy = last_y >> 2;
+    if (log2 > 2) {
+      for (int i = 0; i < n_sb; i++)
+        if ((sbs[i] & 15) == sx && (sbs[i] >> 4) == sy) {
+          last_sb = i;
+          break;
+        }
+    }
+    int ix = last_x & 3, iy = last_y & 3;
+    for (int i = 0; i < 16; i++)
+      if ((csc[i] & 15) == ix && (csc[i] >> 4) == iy) {
+        last_pos = i;
+        break;
+      }
+  }
+
+  memset(c.csbf, 0, sizeof(c.csbf));
+  int prev_gt1_ctx = -1;  // -1 = first processed subset
+
+  for (int i = last_sb; i >= 0; i--) {
+    int xS = log2 > 2 ? (sbs[i] & 15) : 0;
+    int yS = log2 > 2 ? (sbs[i] >> 4) : 0;
+    int csbf_right = (xS + 1 < sb_w) ? c.csbf[yS * sb_w + xS + 1] : 0;
+    int csbf_below = (yS + 1 < sb_w) ? c.csbf[(yS + 1) * sb_w + xS] : 0;
+    int infer_dc = 0;
+    int csbf = 1;
+    if (i < last_sb && i > 0) {
+      int inc = ((csbf_right | csbf_below) ? 1 : 0) + (cidx ? 2 : 0);
+      csbf = DEC(cb, cx, CTX_SIG_GROUP + inc);
+      infer_dc = 1;
+    }
+    c.csbf[yS * sb_w + xS] = (uint8_t)csbf;
+    HTRACE("      sb %d (%d,%d) csbf=%d (r%d b%d)\n", i, xS, yS, csbf,
+           csbf_right, csbf_below);
+    if (!csbf) continue;
+
+    // significance map (reverse scan within the subblock)
+    int pos[16], n_sig = 0;
+    int start = (i == last_sb) ? last_pos - 1 : 15;
+    if (i == last_sb) pos[n_sig++] = last_pos;
+    for (int n = start; n >= 0; n--) {
+      if (n > 0 || !infer_dc) {
+        int xC = (xS << 2) | (csc[n] & 15);
+        int yC = (yS << 2) | (csc[n] >> 4);
+        int inc = sig_ctx_inc(log2, cidx, xC, yC, scan_idx, csbf_right,
+                              csbf_below);
+        if (DEC(cb, cx, CTX_SIG_FLAG + inc)) {
+          pos[n_sig++] = n;
+          infer_dc = 0;
+        }
+      } else {
+        // inferred DC significance (n == 0, no sig decoded in subblock)
+        pos[n_sig++] = n;
+      }
+    }
+    if (trace_on()) {
+      fprintf(stderr, "        sig n=%d pos:", n_sig);
+      for (int k = 0; k < n_sig; k++) fprintf(stderr, " %d", pos[k]);
+      fprintf(stderr, "\n");
+    }
+    if (n_sig == 0) continue;
+
+    // greater1 / greater2 (9.3.4.2.6)
+    int ctx_set = (i > 0 && cidx == 0) ? 2 : 0;
+    if (prev_gt1_ctx == 0) ctx_set++;
+    int gt1_ctx = 1;
+    uint8_t gt1[16] = {0};
+    int first_gt1 = -1;
+    int n_flags = n_sig < 8 ? n_sig : 8;
+    for (int k = 0; k < n_flags; k++) {
+      int inc = ctx_set * 4 + (gt1_ctx < 3 ? gt1_ctx : 3) + (cidx ? 16 : 0);
+      gt1[k] = (uint8_t)DEC(cb, cx, CTX_GT1 + inc);
+      if (gt1[k]) {
+        gt1_ctx = 0;
+        if (first_gt1 < 0) first_gt1 = k;
+      } else if (gt1_ctx > 0) {
+        gt1_ctx++;
+      }
+    }
+    prev_gt1_ctx = gt1_ctx;
+    int gt2 = 0;
+    if (first_gt1 >= 0)
+      gt2 = DEC(cb, cx, CTX_GT2 + ctx_set + (cidx ? 4 : 0));
+
+    // signs, then remaining levels.  Sign data hiding (9.3.3.1.3): when
+    // enabled and the subblock's sig span is wide enough, the sign of the
+    // FIRST coefficient in scan order (= last processed here, pos[n_sig-1])
+    // is not coded; it is inferred from the parity of the subblock's
+    // absolute-level sum.  x265 enables SDH by default, so this path is hot.
+    bool sign_hidden = c.pps.sign_data_hiding && n_sig > 1 &&
+                       (pos[0] - pos[n_sig - 1] > 3);
+    int n_coded = n_sig - (sign_hidden ? 1 : 0);
+    uint32_t signs = bypass_bits(cb, n_coded);
+    int rice = 0, last_abs = 0;
+    bool rice_used = false;
+    int levels[16];
+    int sum_abs = 0;
+    for (int k = 0; k < n_sig; k++) {
+      int base = 1 + (k < 8 ? gt1[k] : 0) + (k == first_gt1 ? gt2 : 0);
+      int thresh = k < 8 ? ((k == first_gt1) ? 3 : 2) : 1;
+      int level = base;
+      if (base == thresh) {
+        if (rice_used)
+          rice = (rice < 4 && last_abs > (3 << rice)) ? rice + 1 : rice;
+        int rem = decode_remaining(cb, rice, c.err);
+        if (rem < 0) return false;
+        level = base + rem;
+        last_abs = level;
+        rice_used = true;
+      }
+      levels[k] = level;
+      sum_abs += level;
+    }
+    for (int k = 0; k < n_sig; k++) {
+      int neg = (sign_hidden && k == n_sig - 1)
+                    ? (sum_abs & 1)
+                    : (int)((signs >> (n_coded - 1 - k)) & 1);
+      int n = pos[k];
+      int xC = (xS << 2) | (csc[n] & 15);
+      int yC = (yS << 2) | (csc[n] >> 4);
+      int16_t v = (int16_t)(neg ? -levels[k] : levels[k]);
+      HTRACE("        lvl[%d] pos=%d (%d,%d) = %d\n", k, n, xC, yC, v);
+      coeffs[yC * size + xC] = v;
+    }
+  }
+  if (cb.error()) c.err = "CABAC overrun (residual)";
+  return !cb.error();
+}
+
+// ---- intra mode prediction (8.4.2) ----------------------------------------
+
+int ipm_at(const Ctx& c, int x, int y) {
+  return c.ipm[(y >> 2) * c.w4 + (x >> 2)];
+}
+
+int derive_luma_mode(Ctx& c, int xPb, int yPb, int prev_flag, int idx_or_rem) {
+  // candA: left; candB: above (unavailable / other CTB row -> DC)
+  int candA = 1, candB = 1;  // INTRA_DC
+  if (xPb > 0) {
+    int m = ipm_at(c, xPb - 1, yPb);
+    if (m >= 0) candA = m;
+  }
+  if (yPb > 0 && (yPb & ((1 << c.sps.log2_ctb) - 1)) != 0) {
+    int m = ipm_at(c, xPb, yPb - 1);
+    if (m >= 0) candB = m;
+  }
+  int cand[3];
+  if (candA == candB) {
+    if (candA < 2) {
+      cand[0] = 0;
+      cand[1] = 1;
+      cand[2] = 26;
+    } else {
+      cand[0] = candA;
+      cand[1] = 2 + ((candA + 29) % 32);
+      cand[2] = 2 + ((candA - 2 + 1) % 32);
+    }
+  } else {
+    cand[0] = candA;
+    cand[1] = candB;
+    cand[2] = (candA != 0 && candB != 0) ? 0
+              : ((candA != 1 && candB != 1) ? 1 : 26);
+  }
+  if (prev_flag) return cand[idx_or_rem];
+  // rem_intra_luma_pred_mode: skip over sorted candidates
+  int a = cand[0], b = cand[1], d = cand[2];
+  if (a > b) std::swap(a, b);
+  if (a > d) std::swap(a, d);
+  if (b > d) std::swap(b, d);
+  int mode = idx_or_rem;
+  if (mode >= a) mode++;
+  if (mode >= b) mode++;
+  if (mode >= d) mode++;
+  return mode;
+}
+
+// ---- coding unit / transform tree -----------------------------------------
+
+struct CuState {
+  int part_nxn = 0;
+  int luma_mode[4] = {1, 1, 1, 1};
+  int chroma_mode = 1;
+  int x0 = 0, y0 = 0, log2 = 0;
+};
+
+bool transform_tree(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
+                    int y0, int xBase, int yBase, int log2, int depth,
+                    int blk_idx, int cbf_cb, int cbf_cr);
+
+bool transform_unit(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
+                    int y0, int xBase, int yBase, int log2, int blk_idx,
+                    int cbf_luma, int cbf_cb, int cbf_cr) {
+  const HevcPPS& pps = c.pps;
+  if ((cbf_luma || cbf_cb || cbf_cr) && pps.cu_qp_delta_enabled &&
+      !c.is_qp_coded) {
+    // cu_qp_delta_abs (9.3.3.10): TR prefix cMax 5 + EG0 suffix
+    int v = 0;
+    if (DEC(cb, cx, CTX_CU_QP_DELTA + 0)) {
+      v = 1;
+      while (v < 5 && DEC(cb, cx, CTX_CU_QP_DELTA + 1)) v++;
+      if (v == 5) {
+        int k = 0;
+        while (k < 24 && BYP(cb)) k++;
+        v = 5 + (int)bypass_bits(cb, k) + (1 << k) - 1;
+      }
+    }
+    int sign = v ? (int)BYP(cb) : 0;
+    c.qp_delta = sign ? -v : v;
+    c.is_qp_coded = true;
+  }
+  c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
+
+  // mode covering this TU (for scan selection + recon)
+  int pu = 0;
+  if (cu.part_nxn) {
+    int half = 1 << (cu.log2 - 1);
+    pu = ((y0 - cu.y0) >= half ? 2 : 0) + ((x0 - cu.x0) >= half ? 1 : 0);
+  }
+  int lmode = cu.luma_mode[pu];
+  int cmode = cu.chroma_mode;
+
+  int size = 1 << log2;
+  static thread_local std::vector<int16_t> buf;
+  buf.assign((size_t)size * size, 0);
+  if (cbf_luma &&
+      !residual_coding(c, cb, cx, log2, 0, lmode, buf.data()))
+    return false;
+  if (!emit_tu(c, x0, y0, log2, 0, lmode, c.qpy_cur, cbf_luma, buf.data()))
+    return false;
+
+  int qp_cb = chroma_qp(c.qpy_cur, pps.cb_qp_offset + c.sh.cb_qp_offset);
+  int qp_cr = chroma_qp(c.qpy_cur, pps.cr_qp_offset + c.sh.cr_qp_offset);
+  if (log2 > 2) {
+    int cl = log2 - 1, cs = 1 << cl;
+    buf.assign((size_t)cs * cs, 0);
+    if (cbf_cb && !residual_coding(c, cb, cx, cl, 1, cmode, buf.data()))
+      return false;
+    if (!emit_tu(c, x0 >> 1, y0 >> 1, cl, 1, cmode, qp_cb, cbf_cb,
+                 buf.data()))
+      return false;
+    buf.assign((size_t)cs * cs, 0);
+    if (cbf_cr && !residual_coding(c, cb, cx, cl, 2, cmode, buf.data()))
+      return false;
+    if (!emit_tu(c, x0 >> 1, y0 >> 1, cl, 2, cmode, qp_cr, cbf_cr,
+                 buf.data()))
+      return false;
+  } else if (blk_idx == 3) {
+    // 4x4 chroma TU covering the four 4x4 luma TUs at (xBase, yBase)
+    buf.assign(16, 0);
+    if (cbf_cb && !residual_coding(c, cb, cx, 2, 1, cmode, buf.data()))
+      return false;
+    if (!emit_tu(c, xBase >> 1, yBase >> 1, 2, 1, cmode, qp_cb, cbf_cb,
+                 buf.data()))
+      return false;
+    buf.assign(16, 0);
+    if (cbf_cr && !residual_coding(c, cb, cx, 2, 2, cmode, buf.data()))
+      return false;
+    if (!emit_tu(c, xBase >> 1, yBase >> 1, 2, 2, cmode, qp_cr, cbf_cr,
+                 buf.data()))
+      return false;
+  }
+  return true;
+}
+
+bool transform_tree(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
+                    int y0, int xBase, int yBase, int log2, int depth,
+                    int blk_idx, int cbf_cb, int cbf_cr) {
+  const HevcSPS& sps = c.sps;
+  int max_depth = sps.max_trafo_depth_intra + (cu.part_nxn ? 1 : 0);
+  int intra_split_force = cu.part_nxn && depth == 0;
+  int split;
+  if (log2 <= sps.log2_max_tb && log2 > sps.log2_min_tb &&
+      depth < max_depth && !intra_split_force) {
+    split = DEC(cb, cx, CTX_SPLIT_TRANSFORM + (5 - log2));
+  } else {
+    split = (log2 > sps.log2_max_tb) || intra_split_force;
+  }
+  if (log2 > 2) {
+    if (depth == 0 || cbf_cb)
+      cbf_cb = DEC(cb, cx, CTX_CBF_CB_CR + depth);
+    else
+      cbf_cb = 0;
+    if (depth == 0 || cbf_cr)
+      cbf_cr = DEC(cb, cx, CTX_CBF_CB_CR + depth);
+    else
+      cbf_cr = 0;
+  }
+  if (split) {
+    int h = 1 << (log2 - 1);
+    if (!transform_tree(c, cb, cx, cu, x0, y0, x0, y0, log2 - 1, depth + 1, 0,
+                        cbf_cb, cbf_cr))
+      return false;
+    if (!transform_tree(c, cb, cx, cu, x0 + h, y0, x0, y0, log2 - 1,
+                        depth + 1, 1, cbf_cb, cbf_cr))
+      return false;
+    if (!transform_tree(c, cb, cx, cu, x0, y0 + h, x0, y0, log2 - 1,
+                        depth + 1, 2, cbf_cb, cbf_cr))
+      return false;
+    if (!transform_tree(c, cb, cx, cu, x0 + h, y0 + h, x0, y0, log2 - 1,
+                        depth + 1, 3, cbf_cb, cbf_cr))
+      return false;
+    return true;
+  }
+  // leaf: cbf_luma always coded for intra (7.3.8.8)
+  int cbf_luma = DEC(cb, cx, CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+  HTRACE("  TU (%d,%d) log2=%d d=%d cbf=%d/%d/%d\n", x0, y0, log2, depth,
+         cbf_luma, cbf_cb, cbf_cr);
+  return transform_unit(c, cb, cx, cu, x0, y0, xBase, yBase, log2, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr);
+}
+
+bool coding_unit(Ctx& c, Cabac& cb, HevcContexts& cx, int x0, int y0,
+                 int log2) {
+  const HevcSPS& sps = c.sps;
+  CuState cu;
+  cu.x0 = x0;
+  cu.y0 = y0;
+  cu.log2 = log2;
+  HTRACE("CU (%d,%d) log2=%d\n", x0, y0, log2);
+  // I slice: pred mode is intra; part_mode only at min CB size
+  if (log2 == sps.log2_min_cb)
+    cu.part_nxn = !DEC(cb, cx, CTX_PART_MODE + 0);
+
+  int n_pu = cu.part_nxn ? 4 : 1;
+  int half = 1 << (log2 - 1);
+  int prev[4], val[4];
+  for (int i = 0; i < n_pu; i++)
+    prev[i] = DEC(cb, cx, CTX_PREV_INTRA + 0);
+  for (int i = 0; i < n_pu; i++) {
+    if (prev[i]) {
+      int idx = 0;
+      if (BYP(cb)) idx = BYP(cb) ? 2 : 1;
+      val[i] = idx;
+    } else {
+      val[i] = (int)bypass_bits(cb, 5);
+    }
+  }
+  for (int i = 0; i < n_pu; i++) {
+    int xP = x0 + (cu.part_nxn && (i & 1) ? half : 0);
+    int yP = y0 + (cu.part_nxn && (i & 2) ? half : 0);
+    cu.luma_mode[i] = derive_luma_mode(c, xP, yP, prev[i], val[i]);
+    // store modes on the 4x4 grid as they are derived (later PUs of this
+    // CU may reference earlier ones)
+    int nb = 1 << ((cu.part_nxn ? log2 - 1 : log2) - 2);
+    for (int dy = 0; dy < nb; dy++)
+      for (int dx = 0; dx < nb; dx++)
+        c.ipm[((yP >> 2) + dy) * c.w4 + (xP >> 2) + dx] =
+            (int8_t)cu.luma_mode[i];
+  }
+  // intra_chroma_pred_mode (one for the CU at 4:2:0)
+  if (DEC(cb, cx, CTX_INTRA_CHROMA + 0)) {
+    static const int kList[4] = {0, 26, 10, 1};
+    int v = (int)bypass_bits(cb, 2);
+    cu.chroma_mode = kList[v] == cu.luma_mode[0] ? 34 : kList[v];
+  } else {
+    cu.chroma_mode = cu.luma_mode[0];  // DM
+  }
+
+  if (!transform_tree(c, cb, cx, cu, x0, y0, x0, y0, log2, 0, 0, 0, 0))
+    return false;
+
+  // finalize CU QP (covering area map + qPY_PREV chain)
+  c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
+  int nb = 1 << (log2 - 2);
+  for (int dy = 0; dy < nb; dy++)
+    for (int dx = 0; dx < nb; dx++)
+      c.qpy[((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx] = (int8_t)c.qpy_cur;
+  c.qpy_prev = c.qpy_cur;
+  return true;
+}
+
+bool coding_quadtree(Ctx& c, Cabac& cb, HevcContexts& cx, int x0, int y0,
+                     int log2, int depth) {
+  const HevcSPS& sps = c.sps;
+  const HevcPPS& pps = c.pps;
+  int size = 1 << log2;
+  int split;
+  if (x0 + size <= sps.width && y0 + size <= sps.height &&
+      log2 > sps.log2_min_cb) {
+    int inc = 0;
+    if (x0 > 0) {
+      int d = c.ct_depth[(y0 >> 2) * c.w4 + ((x0 - 1) >> 2)];
+      inc += d > depth;
+    }
+    if (y0 > 0) {
+      int d = c.ct_depth[((y0 - 1) >> 2) * c.w4 + (x0 >> 2)];
+      inc += d > depth;
+    }
+    split = DEC(cb, cx, CTX_SPLIT_CU + inc);
+    HTRACE("QT (%d,%d) log2=%d d=%d split=%d\n", x0, y0, log2, depth, split);
+  } else {
+    split = log2 > sps.log2_min_cb;
+    HTRACE("QT (%d,%d) log2=%d d=%d split=%d (forced)\n", x0, y0, log2,
+           depth, split);
+  }
+  if (pps.cu_qp_delta_enabled &&
+      log2 >= sps.log2_ctb - pps.diff_cu_qp_delta_depth) {
+    // new quantization group: derive qPY_PRED (8.6.1)
+    c.is_qp_coded = false;
+    c.qp_delta = 0;
+    c.qg_x = x0;
+    c.qg_y = y0;
+    c.qpy_prev = c.qpy_prev;  // qPY_PREV carried from the last CU
+    int ctb_mask = (1 << sps.log2_ctb) - 1;
+    int qa = c.qpy_prev, qb = c.qpy_prev;
+    // left neighbor available and in the same CTB
+    if ((x0 & ctb_mask) != 0 && x0 > 0)
+      qa = c.qpy[(y0 >> 2) * c.w4 + ((x0 - 1) >> 2)];
+    if ((y0 & ctb_mask) != 0 && y0 > 0)
+      qb = c.qpy[((y0 - 1) >> 2) * c.w4 + (x0 >> 2)];
+    c.qpy_pred = (qa + qb + 1) >> 1;
+  }
+  if (split) {
+    int h = size >> 1;
+    for (int i = 0; i < 4; i++) {
+      int x1 = x0 + (i & 1 ? h : 0), y1 = y0 + (i & 2 ? h : 0);
+      if (x1 >= sps.width || y1 >= sps.height) continue;
+      if (!coding_quadtree(c, cb, cx, x1, y1, log2 - 1, depth + 1))
+        return false;
+    }
+    return true;
+  }
+  // record coding-tree depth for split_cu_flag contexts
+  int nb = 1 << (log2 - 2);
+  for (int dy = 0; dy < nb; dy++)
+    for (int dx = 0; dx < nb; dx++)
+      c.ct_depth[((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx] = (uint8_t)depth;
+  return coding_unit(c, cb, cx, x0, y0, log2);
+}
+
+// ---- slice ----------------------------------------------------------------
+
+bool parse_slice_header(Ctx& c, BitReader& br, int nal_type,
+                        HevcSliceHeader& sh) {
+  const bool irap = nal_type >= 16 && nal_type <= 23;
+  sh.first_slice = br.u1();
+  if (!sh.first_slice) {
+    c.err = "multi-slice pictures not supported";
+    return false;
+  }
+  if (irap) br.u1();  // no_output_of_prior_pics
+  sh.pps_id = (int)br.ue();
+  auto itp = c.pps_map.find(sh.pps_id);
+  if (itp == c.pps_map.end()) {
+    c.err = "missing PPS";
+    return false;
+  }
+  c.pps = itp->second;
+  auto its = c.sps_map.find(c.pps.sps_id);
+  if (its == c.sps_map.end()) {
+    c.err = "missing SPS";
+    return false;
+  }
+  c.sps = its->second;
+  const HevcSPS& sps = c.sps;
+  const HevcPPS& pps = c.pps;
+  for (int i = 0; i < pps.num_extra_slice_header_bits; i++) br.u1();
+  sh.slice_type = (int)br.ue();
+  if (sh.slice_type != 2) {
+    c.err = "only I slices supported (HEVC inter is staged)";
+    return false;
+  }
+  if (pps.output_flag_present) br.u1();
+  if (nal_type != 19 && nal_type != 20) {  // not IDR: POC + RPS
+    sh.poc_lsb = (int)br.u(sps.log2_max_poc_lsb);
+    if (!br.u1()) {  // short_term_ref_pic_set_sps_flag == 0
+      std::vector<int> ndp;
+      // re-derive counts for preceding SPS sets is not needed: an
+      // explicit set in the slice header with idx == num_st_rps can
+      // inter-predict only from SPS sets, which we did not retain;
+      // x265 I-only streams use IDR (no RPS here).  Parse the common
+      // standalone case (inter_rps_pred == 0).
+      if (!parse_st_rps(br, 0, 0, ndp, c.err)) return false;
+    } else if (sps.num_st_rps > 1) {
+      int bits = 0;
+      while ((1 << bits) < sps.num_st_rps) bits++;
+      br.u(bits);
+    }
+    if (sps.long_term_ref_pics) {
+      c.err = "long-term refs in I slice unsupported";
+      return false;
+    }
+    if (sps.temporal_mvp) br.u1();
+  }
+  if (sps.sao_enabled) {
+    sh.sao_luma = br.u1();
+    sh.sao_chroma = br.u1();
+    if (sh.sao_luma || sh.sao_chroma) {
+      c.err = "SAO-enabled slices not supported";
+      return false;
+    }
+  }
+  sh.slice_qp = pps.init_qp + (int)br.se();
+  if (pps.slice_chroma_qp_offsets_present) {
+    sh.cb_qp_offset = (int)br.se();
+    sh.cr_qp_offset = (int)br.se();
+  }
+  sh.deblocking_disabled = pps.deblocking_disabled;
+  sh.beta_offset = pps.beta_offset;
+  sh.tc_offset = pps.tc_offset;
+  if (pps.deblocking_filter_control_present) {
+    int override_flag =
+        pps.deblocking_filter_override_enabled ? (int)br.u1() : 0;
+    if (override_flag) {
+      sh.deblocking_disabled = br.u1();
+      if (!sh.deblocking_disabled) {
+        sh.beta_offset = (int)br.se();
+        sh.tc_offset = (int)br.se();
+      }
+    }
+  }
+  if (pps.loop_filter_across_slices &&
+      (sh.sao_luma || sh.sao_chroma || !sh.deblocking_disabled))
+    br.u1();  // slice_loop_filter_across_slices_enabled_flag
+  if (pps.slice_header_extension) {
+    int len = (int)br.ue();
+    for (int i = 0; i < len; i++) br.u(8);
+  }
+  // byte_alignment()
+  if (br.u1() != 1) {
+    c.err = "slice header alignment";
+    return false;
+  }
+  while (br.pos() & 7) br.u1();
+  return !br.error();
+}
+
+bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
+  const HevcSPS& sps = c.sps;
+  c.w4 = (sps.width + 3) >> 2;
+  int h4 = (sps.height + 3) >> 2;
+  c.h4 = h4;
+  c.ct_depth.assign((size_t)c.w4 * h4, 0);
+  c.ipm.assign((size_t)c.w4 * h4, -1);
+  c.qpy.assign((size_t)c.w4 * h4, (int8_t)c.sh.slice_qp);
+  c.qpy_prev = c.sh.slice_qp;
+  c.qpy_pred = c.sh.slice_qp;
+  c.qp_delta = 0;
+  c.is_qp_coded = false;
+
+  HevcContexts cx;
+  cx.init(c.sh.slice_qp, 0);  // initType 0 for I slices
+  HTRACE("SLICE qp=%d cabac_start_bit=%zu rbsp_bytes=%zu\n", c.sh.slice_qp,
+         bitpos, rbsp.size());
+  Cabac cb(rbsp.data(), rbsp.size() * 8, bitpos);
+
+  int ctbs = sps.ctb_w() * sps.ctb_h();
+  int lg = sps.log2_ctb;
+  for (int ctb = 0; ctb < ctbs; ctb++) {
+    int x0 = (ctb % sps.ctb_w()) << lg;
+    int y0 = (ctb / sps.ctb_w()) << lg;
+    c.ctb_x = x0;
+    c.ctb_y = y0;
+    if (!coding_quadtree(c, cb, cx, x0, y0, lg, 0)) return false;
+    int eos = TERM(cb);
+    HTRACE("CTB %d/%d done eos=%d err=%d\n", ctb, ctbs, eos, (int)cb.error());
+    if (cb.error()) {
+      c.err = "CABAC overrun";
+      return false;
+    }
+    if (eos != (ctb == ctbs - 1)) {
+      c.err = eos ? "early end_of_slice" : "missing end_of_slice";
+      return false;
+    }
+  }
+  return true;
+}
+
+// hvcC box (ISO 14496-15 8.3.3.1): arrays of parameter-set NALs.
+bool parse_hvcc(Ctx& c, const uint8_t* p, int n) {
+  if (n < 23) {
+    c.err = "hvcC too short";
+    return false;
+  }
+  c.nal_length_size = (p[21] & 3) + 1;
+  int num_arrays = p[22];
+  int pos = 23;
+  for (int a = 0; a < num_arrays; a++) {
+    if (pos + 3 > n) {
+      c.err = "hvcC truncated";
+      return false;
+    }
+    int nalus = (p[pos + 1] << 8) | p[pos + 2];
+    pos += 3;
+    for (int u = 0; u < nalus; u++) {
+      if (pos + 2 > n) {
+        c.err = "hvcC truncated";
+        return false;
+      }
+      int len = (p[pos] << 8) | p[pos + 1];
+      pos += 2;
+      if (pos + len > n || len < 2) {
+        c.err = "hvcC truncated";
+        return false;
+      }
+      int nal_type = (p[pos] >> 1) & 63;
+      auto rbsp = strip_ep(p + pos + 2, len - 2);
+      BitReader br(rbsp.data(), rbsp.size());
+      if (nal_type == 33) {
+        HevcSPS sps;
+        if (!parse_sps(br, sps, c.err)) return false;
+        c.sps_map[sps.sps_id] = sps;
+        c.sps = sps;
+        c.have_active = true;
+      } else if (nal_type == 34) {
+        HevcPPS pps;
+        if (!parse_pps(br, pps, c.err)) return false;
+        c.pps_map[pps.pps_id] = pps;
+        c.pps = pps;
+      }  // VPS (32) / SEI: ignored
+      pos += len;
+    }
+  }
+  if (!c.have_active) {
+    c.err = "no SPS in hvcC";
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+}  // namespace hwhevc
+
+// ---- C ABI -----------------------------------------------------------------
+
+using hwhevc::Ctx;
+using hwhevc::PublicCtx;
+
+HW_API void* hw_hevc_open(const uint8_t* hvcc, int len, char* err,
+                          int errlen) {
+  auto* p = new PublicCtx();
+  if (!hwhevc::parse_hvcc(p->c, hvcc, len)) {
+    snprintf(err, errlen, "%s", p->c.err.c_str());
+    delete p;
+    return nullptr;
+  }
+  return p;
+}
+
+HW_API void hw_hevc_close(void* h) { delete static_cast<PublicCtx*>(h); }
+
+HW_API const char* hw_hevc_error(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  snprintf(p->errbuf, sizeof(p->errbuf), "%s", p->c.err.c_str());
+  return p->errbuf;
+}
+
+// Luma dims + conformance crop (left, right, top, bottom in luma samples).
+HW_API int hw_hevc_dims(void* h, int* w, int* h_out, int* crop) {
+  auto& sps = static_cast<PublicCtx*>(h)->c.sps;
+  if (!sps.valid) return -1;
+  *w = sps.width;
+  *h_out = sps.height;
+  // 4:2:0: conformance window offsets are in chroma units (SubWidthC=2)
+  crop[0] = sps.conf_win[0] * 2;
+  crop[1] = sps.conf_win[1] * 2;
+  crop[2] = sps.conf_win[2] * 2;
+  crop[3] = sps.conf_win[3] * 2;
+  return 0;
+}
+
+HW_API int hw_hevc_ctb_log2(void* h) {
+  return static_cast<PublicCtx*>(h)->c.sps.log2_ctb;
+}
+
+// Decode the samples of one span into flat TU-entry SoA output.
+// Returns the number of frames decoded, or -1 on error.
+HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
+                              const uint64_t* offsets, const uint64_t* sizes,
+                              int n_samples, hwhevc::HevcOut* out) {
+  auto* p = static_cast<PublicCtx*>(h);
+  Ctx& c = p->c;
+  c.err.clear();
+  c.out = out;
+  c.tu_used = 0;
+  c.coef_used = 0;
+
+  for (int s = 0; s < n_samples; s++) {
+    const uint8_t* sample = data + offsets[s];
+    size_t size = sizes[s];
+    size_t pos = 0;
+    out->tu_off[s] = (int32_t)c.tu_used;
+    bool got_slice = false;
+    while (pos + c.nal_length_size <= size) {
+      uint64_t nal_len = 0;
+      for (int i = 0; i < c.nal_length_size; i++)
+        nal_len = (nal_len << 8) | sample[pos + i];
+      pos += c.nal_length_size;
+      if (nal_len < 2 || pos + nal_len > size) {
+        c.err = "bad NAL length";
+        return -1;
+      }
+      int nal_type = (sample[pos] >> 1) & 63;
+      if (nal_type == 33 || nal_type == 34) {
+        auto rbsp = hwhevc::strip_ep(sample + pos + 2, nal_len - 2);
+        hwh264::BitReader br(rbsp.data(), rbsp.size());
+        if (nal_type == 33) {
+          hwhevc::HevcSPS sps;
+          if (!hwhevc::parse_sps(br, sps, c.err)) return -1;
+          c.sps_map[sps.sps_id] = sps;
+        } else {
+          hwhevc::HevcPPS pps;
+          if (!hwhevc::parse_pps(br, pps, c.err)) return -1;
+          c.pps_map[pps.pps_id] = pps;
+        }
+      } else if (nal_type <= 31) {  // VCL
+        if (got_slice) {
+          c.err = "multiple slices per picture not supported";
+          return -1;
+        }
+        auto rbsp = hwhevc::strip_ep(sample + pos + 2, nal_len - 2);
+        hwh264::BitReader br(rbsp.data(), rbsp.size());
+        c.sh = hwhevc::HevcSliceHeader();
+        if (!hwhevc::parse_slice_header(c, br, nal_type, c.sh)) return -1;
+        if (!hwhevc::decode_slice(c, rbsp, br.pos())) {
+          // HWANG_HEVC_PARTIAL=1: keep everything decoded so far (debug
+          // aid — recon of the partial TU stream localizes a desync)
+          const char* pe = getenv("HWANG_HEVC_PARTIAL");
+          if (pe && pe[0] == '1') {
+            fprintf(stderr, "hevc partial: frame %d err: %s\n", s,
+                    c.err.c_str());
+            out->n_tu[s] = (int32_t)(c.tu_used - out->tu_off[s]);
+            for (int r = s + 1; r < n_samples; r++) {
+              out->tu_off[r] = (int32_t)c.tu_used;
+              out->n_tu[r] = 0;
+            }
+            out->used_tu = c.tu_used;
+            out->used_coeff = c.coef_used;
+            return n_samples;
+          }
+          return -1;
+        }
+        got_slice = true;
+      }
+      pos += nal_len;
+    }
+    if (!got_slice) {
+      c.err = "sample without a slice";
+      return -1;
+    }
+    out->n_tu[s] = (int32_t)(c.tu_used - out->tu_off[s]);
+    if (out->deblock_disabled) out->deblock_disabled[s] = c.sh.deblocking_disabled;
+  }
+  out->used_tu = c.tu_used;
+  out->used_coeff = c.coef_used;
+  return n_samples;
+}

@@ -1,0 +1,113 @@
+// HEVC syntax structures for the host entropy decoder (I-slice scope).
+//
+// Mirrors the H.264 front-end design (h264_types.h): the host parses
+// NAL units, parameter sets, slice segment headers and the CTU CABAC
+// layer, emitting transform-unit entries (spatial position, size,
+// intra mode, QP, coefficients in raster order) that a reconstruction
+// path consumes.  Reference parity: the upstream reference decodes
+// HEVC only by delegating to FFmpeg/NVDEC
+// (software_video_decoder.cpp:122-136); this front-end is the part it
+// never built.
+//
+// Scope: 4:2:0, 8-bit, I slices, no tiles/WPP, no scaling lists, no
+// PCM.  Inter slices are staged next (the transport/recon split is
+// codec-agnostic).
+#pragma once
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+namespace hwhevc {
+
+struct HevcSPS {
+  bool valid = false;
+  int sps_id = 0;
+  int chroma_format_idc = 1;
+  int width = 0, height = 0;          // pic_{width,height}_in_luma_samples
+  int conf_win[4] = {0, 0, 0, 0};     // left right top bottom (chroma units)
+  int bit_depth_luma = 8, bit_depth_chroma = 8;
+  int log2_max_poc_lsb = 8;           // +4
+  int log2_min_cb = 3;                // log2_min_luma_coding_block_size
+  int log2_ctb = 6;                   // min_cb + log2_diff_max_min
+  int log2_min_tb = 2;
+  int log2_max_tb = 5;
+  int max_trafo_depth_inter = 0;
+  int max_trafo_depth_intra = 0;
+  bool scaling_list_enabled = false;
+  bool amp_enabled = false;
+  bool sao_enabled = false;
+  bool pcm_enabled = false;
+  int num_st_rps = 0;
+  bool long_term_ref_pics = false;
+  bool temporal_mvp = false;
+  bool strong_intra_smoothing = false;
+
+  int ctb_w() const { return (width + (1 << log2_ctb) - 1) >> log2_ctb; }
+  int ctb_h() const { return (height + (1 << log2_ctb) - 1) >> log2_ctb; }
+};
+
+struct HevcPPS {
+  bool valid = false;
+  int pps_id = 0;
+  int sps_id = 0;
+  bool dependent_slice_segments = false;
+  bool output_flag_present = false;
+  int num_extra_slice_header_bits = 0;
+  bool sign_data_hiding = false;
+  bool cabac_init_present = false;
+  int num_ref_l0 = 1, num_ref_l1 = 1;
+  int init_qp = 26;                   // 26 + init_qp_minus26
+  bool constrained_intra_pred = false;
+  bool transform_skip = false;
+  bool cu_qp_delta_enabled = false;
+  int diff_cu_qp_delta_depth = 0;
+  int cb_qp_offset = 0, cr_qp_offset = 0;
+  bool slice_chroma_qp_offsets_present = false;
+  bool weighted_pred = false, weighted_bipred = false;
+  bool transquant_bypass = false;
+  bool tiles_enabled = false;
+  bool entropy_coding_sync = false;
+  bool loop_filter_across_slices = true;
+  bool deblocking_filter_control_present = false;
+  bool deblocking_filter_override_enabled = false;
+  bool deblocking_disabled = false;
+  int beta_offset = 0, tc_offset = 0;  // /2 values as parsed, *2 applied
+  bool lists_modification = false;
+  int log2_parallel_merge_level = 2;
+  bool slice_header_extension = false;
+};
+
+struct HevcSliceHeader {
+  bool first_slice = true;
+  int pps_id = 0;
+  int slice_type = 2;                 // 0=B 1=P 2=I
+  int poc_lsb = 0;
+  int slice_qp = 26;
+  int cb_qp_offset = 0, cr_qp_offset = 0;
+  bool sao_luma = false, sao_chroma = false;
+  bool deblocking_disabled = false;
+  int beta_offset = 0, tc_offset = 0;
+};
+
+// Flat transform-unit entry output (SoA, caller-allocated; see
+// hwang_tpu/models/hevc/entropy.py for the Python-side layout).
+// Entries appear in DECODE (z-)order — the reconstruction order.
+struct HevcOut {
+  int32_t* n_tu = nullptr;        // [F] TU-entry count per frame
+  int32_t* tu_off = nullptr;      // [F] first entry index per frame
+  uint16_t* tu_x = nullptr;       // component-plane x (chroma on chroma grid)
+  uint16_t* tu_y = nullptr;
+  uint8_t* tu_log2 = nullptr;     // component-plane transform size log2
+  uint8_t* tu_cidx = nullptr;     // 0=Y 1=Cb 2=Cr
+  uint8_t* tu_mode = nullptr;     // intra pred mode 0..34
+  int8_t* tu_qp = nullptr;        // component QP (chroma already mapped)
+  uint8_t* tu_cbf = nullptr;      // 1 = coefficients present
+  int64_t* tu_coef_off = nullptr; // start into coeff[] (valid when cbf)
+  int16_t* coeff = nullptr;       // raster-order coeffs, concatenated
+  uint8_t* deblock_disabled = nullptr;  // [F]
+  int64_t cap_tu = 0, cap_coeff = 0;    // capacities (in)
+  int64_t used_tu = 0, used_coeff = 0;  // totals (out)
+};
+
+}  // namespace hwhevc
