@@ -1,0 +1,194 @@
+"""Host-side preparation of HEVC TU streams for the JAX recon scan.
+
+Turns HevcGopTensors (decode-order TU entries from the native entropy
+decoder) into per-plane SoA arrays consumed by recon_jax.decode_planes.
+The decode-order-dependent parts of intra prediction — reference
+availability and the 8.4.4.2.2 substitution chain — are resolved HERE,
+on the host, into a per-TU index permutation `subst`: on device,
+obtaining the canonical reference vector is then a single
+take_along_axis, with no data-dependent control flow left in the
+compiled program.
+
+Per-component independence: luma TUs only reference the luma plane and
+chroma TUs their own chroma plane, so the three planes decode as
+independent scans (chroma planes batch together as extra "frames").
+
+Scope gate: TU sizes 4/8/16 (see tables.py).  Larger TUs raise
+UnsupportedStream, which the TPU backend turns into SOFTWARE fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import tables
+
+MARGIN_TL = 1    # left/top plane margin (refs at x0-1 / y0-1)
+MARGIN_BR = 32   # right/bottom margin (top refs reach x0 + 2*16 - 1)
+
+# raw window layout on device (length 66):
+#   0..31  plane[y0 + i, x0-1]      (left column)
+#   32     plane[y0-1, x0-1]        (corner)
+#   33..64 plane[y0-1, x0 + i]      (top row)
+#   65     the constant 128         (nothing-available fallback)
+RAW_CONST = 65
+
+
+class UnsupportedStream(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class PlanePrep:
+    """SoA TU arrays for one plane scan; all leading dims [T, F]."""
+
+    h: int              # unpadded plane height
+    w: int
+    n_steps: int        # T
+    n_seq: int          # F (luma: frames; chroma: 2*frames)
+    x0: np.ndarray      # [T, F] int32 PADDED plane coords
+    y0: np.ndarray
+    subst: np.ndarray   # [T, F, 65] int32 into the raw window
+    widx: np.ndarray    # [T, F] int32 into tables.w_table()
+    si: np.ndarray      # [T, F] int32 size index (0=4,1=8,2=16)
+    filt: np.ndarray    # [T, F] int32 use-filtered-refs flag
+    mi: np.ndarray      # [T, F] int32 transform index (tables.m_index)
+    qmul: np.ndarray    # [T, F] int32 dequant multiplier (16*levScale)
+    qsh: np.ndarray     # [T, F] int32 net dequant shift, SIGNED:
+    #   d = (c*qmul + rnd) >> qsh  (qsh >= 0, rnd = 1<<(qsh-1) or 0)
+    #   d = (c*qmul) << -qsh       (qsh < 0)
+    # This is the 8.6.3 (coeff*scale + 1<<(bd-1)) >> bd with the qp//6
+    # power pulled out of `scale`, keeping every intermediate in int32
+    # (the naive form needs int64 at high qp).
+    dcadd: np.ndarray   # [T, F] int32 (n)
+    dcshift: np.ndarray  # [T, F] int32 (log2 + 1)
+    mask: np.ndarray    # [T, F] int32 slot validity
+    coeff: np.ndarray   # [T, F, 256] int16, n x n raster at stride 16
+
+
+def _natural_raw(kind: str, i: int) -> int:
+    if kind == "L":
+        return i
+    if kind == "C":
+        return 32
+    return 33 + i  # "T"
+
+
+def _subst_for_tu(done, w4, h, w, x0, y0, n):
+    """Canonical-slot -> raw-window index vector [65] (8.4.4.2.2)."""
+    idx = np.full(tables.N_REF, RAW_CONST, np.int32)
+
+    def avail(x, y):
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return False
+        return bool(done[(y >> 2) * w4 + (x >> 2)])
+
+    # spec search order: left[2n-1] .. left[0], corner, top[0..2n-1]
+    order = [("L", i, x0 - 1, y0 + i) for i in range(2 * n - 1, -1, -1)]
+    order.append(("C", 0, x0 - 1, y0 - 1))
+    order += [("T", i, x0 + i, y0 - 1) for i in range(2 * n)]
+
+    ok = [avail(x, y) for (_, _, x, y) in order]
+    raw = [_natural_raw(k, i) for (k, i, _, _) in order]
+    res = np.full(len(order), RAW_CONST, np.int32)
+    if any(ok):
+        first = ok.index(True)
+        res[0] = raw[0] if ok[0] else raw[first]
+        for j in range(1, len(order)):
+            res[j] = raw[j] if ok[j] else res[j - 1]
+    for j, (k, i, _, _) in enumerate(order):
+        if k == "L":
+            idx[i] = res[j]
+        elif k == "C":
+            idx[32] = res[j]
+        else:
+            idx[33 + i] = res[j]
+    return idx
+
+
+def _filter_flag(mode: int, n: int, luma: bool) -> bool:
+    if not luma or mode == 1 or n == 4:
+        return False
+    thres = {8: 7, 16: 1, 32: 0}[n]
+    return min(abs(mode - 26), abs(mode - 10)) > thres
+
+
+def prep_plane_sequences(t, round_steps: int = 32):
+    """Returns (luma: PlanePrep, chroma: PlanePrep) for all frames of a
+    HevcGopTensors.  Chroma packs Cb and Cr of every frame as separate
+    scan sequences (sequence index = frame*2 + (cidx-1))."""
+    seqs_l = [[] for _ in range(t.n_frames)]
+    seqs_c = [[] for _ in range(2 * t.n_frames)]
+    for f in range(t.n_frames):
+        lo = int(t.tu_off[f])
+        for i in range(lo, lo + int(t.n_tu[f])):
+            c = int(t.tu_cidx[i])
+            (seqs_l[f] if c == 0 else seqs_c[2 * f + c - 1]).append(i)
+
+    W, H = t.width, t.height
+    luma = _prep_sequences(t, seqs_l, H, W, True, round_steps)
+    chroma = _prep_sequences(t, seqs_c, H // 2, W // 2, False, round_steps)
+    return luma, chroma
+
+
+def _prep_sequences(t, seqs, h, w, is_luma, round_steps) -> PlanePrep:
+    F = len(seqs)
+    T = max((len(s) for s in seqs), default=0)
+    T = max(round_steps, -(-T // round_steps) * round_steps)
+    w4 = (w + 3) >> 2
+    h4 = (h + 3) >> 2
+
+    p = PlanePrep(
+        h=h, w=w, n_steps=T, n_seq=F,
+        x0=np.full((T, F), MARGIN_TL, np.int32),
+        y0=np.full((T, F), MARGIN_TL, np.int32),
+        subst=np.full((T, F, tables.N_REF), RAW_CONST, np.int32),
+        widx=np.zeros((T, F), np.int32),
+        si=np.zeros((T, F), np.int32),
+        filt=np.zeros((T, F), np.int32),
+        mi=np.zeros((T, F), np.int32),
+        qmul=np.zeros((T, F), np.int32),
+        qsh=np.zeros((T, F), np.int32),
+        dcadd=np.zeros((T, F), np.int32),
+        dcshift=np.full((T, F), 1, np.int32),
+        mask=np.zeros((T, F), np.int32),
+        coeff=np.zeros((T, F, 256), np.int16),
+    )
+
+    for f, seq in enumerate(seqs):
+        done = np.zeros(h4 * w4, np.uint8)
+        for step, i in enumerate(seq):
+            lg = int(t.tu_log2[i])
+            n = 1 << lg
+            if n not in tables.SIZES:
+                raise UnsupportedStream(
+                    f"TU size {n} outside the supported 4/8/16 set"
+                )
+            x0, y0 = int(t.tu_x[i]), int(t.tu_y[i])
+            mode = int(t.tu_mode[i])
+            cidx = int(t.tu_cidx[i])
+            p.x0[step, f] = x0 + MARGIN_TL
+            p.y0[step, f] = y0 + MARGIN_TL
+            p.subst[step, f] = _subst_for_tu(done, w4, h, w, x0, y0, n)
+            p.widx[step, f] = tables.widx(mode, n, is_luma)
+            p.si[step, f] = tables.SIZES.index(n)
+            p.filt[step, f] = int(_filter_flag(mode, n, is_luma))
+            p.mi[step, f] = tables.m_index(n, cidx)
+            qp = int(t.tu_qp[i])
+            p.qmul[step, f] = 16 * int(tables.LEVEL_SCALE[qp % 6])
+            p.qsh[step, f] = (lg + 3) - (qp // 6)
+            p.dcadd[step, f] = n
+            p.dcshift[step, f] = lg + 1
+            p.mask[step, f] = 1
+            if t.tu_cbf[i]:
+                off = int(t.tu_coef_off[i])
+                co = t.coeff[off:off + n * n].reshape(n, n)
+                p.coeff[step, f].reshape(16, 16)[:n, :n] = co
+            ny = min(n, h - y0)
+            nx = min(n, w - x0)
+            done.reshape(h4, w4)[
+                y0 >> 2 : (y0 + ny + 3) >> 2, x0 >> 2 : (x0 + nx + 3) >> 2
+            ] = 1
+    return p

@@ -1,0 +1,129 @@
+"""HEVC device recon (models/hevc/recon_jax.py) bit-exactness.
+
+Three layers of verification:
+  1. the intra weight-matrix tables reproduce ref_recon.intra_predict
+     for every (mode, size, plane) on random reference samples;
+  2. the host substitution-index prep reproduces _gather_refs under
+     random availability patterns;
+  3. the full device scan reproduces libavcodec on real x265 streams.
+"""
+
+import numpy as np
+import pytest
+
+from hwang_tpu import index_video
+from hwang_tpu.models.hevc import prep as hevc_prep
+from hwang_tpu.models.hevc import tables
+from hwang_tpu.models.hevc.entropy import HevcEntropyDecoder
+from hwang_tpu.models.hevc.ref_recon import _gather_refs, intra_predict
+from hwang_tpu.utils.fixtures import encode_video, oracle_decode_all
+
+_BASE = ("keyint=1:min-keyint=1:no-open-gop=1:ctu=16:no-deblock=1:"
+         "no-sao=1:no-wpp=1:frame-threads=1:aq-mode=0")
+
+
+def _canonical_from_plane(plane, done, x0, y0, n):
+    left, corner, top = _gather_refs(plane, done, x0, y0, n)
+    x = np.zeros(tables.N_REF, np.int64)
+    x[: 2 * n] = left[: 2 * n]
+    x[32] = corner
+    x[33 : 33 + 2 * n] = top[: 2 * n]
+    return x
+
+
+def _table_pred(x, mode, n, luma):
+    """Numpy emulation of the recon_jax step's prediction stages."""
+    si = tables.SIZES.index(n)
+    lg = n.bit_length() - 1
+    dc = (int(tables.dc_table()[si].astype(np.int64) @ x) + n) >> (lg + 1)
+    xf = (tables.filter_table()[si].astype(np.int64) @ x + 2) >> 2
+    use_f = hevc_prep._filter_flag(mode, n, luma)
+    xs = xf if use_f else x
+    xe = np.concatenate([xs, [dc, 1]])
+    W = tables.w_table()[tables.widx(mode, n, luma)].astype(np.int64)
+    pred = np.clip((W @ xe) >> tables.SHIFT, 0, 255)
+    return pred.reshape(16, 16)[:n, :n]
+
+
+@pytest.mark.parametrize("n", tables.SIZES)
+def test_w_tables_match_ref(n):
+    rng = np.random.default_rng(7)
+    H = W = 64
+    plane = rng.integers(0, 256, (H, W), np.int64).astype(np.uint8)
+    done = np.ones(((H + 3) >> 2) * ((W + 3) >> 2), np.uint8)
+    x0, y0 = 16, 16
+    x = _canonical_from_plane(plane, done, x0, y0, n)
+    for mode in range(35):
+        for luma in (True, False):
+            want = np.clip(
+                intra_predict(plane, done, x0, y0, n, mode, int(not luma),
+                              strong_smoothing=True), 0, 255)
+            got = _table_pred(x, mode, n, luma)
+            assert np.array_equal(got, want), (
+                f"mode {mode} n {n} luma {luma}:\n{got}\nvs\n{want}"
+            )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_subst_matches_gather_refs(seed):
+    rng = np.random.default_rng(seed)
+    H = W = 48
+    w4 = (W + 3) >> 2
+    plane = rng.integers(0, 256, (H, W), np.int64).astype(np.uint8)
+    for n in tables.SIZES:
+        for _ in range(20):
+            x0 = int(rng.integers(0, (W - n) // 4 + 1)) * 4
+            y0 = int(rng.integers(0, (H - n) // 4 + 1)) * 4
+            done = (rng.random(((H + 3) >> 2) * w4) < 0.6).astype(np.uint8)
+            left, corner, top = _gather_refs(plane, done, x0, y0, n)
+            want = _canonical_from_plane(plane, done, x0, y0, n)
+            idx = hevc_prep._subst_for_tu(done, w4, H, W, x0, y0, n)
+            # build the raw window exactly as the device does
+            raw = np.full(66, 128, np.int64)
+            for i in range(32):
+                yy = y0 + i
+                if 0 <= yy < H and x0 - 1 >= 0:
+                    raw[i] = plane[yy, x0 - 1]
+                xx = x0 - 1 + i + 1
+                if y0 - 1 >= 0 and 0 <= xx < W:
+                    raw[33 + i] = plane[y0 - 1, xx]
+            if y0 - 1 >= 0 and x0 - 1 >= 0:
+                raw[32] = plane[y0 - 1, x0 - 1]
+            got = raw[idx]
+            used = np.zeros(tables.N_REF, bool)
+            used[: 2 * n] = used[33 : 33 + 2 * n] = used[32] = True
+            assert np.array_equal(got[used], want[used]), (n, x0, y0)
+
+
+def _decode_ours(path):
+    from hwang_tpu.models.hevc.recon_jax import decode_gop_frames
+
+    with open(path, "rb") as f:
+        idx = index_video(f)
+        f.seek(idx.sample_offsets[0])
+        nb = int(idx.sample_offsets[-1] + idx.sample_sizes[-1]
+                 - idx.sample_offsets[0])
+        data = f.read(nb)
+    offs = [int(o - idx.sample_offsets[0]) for o in idx.sample_offsets]
+    sizes = [int(s) for s in idx.sample_sizes]
+    dec = HevcEntropyDecoder(idx.metadata_bytes)
+    t = dec.decode_gop(data, offs, sizes)
+    y, cb, cr = decode_gop_frames(t)
+    return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
+@pytest.mark.parametrize("signhide", [False, True])
+def test_device_recon_bit_exact(tmp_path, signhide):
+    p = str(tmp_path / "clip.mp4")
+    opts = _BASE if signhide else _BASE + ":no-signhide=1"
+    encode_video(p, 3, 48, 32, codec="libx265", profile="main", gop_size=1,
+                 crf=22, extra_opts=opts)
+    y, cb, cr = _decode_ours(p)
+    truth = oracle_decode_all(p, fmt="yuv")
+    for f in range(3):
+        for nm, a, b in (("Y", y[f], truth[f][0]), ("Cb", cb[f], truth[f][1]),
+                         ("Cr", cr[f], truth[f][2])):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.max() == 0, (
+                f"frame {f} {nm}: maxdiff {d.max()} ndiff {(d > 0).sum()}"
+            )
