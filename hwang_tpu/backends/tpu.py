@@ -49,12 +49,17 @@ class TpuSpanDecoder:
         self.crop = self.entropy.crop  # (left, top, right, bottom)
 
     @property
+    def coded_w(self) -> int:
+        return self.mb_width * 16
+
+    @property
+    def coded_h(self) -> int:
+        return self.mb_height * 16
+
+    @property
     def display_size(self) -> tuple[int, int]:
         l, t, r, b = self.crop
-        return (
-            self.mb_width * 16 - l - r,
-            self.mb_height * 16 - t - b,
-        )
+        return (self.coded_w - l - r, self.coded_h - t - b)
 
     def decode_span(self, data, sample_offsets, sample_sizes):
         """Decode one span; returns device YUV arrays (coded size, DECODE
@@ -78,6 +83,53 @@ class TpuSpanDecoder:
         return Ys[0], Us[0], Vs[0], t.n_frames, perm
 
 
+class HevcSpanDecoder:
+    """Span-level HEVC decoder: owned I-slice entropy front-end
+    (native/src/hevc/) + the matmul device recon (models/hevc/recon_jax).
+
+    Streams outside the supported envelope (inter slices, SAO, in-loop
+    deblocking, TUs > 16) raise HwangError, which Decoder turns into the
+    audited SOFTWARE fallback.  The reference decoded HEVC only through
+    FFmpeg/NVDEC (software_video_decoder.cpp:122-136)."""
+
+    def __init__(self, extradata: bytes, n_refs: int | None = None):
+        from ..models.hevc.entropy import HevcEntropyDecoder
+
+        del n_refs  # I-slice scope: no DPB
+        try:
+            self.entropy = HevcEntropyDecoder(extradata)
+        except ValueError as e:
+            raise HwangError(str(e)) from e
+        left, right, top, bottom = self.entropy.crop
+        self.crop = (left, top, right, bottom)  # H.264-span field order
+        self.coded_w = self.entropy.width
+        self.coded_h = self.entropy.height
+
+    @property
+    def display_size(self) -> tuple[int, int]:
+        l, t, r, b = self.crop
+        return (self.coded_w - l - r, self.coded_h - t - b)
+
+    def decode_span(self, data, sample_offsets, sample_sizes):
+        from ..models.hevc.prep import UnsupportedStream
+        from ..models.hevc.recon_jax import decode_gop_frames
+
+        try:
+            t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
+        except ValueError as e:
+            raise HwangError(str(e)) from e
+        if not bool(np.asarray(t.deblock_disabled).all()):
+            raise HwangError(
+                "HEVC TPU path: in-loop deblocking not supported yet"
+            )
+        try:
+            Y, U, V = decode_gop_frames(t)
+        except UnsupportedStream as e:
+            raise HwangError(str(e)) from e
+        # I-only: decode order == display order
+        return Y, U, V, t.n_frames, np.arange(t.n_frames)
+
+
 class TpuVideoDecoder(VideoDecoderInterface):
     """DecoderAutomata-compatible wrapper around TpuSpanDecoder."""
 
@@ -92,12 +144,15 @@ class TpuVideoDecoder(VideoDecoderInterface):
 
     def configure(self, info: FrameInfo, extradata: bytes) -> None:
         codec = codec_name_for_format(info.format)
-        if codec != "h264":
+        if codec == "h264":
+            self._span = TpuSpanDecoder(extradata, n_refs=self._n_refs)
+        elif codec == "hevc":
+            self._span = HevcSpanDecoder(extradata)
+        else:
             raise HwangError(
-                f"TPU decode path supports H.264 only (got {codec}); use "
-                "the SOFTWARE backend for HEVC"
+                f"TPU decode path supports H.264/HEVC (got {codec}); use "
+                "the SOFTWARE backend"
             )
-        self._span = TpuSpanDecoder(extradata, n_refs=self._n_refs)
         self._pending.clear()
         self._queue.clear()
 
@@ -146,8 +201,8 @@ class TpuVideoDecoder(VideoDecoderInterface):
 
         Ys, Us, Vs, n, perm = span.decode_span(blob, offsets, sizes)
         left, top, right, bottom = span.crop
-        W = span.mb_width * 16 - left - right
-        H = span.mb_height * 16 - top - bottom
+        W = span.coded_w - left - right
+        H = span.coded_h - top - bottom
         if self._output_format == "rgb":
             rgb = yuv420_to_rgb(Ys, Us, Vs)
             rgb = rgb[:, top : top + H, left : left + W, :]

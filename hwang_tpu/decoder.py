@@ -65,14 +65,18 @@ class Decoder:
             # fallback — unsupported streams just errored mid-decode.
             try:
                 from .backends.interface import codec_name_for_format
-                from .backends.tpu import TpuSpanDecoder
+                from .backends.tpu import HevcSpanDecoder, TpuSpanDecoder
 
-                if codec_name_for_format(self.video_index.format) != "h264":
+                codec = codec_name_for_format(self.video_index.format)
+                if codec == "h264":
+                    TpuSpanDecoder(self.video_index.metadata_bytes)
+                elif codec == "hevc":
+                    HevcSpanDecoder(self.video_index.metadata_bytes)
+                else:
                     raise HwangError(
-                        f"TPU path is H.264-only (stream is "
+                        f"TPU path supports H.264/HEVC (stream is "
                         f"{self.video_index.format})"
                     )
-                TpuSpanDecoder(self.video_index.metadata_bytes)
             except Exception as e:
                 import warnings
 

@@ -196,3 +196,36 @@ def test_tpu_ipcm_bit_exact(tmp_path, entropy):
                  output_format="yuv420") as d:
         out = d.retrieve(rows)
     _assert_yuv_exact(p, rows, out)
+
+
+def test_tpu_hevc_bit_exact(tmp_path):
+    """HEVC I-only stream through the full TPU path: the owned HEVC
+    entropy front-end (native/src/hevc/) feeding the matmul device recon
+    (models/hevc/recon_jax.py).  The reference only ever decoded HEVC
+    through FFmpeg/NVDEC (software_video_decoder.cpp:122-136)."""
+    p = str(tmp_path / "hevc.mp4")
+    encode_video(
+        p, 5, 96, 80, codec="libx265", profile="main", gop_size=1, crf=24,
+        extra_opts="keyint=1:min-keyint=1:no-open-gop=1:ctu=16:"
+                   "no-deblock=1:no-sao=1:no-wpp=1:frame-threads=1",
+    )
+    rows = [0, 2, 4]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
+def test_tpu_hevc_unsupported_falls_back(tmp_path):
+    """Default x265 settings (deblock+SAO on, inter slices) are outside
+    the TPU HEVC envelope: the decode must fail over to SOFTWARE with the
+    audit warning and still return correct frames."""
+    p = str(tmp_path / "hevc_full.mp4")
+    encode_video(p, 8, 96, 80, codec="libx265", profile="main", gop_size=8)
+    rows = [0, 5]
+    with pytest.warns(UserWarning, match="falling back to SOFTWARE"):
+        with Decoder(p, decoder_type=VideoDecoderType.TPU) as dec:
+            out = dec.retrieve(rows)
+    oracle = oracle_decode_all(p)
+    for got, r in zip(out, rows):
+        assert np.array_equal(got, oracle[r])
