@@ -87,10 +87,10 @@ class HevcSpanDecoder:
     """Span-level HEVC decoder: owned I-slice entropy front-end
     (native/src/hevc/) + the matmul device recon (models/hevc/recon_jax).
 
-    Streams outside the supported envelope (inter slices, SAO, in-loop
-    deblocking, TUs > 16) raise HwangError, which Decoder turns into the
-    audited SOFTWARE fallback.  The reference decoded HEVC only through
-    FFmpeg/NVDEC (software_video_decoder.cpp:122-136)."""
+    Streams outside the supported envelope (inter slices, SAO, TUs > 16)
+    raise HwangError, which Decoder turns into the audited SOFTWARE
+    fallback.  The reference decoded HEVC only through FFmpeg/NVDEC
+    (software_video_decoder.cpp:122-136)."""
 
     def __init__(self, extradata: bytes, n_refs: int | None = None):
         from ..models.hevc.entropy import HevcEntropyDecoder
@@ -118,10 +118,6 @@ class HevcSpanDecoder:
             t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
         except ValueError as e:
             raise HwangError(str(e)) from e
-        if not bool(np.asarray(t.deblock_disabled).all()):
-            raise HwangError(
-                "HEVC TPU path: in-loop deblocking not supported yet"
-            )
         try:
             Y, U, V = decode_gop_frames(t)
         except UnsupportedStream as e:

@@ -35,6 +35,8 @@ class _HevcOut(ctypes.Structure):
         ("tu_coef_off", ctypes.c_void_p),
         ("coeff", ctypes.c_void_p),
         ("deblock_disabled", ctypes.c_void_p),
+        ("qp_map", ctypes.c_void_p),
+        ("dbf", ctypes.c_void_p),
         ("cap_tu", ctypes.c_int64),
         ("cap_coeff", ctypes.c_int64),
         ("used_tu", ctypes.c_int64),
@@ -89,6 +91,9 @@ class HevcGopTensors:
     tu_coef_off: np.ndarray     # [NT] int64 into coeff
     coeff: np.ndarray           # [NC] int16 raster within each TU
     deblock_disabled: np.ndarray  # [F] uint8
+    qp_map: np.ndarray          # [F, h4, w4] int8 luma QpY per 4x4
+    dbf: np.ndarray             # [F, 4] int8: slice beta/tc offsets
+    #   (as-parsed /2 values), PPS cb/cr QP offsets (deblock, 8.7.2.5.5)
 
 
 class HevcEntropyDecoder:
@@ -145,6 +150,8 @@ class HevcEntropyDecoder:
             tu_coef_off=np.zeros(cap_tu, np.int64),
             coeff=np.zeros(cap_coeff, np.int16),
             deblock_disabled=np.zeros(F, np.uint8),
+            qp_map=np.zeros((F, (H + 3) >> 2, (W + 3) >> 2), np.int8),
+            dbf=np.zeros((F, 4), np.int8),
         )
 
         def vp(a):
@@ -156,6 +163,7 @@ class HevcEntropyDecoder:
             tu_mode=vp(t.tu_mode), tu_qp=vp(t.tu_qp), tu_cbf=vp(t.tu_cbf),
             tu_coef_off=vp(t.tu_coef_off), coeff=vp(t.coeff),
             deblock_disabled=vp(t.deblock_disabled),
+            qp_map=vp(t.qp_map), dbf=vp(t.dbf),
             cap_tu=cap_tu, cap_coeff=cap_coeff,
         )
         dptr, downer = as_u8p(data)

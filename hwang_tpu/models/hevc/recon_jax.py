@@ -143,12 +143,151 @@ def decode_planes(p: PlanePrep) -> jax.Array:
     return _decode_core(_consts(), xs, p.h, p.w)
 
 
+# ---------------------------------------------------------------------------
+# Deblocking (8.7.2) — picture-based two-pass, dense on device.
+#
+# HEVC deblocking has no sequential structure: ALL vertical edges filter
+# first, then ALL horizontal edges, edges sit on an 8x8 grid, and a
+# filter touches <= 3 samples per side, so edges never interact within a
+# pass.  Each pass is therefore one reshape into 8-column blocks plus
+# pure elementwise VPU math — no wavefront, no gathers.  All QP/edge-map
+# derivation happens on the host (deblock_ref.deblock_params); the
+# device sees dense per-edge beta/tc planes where 0 = edge off.
+# ---------------------------------------------------------------------------
+
+
+def _luma_pass(pl, beta, tc):
+    """One direction of luma deblock.  pl [F, H, W] int32 with edges at
+    columns 8, 16, ...; beta/tc [F, H//4, W//8 - 1]."""
+    F, H, W = pl.shape
+    K = W // 8 - 1
+    if K <= 0:
+        return pl
+    S = pl.reshape(F, H, W // 8, 8)
+    w8 = jnp.concatenate([S[:, :, :-1, 4:], S[:, :, 1:, :4]], axis=3)
+    w8 = w8.reshape(F, H // 4, 4, K, 8)
+    p3, p2, p1, p0 = (w8[..., i] for i in range(4))     # [F, h4, 4, K]
+    q0, q1, q2, q3 = (w8[..., i] for i in range(4, 8))
+    dp = jnp.abs(p2 - 2 * p1 + p0)
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+    d = dp[:, :, 0] + dp[:, :, 3] + dq[:, :, 0] + dq[:, :, 3]  # [F,h4,K]
+    on = d < beta  # beta==0 => edge off
+
+    def sharp(i):
+        return ((2 * (dp[:, :, i] + dq[:, :, i]) < (beta >> 2))
+                & (jnp.abs(p3[:, :, i] - p0[:, :, i])
+                   + jnp.abs(q0[:, :, i] - q3[:, :, i]) < (beta >> 3))
+                & (jnp.abs(p0[:, :, i] - q0[:, :, i])
+                   < ((5 * tc + 1) >> 1)))
+
+    strong = sharp(0) & sharp(3)
+    tc4 = tc[:, :, None, :]
+
+    def c3(lo, hi, v):
+        return jnp.clip(v, lo, hi)
+
+    # strong (8.7.2.5.6)
+    p0s = c3(p0 - 2 * tc4, p0 + 2 * tc4,
+             (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    p1s = c3(p1 - 2 * tc4, p1 + 2 * tc4, (p2 + p1 + p0 + q0 + 2) >> 2)
+    p2s = c3(p2 - 2 * tc4, p2 + 2 * tc4,
+             (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    q0s = c3(q0 - 2 * tc4, q0 + 2 * tc4,
+             (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+    q1s = c3(q1 - 2 * tc4, q1 + 2 * tc4, (q2 + q1 + q0 + p0 + 2) >> 2)
+    q2s = c3(q2 - 2 * tc4, q2 + 2 * tc4,
+             (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+    # weak (8.7.2.5.7)
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    won = jnp.abs(delta) < tc4 * 10
+    dcl = c3(-tc4, tc4, delta)
+    p0w = jnp.where(won, c3(0, 255, p0 + dcl), p0)
+    q0w = jnp.where(won, c3(0, 255, q0 - dcl), q0)
+    side = (beta + (beta >> 1)) >> 3
+    dEp = ((dp[:, :, 0] + dp[:, :, 3]) < side)[:, :, None, :]
+    dEq = ((dq[:, :, 0] + dq[:, :, 3]) < side)[:, :, None, :]
+    th = tc4 >> 1
+    dp1 = c3(-th, th, (((p2 + p0 + 1) >> 1) - p1 + dcl) >> 1)
+    dq1 = c3(-th, th, (((q2 + q0 + 1) >> 1) - q1 - dcl) >> 1)
+    p1w = jnp.where(won & dEp, c3(0, 255, p1 + dp1), p1)
+    q1w = jnp.where(won & dEq, c3(0, 255, q1 + dq1), q1)
+
+    onx = on[:, :, None, :]
+    stx = strong[:, :, None, :]
+
+    def pick(s, w, orig):
+        return jnp.where(onx, jnp.where(stx, s, w), orig)
+
+    w8n = jnp.stack(
+        [p3, pick(p2s, p2, p2), pick(p1s, p1w, p1), pick(p0s, p0w, p0),
+         pick(q0s, q0w, q0), pick(q1s, q1w, q1), pick(q2s, q2, q2), q3],
+        axis=-1).reshape(F, H, K * 8)
+    return jnp.concatenate(
+        [pl[:, :, :4], w8n, pl[:, :, W - 4:]], axis=2)
+
+
+def _chroma_pass(pl, tc):
+    """One direction of chroma deblock.  pl [B, Hc, Wc] int32; edges at
+    chroma columns 8, 16, ...; tc [B, Hc//4, Wc//8 - 1] (0 = off)."""
+    B, Hc, Wc = pl.shape
+    # chroma planes are multiples of 4, not 8: pad to the block grid
+    # (the filter never reads q2/q3, so zero-pad cols are never read)
+    Wp = -(-Wc // 8) * 8
+    K = Wp // 8 - 1
+    if K <= 0:
+        return pl
+    if Wp != Wc:
+        pl = jnp.pad(pl, ((0, 0), (0, 0), (0, Wp - Wc)))
+    S = pl.reshape(B, Hc, Wp // 8, 8)
+    p1 = S[:, :, :-1, 6].reshape(B, Hc // 4, 4, K)
+    p0 = S[:, :, :-1, 7].reshape(B, Hc // 4, 4, K)
+    q0 = S[:, :, 1:, 0].reshape(B, Hc // 4, 4, K)
+    q1 = S[:, :, 1:, 1].reshape(B, Hc // 4, 4, K)
+    tc4 = tc[:, :, None, :]
+    delta = jnp.clip(((((q0 - p0) << 2) + p1 - q1 + 4) >> 3), -tc4, tc4)
+    p0n = jnp.clip(p0 + delta, 0, 255).reshape(B, Hc, K)
+    q0n = jnp.clip(q0 - delta, 0, 255).reshape(B, Hc, K)
+    col7 = jnp.concatenate([p0n, S[:, :, -1:, 7]], axis=2)
+    col0 = jnp.concatenate([S[:, :, :1, 0], q0n], axis=2)
+    S = jnp.concatenate(
+        [col0[..., None], S[:, :, :, 1:7], col7[..., None]], axis=3)
+    return S.reshape(B, Hc, Wp)[:, :, :Wc]
+
+
+@jax.jit
+def _deblock_jax(y, c, prm):
+    """y [F,H,W] uint8, c [2F,Hc,Wc] uint8 (Cb/Cr interleaved), prm from
+    stacked deblock_params.  Returns filtered (y, c)."""
+    yl = _luma_pass(y.astype(jnp.int32), prm["lv_beta"], prm["lv_tc"])
+    yl = jnp.swapaxes(_luma_pass(
+        jnp.swapaxes(yl, 1, 2),
+        jnp.swapaxes(prm["lh_beta"], 1, 2),
+        jnp.swapaxes(prm["lh_tc"], 1, 2)), 1, 2)
+    # chroma: interleave the per-plane tc as batch entries next to c
+    cvs, chs = prm["cv_tc"], prm["ch_tc"]
+    cv = jnp.stack([cvs[..., 0], cvs[..., 1]], axis=1).reshape(
+        (2 * cvs.shape[0],) + cvs.shape[1:3])
+    ch = jnp.stack([chs[..., 0], chs[..., 1]], axis=1).reshape(
+        (2 * chs.shape[0],) + chs.shape[1:3])
+    cl = _chroma_pass(c.astype(jnp.int32), cv)
+    cl = jnp.swapaxes(_chroma_pass(
+        jnp.swapaxes(cl, 1, 2), jnp.swapaxes(ch, 1, 2)), 1, 2)
+    return yl.astype(jnp.uint8), cl.astype(jnp.uint8)
+
+
 def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
     device, coded size (apply t.crop for display)."""
+    from .deblock_ref import deblock_params
     from .prep import prep_plane_sequences
 
     luma, chroma = prep_plane_sequences(t)
     y = decode_planes(luma)
     c = decode_planes(chroma)
+    if not bool(np.asarray(t.deblock_disabled).all()):
+        prm = {}
+        per = [deblock_params(t, f) for f in range(t.n_frames)]
+        for k in per[0]:
+            prm[k] = jnp.asarray(np.stack([p[k] for p in per]))
+        y, c = _deblock_jax(y, c, prm)
     return y, c[0::2], c[1::2]

@@ -1324,6 +1324,17 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
     }
     out->n_tu[s] = (int32_t)(c.tu_used - out->tu_off[s]);
     if (out->deblock_disabled) out->deblock_disabled[s] = c.sh.deblocking_disabled;
+    if (out->qp_map)
+      memcpy(out->qp_map + (int64_t)s * c.w4 * c.h4, c.qpy.data(),
+             c.w4 * c.h4);
+    if (out->dbf) {
+      out->dbf[s * 4 + 0] = (int8_t)c.sh.beta_offset;
+      out->dbf[s * 4 + 1] = (int8_t)c.sh.tc_offset;
+      // deblock uses the PPS-only chroma offsets (8.7.2.5.5
+      // cQpPicOffset), NOT the slice-resolved decode offsets
+      out->dbf[s * 4 + 2] = (int8_t)c.pps.cb_qp_offset;
+      out->dbf[s * 4 + 3] = (int8_t)c.pps.cr_qp_offset;
+    }
   }
   out->used_tu = c.tu_used;
   out->used_coeff = c.coef_used;

@@ -106,6 +106,9 @@ struct HevcOut {
   int64_t* tu_coef_off = nullptr; // start into coeff[] (valid when cbf)
   int16_t* coeff = nullptr;       // raster-order coeffs, concatenated
   uint8_t* deblock_disabled = nullptr;  // [F]
+  int8_t* qp_map = nullptr;   // [F * h4 * w4] luma QpY per 4x4 (deblock)
+  int8_t* dbf = nullptr;      // [F * 4]: slice beta/tc offsets (as-parsed
+                              // /2 values), PPS cb/cr QP offsets (8.7.2.5.5)
   int64_t cap_tu = 0, cap_coeff = 0;    // capacities (in)
   int64_t used_tu = 0, used_coeff = 0;  // totals (out)
 };

@@ -79,3 +79,30 @@ def test_multiframe_gop(tmp_path):
     # several I-frames through one decoder handle: per-frame context
     # reset, slice QP changes between frames
     assert_exact(_mk(tmp_path, "gop4", 4, 64, 48, signhide=True, crf=26))
+
+
+def test_deblock_ref(tmp_path):
+    """Numpy reference deblock (8.7.2) on a deblock-enabled stream."""
+    from hwang_tpu.models.hevc.deblock_ref import deblock_frame
+
+    p = str(tmp_path / "db.mp4")
+    encode_video(p, 3, 64, 48, codec="libx265", profile="main", gop_size=1,
+                 crf=20,
+                 extra_opts="keyint=1:min-keyint=1:no-open-gop=1:ctu=16:"
+                            "no-sao=1:no-wpp=1:frame-threads=1")
+    with open(p, "rb") as f:
+        idx = index_video(f)
+        f.seek(idx.sample_offsets[0])
+        nb = int(idx.sample_offsets[-1] + idx.sample_sizes[-1]
+                 - idx.sample_offsets[0])
+        data = f.read(nb)
+    offs = [int(o - idx.sample_offsets[0]) for o in idx.sample_offsets]
+    sizes = [int(s) for s in idx.sample_sizes]
+    t = HevcEntropyDecoder(idx.metadata_bytes).decode_gop(data, offs, sizes)
+    assert not t.deblock_disabled.any()
+    truth = oracle_decode_all(p, fmt="yuv")
+    for f in range(t.n_frames):
+        planes = deblock_frame(*reconstruct_frame(t, f), t, f)
+        for pi, (a, b) in enumerate(zip(planes, truth[f])):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.max() == 0, f"frame {f} plane {pi}"

@@ -127,3 +127,23 @@ def test_device_recon_bit_exact(tmp_path, signhide):
             assert d.max() == 0, (
                 f"frame {f} {nm}: maxdiff {d.max()} ndiff {(d > 0).sum()}"
             )
+
+
+@pytest.mark.parametrize("crf", [16, 30, 40])
+def test_device_recon_deblock_bit_exact(tmp_path, crf):
+    """Deblocking enabled (x265 default filter, SAO off): the dense
+    two-pass device filter (recon_jax._deblock_jax) must reproduce
+    libavcodec, including the strong/weak select and chroma edges.
+    Odd-block geometry (40x24) exercises the chroma pad path."""
+    p = str(tmp_path / "db.mp4")
+    encode_video(p, 2, 40, 24, codec="libx265", profile="main", gop_size=1,
+                 crf=crf,
+                 extra_opts="keyint=1:min-keyint=1:no-open-gop=1:ctu=16:"
+                            "no-sao=1:no-wpp=1:frame-threads=1")
+    y, cb, cr = _decode_ours(p)
+    truth = oracle_decode_all(p, fmt="yuv")
+    for f in range(2):
+        for nm, a, b in (("Y", y[f], truth[f][0]), ("Cb", cb[f], truth[f][1]),
+                         ("Cr", cr[f], truth[f][2])):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.max() == 0, f"frame {f} {nm}: ndiff {(d > 0).sum()}"
