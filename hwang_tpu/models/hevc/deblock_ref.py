@@ -275,3 +275,65 @@ def deblock_params(t, frame_idx: int):
     chroma(hor.T, qp.T,
            np.swapaxes(out["ch_tc"], 0, 1), wc4, Kch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SAO (8.7.3) — sample adaptive offset, applied to the deblocked picture.
+# Pure per-pixel map: band offsets by intensity band, edge offsets by
+# local min/max category along a per-CTB direction.  No sequential
+# structure at all (neighbors read the PRE-SAO picture).
+# ---------------------------------------------------------------------------
+
+_EO_NEIGHBORS = ((0, -1, 0, 1), (-1, 0, 1, 0),
+                 (-1, -1, 1, 1), (-1, 1, 1, -1))  # (dy0,dx0,dy1,dx1)
+
+
+def sao_frame(y, cb, cr, t, frame_idx: int):
+    """Returns SAO-filtered (y, cb, cr) uint8 planes."""
+    sao = t.sao[frame_idx].astype(np.int32)  # [ctb_h, ctb_w, 3, 6]
+    if not sao[..., 0].any():
+        return y, cb, cr
+    out = []
+    for ci, pl in enumerate((y, cb, cr)):
+        n = 1 << (t.ctb_log2 - (0 if ci == 0 else 1))
+        p = pl.astype(np.int32)
+        H, W = p.shape
+        res = p.copy()
+        # per-class category maps over the whole plane (boundary samples
+        # whose neighbor leaves the picture take category 0)
+        pp = np.pad(p, 1)
+        cats = []
+        for dy0, dx0, dy1, dx1 in _EO_NEIGHBORS:
+            a = pp[1 + dy0:1 + dy0 + H, 1 + dx0:1 + dx0 + W]
+            b = pp[1 + dy1:1 + dy1 + H, 1 + dx1:1 + dx1 + W]
+            raw = 2 + np.sign(p - a) + np.sign(p - b)
+            cat = np.where(raw == 2, 0, np.where(raw < 2, raw + 1, raw))
+            valid = np.ones((H, W), bool)
+            if dx0:
+                valid[:, 0] = valid[:, -1] = False
+            if dy0 or dy1:
+                valid[0, :] = valid[-1, :] = False
+            cats.append(np.where(valid, cat, 0))
+        band = p >> 3
+        for ry in range(sao.shape[0]):
+            for rx in range(sao.shape[1]):
+                typ = sao[ry, rx, ci, 0]
+                if typ == 0:
+                    continue
+                offs = sao[ry, rx, ci, 1:5]
+                pc = sao[ry, rx, ci, 5]
+                ys, xs = ry * n, rx * n
+                ye, xe = min(ys + n, H), min(xs + n, W)
+                blk = p[ys:ye, xs:xe]
+                add = np.zeros_like(blk)
+                if typ == 1:
+                    rel = (band[ys:ye, xs:xe] - pc) & 31
+                    for k in range(4):
+                        add += np.where(rel == k, offs[k], 0)
+                else:
+                    cat = cats[pc][ys:ye, xs:xe]
+                    for k in range(4):
+                        add += np.where(cat == k + 1, offs[k], 0)
+                res[ys:ye, xs:xe] = np.clip(blk + add, 0, 255)
+        out.append(res.astype(np.uint8))
+    return tuple(out)

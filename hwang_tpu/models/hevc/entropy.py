@@ -37,6 +37,7 @@ class _HevcOut(ctypes.Structure):
         ("deblock_disabled", ctypes.c_void_p),
         ("qp_map", ctypes.c_void_p),
         ("dbf", ctypes.c_void_p),
+        ("sao", ctypes.c_void_p),
         ("cap_tu", ctypes.c_int64),
         ("cap_coeff", ctypes.c_int64),
         ("used_tu", ctypes.c_int64),
@@ -94,6 +95,10 @@ class HevcGopTensors:
     qp_map: np.ndarray          # [F, h4, w4] int8 luma QpY per 4x4
     dbf: np.ndarray             # [F, 4] int8: slice beta/tc offsets
     #   (as-parsed /2 values), PPS cb/cr QP offsets (deblock, 8.7.2.5.5)
+    sao: np.ndarray             # [F, ctb_h, ctb_w, 3, 6] int8 per-CTB SAO:
+    #   (type 0/1/2, resolved offsets for bands / edge cats 1..4,
+    #    band_position or eo_class)
+    ctb_log2: int = 6
 
 
 class HevcEntropyDecoder:
@@ -152,6 +157,9 @@ class HevcEntropyDecoder:
             deblock_disabled=np.zeros(F, np.uint8),
             qp_map=np.zeros((F, (H + 3) >> 2, (W + 3) >> 2), np.int8),
             dbf=np.zeros((F, 4), np.int8),
+            sao=np.zeros((F, -(-H // (1 << self.ctb_log2)),
+                          -(-W // (1 << self.ctb_log2)), 3, 6), np.int8),
+            ctb_log2=self.ctb_log2,
         )
 
         def vp(a):
@@ -163,7 +171,7 @@ class HevcEntropyDecoder:
             tu_mode=vp(t.tu_mode), tu_qp=vp(t.tu_qp), tu_cbf=vp(t.tu_cbf),
             tu_coef_off=vp(t.tu_coef_off), coeff=vp(t.coeff),
             deblock_disabled=vp(t.deblock_disabled),
-            qp_map=vp(t.qp_map), dbf=vp(t.dbf),
+            qp_map=vp(t.qp_map), dbf=vp(t.dbf), sao=vp(t.sao),
             cap_tu=cap_tu, cap_coeff=cap_coeff,
         )
         dptr, downer = as_u8p(data)

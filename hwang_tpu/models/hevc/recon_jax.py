@@ -275,6 +275,63 @@ def _deblock_jax(y, c, prm):
     return yl.astype(jnp.uint8), cl.astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# SAO (8.7.3) — per-pixel map over the deblocked picture: band offsets by
+# intensity band, edge offsets by local min/max category along a per-CTB
+# direction.  Neighbors read the PRE-SAO picture, so there is no
+# sequential structure at all: upsample the per-CTB parameters to the
+# pixel grid and apply elementwise.
+# ---------------------------------------------------------------------------
+
+_EO = ((0, -1, 0, 1), (-1, 0, 1, 0), (-1, -1, 1, 1), (-1, 1, 1, -1))
+
+
+def _sao_plane(pl, prm, n):
+    """pl [B,H,W] int32; prm [B,ch,cw,6] int32 per-CTB params; n = CTB
+    size on this plane."""
+    B, H, W = pl.shape
+
+    def up(a):
+        return jnp.repeat(jnp.repeat(a, n, axis=1), n, axis=2)[:, :H, :W]
+
+    typ = up(prm[..., 0])
+    pc = up(prm[..., 5])
+    offs = [up(prm[..., 1 + k]) for k in range(4)]
+
+    band_rel = ((pl >> 3) - pc) & 31
+    boff = sum(jnp.where(band_rel == k, offs[k], 0) for k in range(4))
+
+    pp = jnp.pad(pl, ((0, 0), (1, 1), (1, 1)))
+    catsel = jnp.zeros_like(pl)
+    for cls, (dy0, dx0, dy1, dx1) in enumerate(_EO):
+        a = pp[:, 1 + dy0:1 + dy0 + H, 1 + dx0:1 + dx0 + W]
+        b = pp[:, 1 + dy1:1 + dy1 + H, 1 + dx1:1 + dx1 + W]
+        raw = 2 + jnp.sign(pl - a) + jnp.sign(pl - b)
+        cat = jnp.where(raw == 2, 0, jnp.where(raw < 2, raw + 1, raw))
+        # picture-boundary samples whose neighbor leaves the frame: cat 0
+        valid = np.ones((H, W), bool)
+        if dx0:
+            valid[:, 0] = valid[:, -1] = False
+        if dy0 or dy1:
+            valid[0, :] = valid[-1, :] = False
+        cat = jnp.where(jnp.asarray(valid)[None], cat, 0)
+        catsel = jnp.where(pc == cls, cat, catsel)
+    eoff = sum(jnp.where(catsel == k + 1, offs[k], 0) for k in range(4))
+
+    out = pl + jnp.where(typ == 1, boff, jnp.where(typ == 2, eoff, 0))
+    return jnp.clip(out, 0, 255)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2",))
+def _sao_jax(y, c, sao, ctb_log2):
+    """sao [F, ctbh, ctbw, 3, 6] int32; c is [2F, Hc, Wc] interleaved."""
+    yn = _sao_plane(y.astype(jnp.int32), sao[..., 0, :], 1 << ctb_log2)
+    cprm = jnp.stack([sao[..., 1, :], sao[..., 2, :]], axis=1)
+    cprm = cprm.reshape((2 * sao.shape[0],) + sao.shape[1:3] + (6,))
+    cn = _sao_plane(c.astype(jnp.int32), cprm, 1 << (ctb_log2 - 1))
+    return yn.astype(jnp.uint8), cn.astype(jnp.uint8)
+
+
 def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
     device, coded size (apply t.crop for display)."""
@@ -290,4 +347,6 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
         for k in per[0]:
             prm[k] = jnp.asarray(np.stack([p[k] for p in per]))
         y, c = _deblock_jax(y, c, prm)
+    if bool(np.asarray(t.sao[..., 0]).any()):
+        y, c = _sao_jax(y, c, jnp.asarray(t.sao, jnp.int32), t.ctb_log2)
     return y, c[0::2], c[1::2]

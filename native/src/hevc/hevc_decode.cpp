@@ -401,6 +401,9 @@ struct Ctx {
   // residual-coding scratch
   uint8_t csbf[64];  // coded_sub_block_flag map (8x8 subblock grid max)
 
+  // per-picture SAO parameters, [ctbs * 3 comps * 6] (see parse_sao)
+  std::vector<int8_t> sao;
+
   // output cursors
   HevcOut* out = nullptr;
   int64_t tu_used = 0, coef_used = 0;
@@ -1069,10 +1072,6 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_type,
   if (sps.sao_enabled) {
     sh.sao_luma = br.u1();
     sh.sao_chroma = br.u1();
-    if (sh.sao_luma || sh.sao_chroma) {
-      c.err = "SAO-enabled slices not supported";
-      return false;
-    }
   }
   sh.slice_qp = pps.init_qp + (int)br.se();
   if (pps.slice_chroma_qp_offsets_present) {
@@ -1109,6 +1108,56 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_type,
   return !br.error();
 }
 
+// sao() syntax (7.3.8.3): per-CTB SAO parameters, stored as 6 int8 per
+// component: [type(0 off/1 band/2 edge), off0..off3 (RESOLVED signed
+// SaoOffsetVal for bands / edge categories 1..4), band_pos_or_eo_class].
+bool parse_sao(Ctx& c, Cabac& cb, HevcContexts& cx, int rx, int ry) {
+  int8_t* p = &c.sao[((size_t)ry * c.sps.ctb_w() + rx) * 18];
+  memset(p, 0, 18);
+  int merge_left = rx > 0 ? DEC(cb, cx, CTX_SAO_MERGE) : 0;
+  int merge_up = (!merge_left && ry > 0) ? DEC(cb, cx, CTX_SAO_MERGE) : 0;
+  if (merge_left) {
+    memcpy(p, p - 18, 18);
+    return !cb.error();
+  }
+  if (merge_up) {
+    memcpy(p, p - (size_t)18 * c.sps.ctb_w(), 18);
+    return !cb.error();
+  }
+  for (int ci = 0; ci < 3; ci++) {
+    int8_t* q = p + ci * 6;
+    if (!(ci == 0 ? c.sh.sao_luma : c.sh.sao_chroma)) continue;
+    int t;
+    if (ci == 2) {
+      t = p[6 + 0];  // Cr shares sao_type_idx_chroma with Cb
+    } else {
+      t = DEC(cb, cx, CTX_SAO_TYPE) ? (BYP(cb) ? 2 : 1) : 0;
+    }
+    q[0] = (int8_t)t;
+    if (!t) continue;
+    int abs[4];
+    for (int i = 0; i < 4; i++) {  // TR cMax=7 (8-bit), all bypass
+      int v = 0;
+      while (v < 7 && BYP(cb)) v++;
+      abs[i] = v;
+    }
+    if (t == 1) {  // band offset
+      for (int i = 0; i < 4; i++) {
+        int s = abs[i] ? BYP(cb) : 0;
+        q[1 + i] = (int8_t)(s ? -abs[i] : abs[i]);
+      }
+      q[5] = (int8_t)bypass_bits(cb, 5);  // sao_band_position
+    } else {  // edge offset: categories 1,2 add, 3,4 subtract
+      q[1] = (int8_t)abs[0];
+      q[2] = (int8_t)abs[1];
+      q[3] = (int8_t)-abs[2];
+      q[4] = (int8_t)-abs[3];
+      q[5] = (int8_t)(ci == 2 ? p[6 + 5] : (int)bypass_bits(cb, 2));
+    }
+  }
+  return !cb.error();
+}
+
 bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
   const HevcSPS& sps = c.sps;
   c.w4 = (sps.width + 3) >> 2;
@@ -1130,11 +1179,18 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
 
   int ctbs = sps.ctb_w() * sps.ctb_h();
   int lg = sps.log2_ctb;
+  c.sao.assign((size_t)ctbs * 18, 0);
   for (int ctb = 0; ctb < ctbs; ctb++) {
     int x0 = (ctb % sps.ctb_w()) << lg;
     int y0 = (ctb / sps.ctb_w()) << lg;
     c.ctb_x = x0;
     c.ctb_y = y0;
+    if (c.sh.sao_luma || c.sh.sao_chroma) {
+      if (!parse_sao(c, cb, cx, ctb % sps.ctb_w(), ctb / sps.ctb_w())) {
+        c.err = "CABAC overrun (sao)";
+        return false;
+      }
+    }
     if (!coding_quadtree(c, cb, cx, x0, y0, lg, 0)) return false;
     int eos = TERM(cb);
     HTRACE("CTB %d/%d done eos=%d err=%d\n", ctb, ctbs, eos, (int)cb.error());
@@ -1327,6 +1383,9 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
     if (out->qp_map)
       memcpy(out->qp_map + (int64_t)s * c.w4 * c.h4, c.qpy.data(),
              c.w4 * c.h4);
+    if (out->sao && !c.sao.empty())
+      memcpy(out->sao + (int64_t)s * c.sao.size(), c.sao.data(),
+             c.sao.size());
     if (out->dbf) {
       out->dbf[s * 4 + 0] = (int8_t)c.sh.beta_offset;
       out->dbf[s * 4 + 1] = (int8_t)c.sh.tc_offset;

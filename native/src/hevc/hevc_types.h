@@ -109,6 +109,8 @@ struct HevcOut {
   int8_t* qp_map = nullptr;   // [F * h4 * w4] luma QpY per 4x4 (deblock)
   int8_t* dbf = nullptr;      // [F * 4]: slice beta/tc offsets (as-parsed
                               // /2 values), PPS cb/cr QP offsets (8.7.2.5.5)
+  int8_t* sao = nullptr;      // [F * ctbs * 3 * 6]: per-CTB SAO params
+                              // (type, 4 resolved offsets, band_pos/eo_class)
   int64_t cap_tu = 0, cap_coeff = 0;    // capacities (in)
   int64_t used_tu = 0, used_coeff = 0;  // totals (out)
 };

@@ -147,3 +147,25 @@ def test_device_recon_deblock_bit_exact(tmp_path, crf):
                          ("Cr", cr[f], truth[f][2])):
             d = np.abs(a.astype(int) - b.astype(int))
             assert d.max() == 0, f"frame {f} {nm}: ndiff {(d > 0).sum()}"
+
+
+def test_device_recon_sao_bit_exact(tmp_path):
+    """Full default in-loop filters (deblock + SAO): the per-pixel SAO
+    map (recon_jax._sao_jax) must reproduce libavcodec.  crf 10 on
+    160x128 noise makes x265 switch edge-SAO on for most CTBs."""
+    p = str(tmp_path / "sao.mp4")
+    encode_video(p, 2, 160, 128, codec="libx265", profile="main",
+                 gop_size=1, crf=10,
+                 extra_opts="keyint=1:min-keyint=1:no-open-gop=1:ctu=16:"
+                            "no-wpp=1:frame-threads=1")
+    from hwang_tpu.models.hevc.entropy import HevcEntropyDecoder as D
+    with open(p, "rb") as f:
+        idx = index_video(f)
+    t = D(idx.metadata_bytes)
+    y, cb, cr = _decode_ours(p)
+    truth = oracle_decode_all(p, fmt="yuv")
+    for f in range(2):
+        for nm, a, b in (("Y", y[f], truth[f][0]), ("Cb", cb[f], truth[f][1]),
+                         ("Cr", cr[f], truth[f][2])):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.max() == 0, f"frame {f} {nm}: ndiff {(d > 0).sum()}"
