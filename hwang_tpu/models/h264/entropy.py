@@ -182,6 +182,10 @@ class GopTensors:
     # pack_gop_batch size its buffers without a separate count pass
     sparse_counts: np.ndarray = None
     bipred_idc: int = 0  # PPS weighted_bipred_idc (2 = implicit POC weights)
+    # frame-window slices carry the implicit-B pair weights precomputed
+    # on the FULL span (the builder mixes local and span-global poc
+    # indexing); None everywhere else
+    bi_w_pre: np.ndarray = None
     scaling_w4: np.ndarray = None  # [6,16] raster weights (None = flat 16)
     scaling_w8: np.ndarray = None  # [2,64] 8x8 intra/inter weights
 

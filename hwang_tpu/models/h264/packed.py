@@ -80,6 +80,11 @@ class PackedBatch(NamedTuple):
     # intra-4x4 prediction modes, one 16-byte row per I4x4 macroblock
     i4_pos: jnp.ndarray | None = None  # [Ki] uint16 deltas into [B*F*M]
     i4_val: jnp.ndarray | None = None  # [Ki, 16] uint8 modes
+    # frame-windowed decode: the window's first span-global frame index,
+    # shipped IN the fused blob so window executables need neither a
+    # per-offset recompile nor a separate scalar upload (the relay
+    # charges fixed latency per transfer)
+    f_offset: jnp.ndarray | None = None  # [1] int32
 
 
 _COEFF_BLOCKS = 26
@@ -173,6 +178,38 @@ def pack_flags(tensors) -> dict:
         ),
         "b": any((t.frame_type == 1).any() for t in tensors),
     }
+
+
+def slice_tensors_frames(t, k0: int, k1: int):
+    """GopTensors restricted to decode frames [k0, k1) — the host side
+    of frame-windowed decode (recon_batched decode_gop_fused_win_*).
+
+    Only leading-F arrays slice; `ref_map`/reference ids stay
+    SPAN-GLOBAL so cross-window references resolve against the carried
+    ring ids.  Slices are views (leading-axis slices stay C-contiguous
+    for the native packer)."""
+    import dataclasses as _dc
+
+    F = t.n_frames
+    k0 = min(k0, F)
+    k1 = min(k1, F)
+    kw = {}
+    for fld in _dc.fields(type(t)):
+        v = getattr(t, fld.name)
+        if (isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == F
+                and fld.name not in ("scaling_w4", "scaling_w8",
+                                     "sparse_counts")):
+            kw[fld.name] = v[k0:k1]
+        else:
+            kw[fld.name] = v
+    kw["n_frames"] = max(k1 - k0, 0)
+    # per-SPAN sparse totals don't describe a window; pack re-counts
+    kw["sparse_counts"] = None
+    if getattr(t, "bipred_idc", 0) == 2 and kw["n_frames"] > 0:
+        from .recon import bipred_pair_weights
+
+        kw["bi_w_pre"] = bipred_pair_weights(t)[k0:k1]
+    return type(t)(**kw)
 
 
 def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
@@ -368,7 +405,10 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
             weights_l1[b, :n] = weights_l1_or_identity(t)
         if any_b:
             ridx1[b, :n] = t.refidx_l1
-            bi_w[b, :n] = bipred_pair_weights(t)
+            pre = getattr(t, "bi_w_pre", None)
+            # windows precompute this on the FULL span (the builder mixes
+            # frame-local and span-global poc indexing) and slice it
+            bi_w[b, :n] = pre if pre is not None else bipred_pair_weights(t)
         if any_t8:
             t8[b, :n] = t.transform8
         if any_ipcm:

@@ -675,9 +675,19 @@ def _deblock_b(Y, U, V, meta, mb_w, mb_h, chroma_qp_offset):
 
 
 def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
-                            chroma_qp_offset: int, n_refs: int = 4):
+                            chroma_qp_offset: int, n_refs: int = 4,
+                            ring_in=None, f_offset=None, ring_io=False):
     """Decode a batch of spans: every array has leading [B, F, ...].
-    Returns (Y [B,F,H,W], U, V) uint8."""
+    Returns (Y [B,F,H,W], U, V) uint8.
+
+    Frame windowing: a long span can decode as several calls over frame
+    windows — `ring_in` is the previous window's returned reference-ring
+    carry, `f_offset` (traced scalar) the window's first span-global
+    frame index (ring ids and `ref_map` values are span-global, so MC
+    reference matching works across windows unchanged), and
+    `ring_io=True` additionally returns the final ring carry.  This
+    bounds the compiled program to the window size: the relay's compile
+    helper is killed on 1080p F=64 executables (see pipeline.py)."""
     B, F, M = g.mb_kind.shape
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = H // 2, W // 2
@@ -921,22 +931,23 @@ def decode_gop_batched_core(g: GopArrays, mb_w: int, mb_h: int,
             ring_u = ring_u.at[bidx, pos].set(
                 jnp.where(isr_c, cplanes, ring_u[bidx, pos])
             )
+        gid = (f + f_off).astype(jnp.int32)  # span-global frame id
         ring_ids = ring_ids.at[bidx, pos].set(
-            jnp.where(isr, f.astype(jnp.int32), ring_ids[bidx, pos])
+            jnp.where(isr, gid, ring_ids[bidx, pos])
         )
         return (ring_y, ring_u, ring_v, ring_ids), (Y, U, V)
 
-    _, (Ys, Us, Vs) = jax.lax.scan(
-        frame_step,
-        (ring_y0, ring_u0, ring_v0, ring_ids0),
-        jnp.arange(F),
-    )
+    f_off = jnp.asarray(0 if f_offset is None else f_offset, jnp.int32)
+    carry0 = ring_in if ring_in is not None else (
+        ring_y0, ring_u0, ring_v0, ring_ids0)
+    final, (Ys, Us, Vs) = jax.lax.scan(frame_step, carry0, jnp.arange(F))
     # scan stacks on axis 0 (frames): -> [B, F, H, W]
-    return (
+    out = (
         Ys.transpose(1, 0, 2, 3),
         Us.transpose(1, 0, 2, 3),
         Vs.transpose(1, 0, 2, 3),
     )
+    return (out, final) if ring_io else out
 
 
 decode_gop_batched = jax.jit(
@@ -951,11 +962,16 @@ decode_gop_batched = jax.jit(
 
 
 def decode_gop_packed_core(p, mb_w: int, mb_h: int, chroma_qp_offset: int,
-                           n_refs: int = 4):
+                           n_refs: int = 4, ring_in=None, f_offset=None,
+                           ring_io=False):
     from .packed import unpack
 
+    if f_offset is None and getattr(p, "f_offset", None) is not None:
+        f_offset = p.f_offset[0]  # rides the fused blob (see PackedBatch)
     g = unpack(p, mb_w, mb_h)
-    return decode_gop_batched_core(g, mb_w, mb_h, chroma_qp_offset, n_refs)
+    return decode_gop_batched_core(g, mb_w, mb_h, chroma_qp_offset, n_refs,
+                                   ring_in=ring_in, f_offset=f_offset,
+                                   ring_io=ring_io)
 
 
 decode_gop_packed = jax.jit(
@@ -980,3 +996,47 @@ decode_gop_fused = jax.jit(
     static_argnames=("layout", "mb_w", "mb_h", "chroma_qp_offset",
                      "n_refs"),
 )
+
+
+# Frame-window variants (ring carried across jit calls; see
+# decode_gop_batched_core docstring).  The first window has no carry-in
+# (the zero ring is built inside the program — it is far too large to
+# upload), middle windows chain carries, and the LAST window uses the
+# plain decode_gop_fused (no carry-out copy).
+def _fused_win_first_core(buf, layout, mb_w, mb_h, chroma_qp_offset,
+                          n_refs):
+    from .packed import unfuse_packed
+
+    return decode_gop_packed_core(
+        unfuse_packed(buf, layout), mb_w, mb_h, chroma_qp_offset, n_refs,
+        ring_io=True,
+    )
+
+
+def _fused_win_mid_core(buf, layout, mb_w, mb_h, chroma_qp_offset,
+                        n_refs, ring_in):
+    from .packed import unfuse_packed
+
+    return decode_gop_packed_core(
+        unfuse_packed(buf, layout), mb_w, mb_h, chroma_qp_offset, n_refs,
+        ring_in=ring_in, ring_io=True,
+    )
+
+
+def _fused_win_last_core(buf, layout, mb_w, mb_h, chroma_qp_offset,
+                         n_refs, ring_in):
+    from .packed import unfuse_packed
+
+    return decode_gop_packed_core(
+        unfuse_packed(buf, layout), mb_w, mb_h, chroma_qp_offset, n_refs,
+        ring_in=ring_in, ring_io=False,
+    )
+
+
+_WIN_STATICS = ("layout", "mb_w", "mb_h", "chroma_qp_offset", "n_refs")
+decode_gop_fused_win_first = jax.jit(_fused_win_first_core,
+                                     static_argnames=_WIN_STATICS)
+decode_gop_fused_win_mid = jax.jit(_fused_win_mid_core,
+                                   static_argnames=_WIN_STATICS)
+decode_gop_fused_win_last = jax.jit(_fused_win_last_core,
+                                    static_argnames=_WIN_STATICS)

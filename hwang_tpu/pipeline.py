@@ -288,6 +288,14 @@ class ClipBatchDecoder:
             max_b = max(1, min(64, int(
                 6e9 // (M * (fpad * 1700 + 66000)))))
             max_b = 1 << (max_b.bit_length() - 1)
+            # Remote-compile size cap: the relay's compile helper is
+            # OOM-killed (SIGKILL) compiling 1080p executables past
+            # ~2M MB-frames of working set (observed: F=64 b=4 at 8160
+            # MBs dies deterministically; F=32 b=4 compiles fine).  Keep
+            # the largest program inside the proven envelope.
+            cap = int(os.environ.get("HWANG_COMPILE_CAP_MBF", 1_100_000))
+            while max_b > 1 and M * fpad * max_b > cap:
+                max_b //= 2
             # sharded decode needs every chunk to divide the mesh
             pos = 0
             for sz in plan_chunk_sizes(len(idxs), max_b, n_dev, ramp):
@@ -323,15 +331,50 @@ class ClipBatchDecoder:
         def flush_staged(wait: bool):
             # dispatch staged chunks in order; without `wait`, stop at the
             # first still-uploading chunk instead of stalling pack
-            while staged and (wait or staged[0][0].done()):
-                fut, layout, c_cqo = staged.pop(0)
-                with prof.span("h2d_wait"):
-                    dbuf = fut.result()
-                with prof.span("device_decode_dispatch"):
-                    results.append(
-                        decode_gop_fused(dbuf, layout, mb_w, mb_h, c_cqo,
-                                         self.n_refs)
-                    )
+            from .models.h264.recon_batched import (
+                decode_gop_fused_win_first,
+                decode_gop_fused_win_last,
+                decode_gop_fused_win_mid,
+            )
+
+            while staged and (wait or staged[0][0][0][0].done()):
+                wins, c_cqo = staged.pop(0)
+                parts = []
+                carry = None
+                for wi, (fut, layout) in enumerate(wins):
+                    with prof.span("h2d_wait"):
+                        dbuf = fut.result()
+                    if os.environ.get("HWANG_DEBUG_CHUNKS"):
+                        import sys
+
+                        sh = next(s for (_, _, s, _) in layout if s)
+                        print(f"[chunk] dispatch BxF={sh[:2]} "
+                              f"win {wi + 1}/{len(wins)} buf={dbuf.size}",
+                              file=sys.stderr, flush=True)
+                    with prof.span("device_decode_dispatch"):
+                        if len(wins) == 1:
+                            part = decode_gop_fused(
+                                dbuf, layout, mb_w, mb_h, c_cqo,
+                                self.n_refs)
+                        elif wi == 0:
+                            part, carry = decode_gop_fused_win_first(
+                                dbuf, layout, mb_w, mb_h, c_cqo,
+                                self.n_refs)
+                        elif wi < len(wins) - 1:
+                            part, carry = decode_gop_fused_win_mid(
+                                dbuf, layout, mb_w, mb_h, c_cqo,
+                                self.n_refs, carry)
+                        else:
+                            part = decode_gop_fused_win_last(
+                                dbuf, layout, mb_w, mb_h, c_cqo,
+                                self.n_refs, carry)
+                    parts.append(part)
+                if len(parts) == 1:
+                    results.append(parts[0])
+                else:
+                    results.append(tuple(
+                        jnp.concatenate([p[i] for p in parts], axis=1)
+                        for i in range(3)))
 
         for fpad, cqo, idxs, pad_b in chunked:
             with prof.span("entropy_wait"):
@@ -359,12 +402,41 @@ class ClipBatchDecoder:
                         batch, self.mesh, mb_w, mb_h, cqo, self.n_refs
                     ))
             else:
+                # frame-window the chunk when the executable would exceed
+                # the compile-size envelope (the relay's compile helper
+                # is SIGKILLed on 1080p F=64 programs; F=32 compiles) —
+                # windows chain the reference ring across jit calls
+                fw = fpad
+                fcap = int(os.environ.get("HWANG_FWIN_CAP_MBF", 300_000))
+                while fw > 8 and M * fw > fcap:
+                    fw //= 2
                 with prof.span("pack"):
-                    batch = pack_gop_batch(span_tensors, fpad,
-                                           to_device=False)
-                    buf, layout = fuse_packed(batch)
-                staged.append((self._xfer_pool.submit(upload, buf),
-                               layout, cqo))
+                    if fw >= fpad:
+                        batch = pack_gop_batch(span_tensors, fpad,
+                                               to_device=False)
+                        buf, layout = fuse_packed(batch)
+                        wins = [(self._xfer_pool.submit(upload, buf),
+                                 layout)]
+                    else:
+                        from .models.h264.packed import (
+                            pack_flags,
+                            slice_tensors_frames,
+                        )
+
+                        flags = pack_flags(span_tensors)
+                        wins = []
+                        for w0 in range(0, fpad, fw):
+                            wt = [slice_tensors_frames(t, w0, w0 + fw)
+                                  for t in span_tensors]
+                            batch = pack_gop_batch(wt, fw, force=flags,
+                                                   to_device=False)
+                            batch = batch._replace(
+                                f_offset=np.array([w0], np.int32))
+                            buf, layout = fuse_packed(batch)
+                            wins.append(
+                                (self._xfer_pool.submit(upload, buf),
+                                 layout))
+                staged.append((wins, cqo))
                 flush_staged(wait=len(staged) > 2)
         flush_staged(wait=True)
 
