@@ -162,13 +162,18 @@ const uint8_t kSigCtx4x4[15] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8};
 
 // ---- parameter-set / slice-header parsing --------------------------------
 
-std::vector<uint8_t> strip_ep(const uint8_t* p, size_t n) {
+std::vector<uint8_t> strip_ep(const uint8_t* p, size_t n,
+                              std::vector<uint32_t>* ep_pos = nullptr) {
+  // ep_pos (optional): RBSP offsets at which an emulation byte was
+  // removed — WPP entry-point offsets count ESCAPED bytes, so the
+  // decoder converts through this list (7.4.7.1)
   std::vector<uint8_t> out;
   out.reserve(n);
   int zeros = 0;
   for (size_t i = 0; i < n; i++) {
     if (zeros >= 2 && p[i] == 3) {
       zeros = 0;
+      if (ep_pos) ep_pos->push_back((uint32_t)out.size());
       continue;  // emulation_prevention_three_byte
     }
     zeros = p[i] == 0 ? zeros + 1 : 0;
@@ -330,9 +335,9 @@ bool parse_pps(BitReader& br, HevcPPS& pps, std::string& err) {
   pps.weighted_bipred = br.u1();
   pps.transquant_bypass = br.u1();
   pps.tiles_enabled = br.u1();
-  pps.entropy_coding_sync = br.u1();
-  if (pps.tiles_enabled || pps.entropy_coding_sync) {
-    err = "tiles/WPP not supported";
+  pps.entropy_coding_sync = br.u1();  // WPP: per-CTB-row substreams
+  if (pps.tiles_enabled) {
+    err = "tiles not supported";
     return false;
   }
   pps.loop_filter_across_slices = br.u1();
@@ -362,12 +367,12 @@ bool parse_pps(BitReader& br, HevcPPS& pps, std::string& err) {
   }
   pps.valid = true;
   HTRACE("PPS: init_qp=%d sdh=%d cuqp=%d/%d cb/cr=%d/%d tqb=%d db_ctl=%d"
-         " db_dis=%d\n",
+         " db_dis=%d wpp=%d\n",
          pps.init_qp, (int)pps.sign_data_hiding,
          (int)pps.cu_qp_delta_enabled, pps.diff_cu_qp_delta_depth,
          pps.cb_qp_offset, pps.cr_qp_offset, (int)pps.transquant_bypass,
          (int)pps.deblocking_filter_control_present,
-         (int)pps.deblocking_disabled);
+         (int)pps.deblocking_disabled, (int)pps.entropy_coding_sync);
   return true;
 }
 
@@ -1095,6 +1100,19 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_type,
   if (pps.loop_filter_across_slices &&
       (sh.sao_luma || sh.sao_chroma || !sh.deblocking_disabled))
     br.u1();  // slice_loop_filter_across_slices_enabled_flag
+  if (pps.tiles_enabled || pps.entropy_coding_sync) {
+    int n_entry = (int)br.ue();
+    if (n_entry > 0) {
+      int olen = (int)br.ue() + 1;
+      if (olen > 32 || n_entry > 4096) {
+        c.err = "bad entry point offsets";
+        return false;
+      }
+      sh.entry_offsets.resize(n_entry);
+      for (int i = 0; i < n_entry; i++)
+        sh.entry_offsets[i] = br.u(olen) + 1;
+    }
+  }
   if (pps.slice_header_extension) {
     int len = (int)br.ue();
     for (int i = 0; i < len; i++) br.u(8);
@@ -1158,7 +1176,8 @@ bool parse_sao(Ctx& c, Cabac& cb, HevcContexts& cx, int rx, int ry) {
   return !cb.error();
 }
 
-bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
+bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos,
+                  const std::vector<uint32_t>& ep_pos = {}) {
   const HevcSPS& sps = c.sps;
   c.w4 = (sps.width + 3) >> 2;
   int h4 = (sps.height + 3) >> 2;
@@ -1178,20 +1197,75 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
   Cabac cb(rbsp.data(), rbsp.size() * 8, bitpos);
 
   int ctbs = sps.ctb_w() * sps.ctb_h();
+  int ctbw = sps.ctb_w();
   int lg = sps.log2_ctb;
   c.sao.assign((size_t)ctbs * 18, 0);
+
+  // WPP (entropy_coding_sync): one CABAC substream per CTB row, located
+  // by the slice header's entry-point offsets (counted in ESCAPED bytes
+  // from the byte-aligned slice-data start — convert via ep_pos); row
+  // contexts sync from the snapshot taken after CTB x==1 of the row
+  // above (9.3.1); qPY_PREV resets to SliceQpY at each row start.
+  bool wpp = c.pps.entropy_coding_sync && sps.ctb_h() > 1;
+  std::vector<size_t> row_start_bits;  // substream starts, RBSP bits
+  if (wpp) {
+    if ((int)c.sh.entry_offsets.size() != sps.ctb_h() - 1) {
+      c.err = "WPP entry point count mismatch";
+      return false;
+    }
+    auto esc_of = [&](size_t u) {  // RBSP byte pos -> escaped byte pos
+      size_t k = 0;
+      while (k < ep_pos.size() && ep_pos[k] <= u) k++;
+      return u + k;
+    };
+    auto unesc_of = [&](size_t e) {  // escaped byte pos -> RBSP byte pos
+      size_t k = 0;
+      while (k < ep_pos.size() && ep_pos[k] + k < e) k++;
+      return e - k;
+    };
+    size_t data0_esc = esc_of(bitpos >> 3);
+    size_t acc = data0_esc;
+    for (uint32_t off : c.sh.entry_offsets) {
+      acc += off;
+      row_start_bits.push_back(unesc_of(acc) * 8);
+    }
+  }
+
+  HevcContexts sync_cx;
+  bool have_sync = false;
   for (int ctb = 0; ctb < ctbs; ctb++) {
-    int x0 = (ctb % sps.ctb_w()) << lg;
-    int y0 = (ctb / sps.ctb_w()) << lg;
+    int rx = ctb % ctbw;
+    int ry = ctb / ctbw;
+    if (wpp && rx == 0 && ry > 0) {
+      size_t sb = row_start_bits[ry - 1];
+      if ((sb >> 3) >= rbsp.size()) {
+        c.err = "WPP entry point out of range";
+        return false;
+      }
+      cb = Cabac(rbsp.data(), rbsp.size() * 8, sb);
+      if (ctbw > 1 && have_sync) {
+        cx = sync_cx;
+      } else {
+        cx.init(c.sh.slice_qp, 0);
+      }
+      c.qpy_pred = c.sh.slice_qp;
+      c.qpy_prev = c.sh.slice_qp;
+    }
+    int x0 = rx << lg;
+    int y0 = ry << lg;
     c.ctb_x = x0;
     c.ctb_y = y0;
     if (c.sh.sao_luma || c.sh.sao_chroma) {
-      if (!parse_sao(c, cb, cx, ctb % sps.ctb_w(), ctb / sps.ctb_w())) {
+      if (!parse_sao(c, cb, cx, rx, ry)) {
         c.err = "CABAC overrun (sao)";
         return false;
       }
     }
     if (!coding_quadtree(c, cb, cx, x0, y0, lg, 0)) return false;
+    if (wpp && rx == 1) {  // context storage (9.3.1), used by row ry+1
+      sync_cx = cx;
+      have_sync = true;
+    }
     int eos = TERM(cb);
     HTRACE("CTB %d/%d done eos=%d err=%d\n", ctb, ctbs, eos, (int)cb.error());
     if (cb.error()) {
@@ -1201,6 +1275,12 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos) {
     if (eos != (ctb == ctbs - 1)) {
       c.err = eos ? "early end_of_slice" : "missing end_of_slice";
       return false;
+    }
+    if (wpp && rx == ctbw - 1 && ctb != ctbs - 1) {
+      if (TERM(cb) != 1) {  // end_of_subset_one_bit
+        c.err = "missing end_of_subset";
+        return false;
+      }
     }
   }
   return true;
@@ -1348,11 +1428,12 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
           c.err = "multiple slices per picture not supported";
           return -1;
         }
-        auto rbsp = hwhevc::strip_ep(sample + pos + 2, nal_len - 2);
+        std::vector<uint32_t> ep_pos;
+        auto rbsp = hwhevc::strip_ep(sample + pos + 2, nal_len - 2, &ep_pos);
         hwh264::BitReader br(rbsp.data(), rbsp.size());
         c.sh = hwhevc::HevcSliceHeader();
         if (!hwhevc::parse_slice_header(c, br, nal_type, c.sh)) return -1;
-        if (!hwhevc::decode_slice(c, rbsp, br.pos())) {
+        if (!hwhevc::decode_slice(c, rbsp, br.pos(), ep_pos)) {
           // HWANG_HEVC_PARTIAL=1: keep everything decoded so far (debug
           // aid — recon of the partial TU stream localizes a desync)
           const char* pe = getenv("HWANG_HEVC_PARTIAL");

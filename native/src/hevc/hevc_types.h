@@ -88,6 +88,9 @@ struct HevcSliceHeader {
   bool sao_luma = false, sao_chroma = false;
   bool deblocking_disabled = false;
   int beta_offset = 0, tc_offset = 0;
+  // WPP substream byte sizes (entry_point_offset_minus1 + 1, one per
+  // CTB row after the first), counted in ESCAPED slice-data bytes
+  std::vector<uint32_t> entry_offsets;
 };
 
 // Flat transform-unit entry output (SoA, caller-allocated; see

@@ -169,3 +169,21 @@ def test_device_recon_sao_bit_exact(tmp_path):
                          ("Cr", cr[f], truth[f][2])):
             d = np.abs(a.astype(int) - b.astype(int))
             assert d.max() == 0, f"frame {f} {nm}: ndiff {(d > 0).sum()}"
+
+
+def test_device_recon_wpp_default_filters(tmp_path):
+    """x265 DEFAULTS at ctu=16: WPP substreams (per-row CABAC with
+    context sync + entry points), deblock and SAO all on — the complete
+    I-slice envelope through the device recon."""
+    p = str(tmp_path / "wpp.mp4")
+    encode_video(p, 2, 160, 128, codec="libx265", profile="main",
+                 gop_size=1, crf=14,
+                 extra_opts="keyint=1:min-keyint=1:no-open-gop=1:ctu=16:"
+                            "frame-threads=1")
+    y, cb, cr = _decode_ours(p)
+    truth = oracle_decode_all(p, fmt="yuv")
+    for f in range(2):
+        for nm, a, b in (("Y", y[f], truth[f][0]), ("Cb", cb[f], truth[f][1]),
+                         ("Cr", cr[f], truth[f][2])):
+            d = np.abs(a.astype(int) - b.astype(int))
+            assert d.max() == 0, f"frame {f} {nm}: ndiff {(d > 0).sum()}"
