@@ -216,6 +216,27 @@ def test_tpu_hevc_bit_exact(tmp_path):
     _assert_yuv_exact(p, rows, out)
 
 
+@pytest.mark.parametrize("ctu", [32, 64])
+def test_tpu_hevc_big_ctu_bit_exact(tmp_path, ctu):
+    """HEVC with x265's real-world CTU sizes (32/64) and ALL in-loop
+    filters enabled (deblock + SAO + WPP): the coding-quadtree depth,
+    big-CTB SAO/deblock metadata and per-row WPP substreams all flow
+    through the TPU path.  Only max-tu-size is pinned to the supported
+    transform set.  The reference decoded such streams via FFmpeg only
+    (software_video_decoder.cpp:122-136)."""
+    p = str(tmp_path / f"hevc_ctu{ctu}.mp4")
+    encode_video(
+        p, 3, 96, 64, codec="libx265", profile="main", gop_size=1, crf=24,
+        extra_opts=f"keyint=1:min-keyint=1:no-open-gop=1:ctu={ctu}:"
+                   "max-tu-size=16:frame-threads=1",
+    )
+    rows = [0, 1, 2]
+    with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                 output_format="yuv420") as dec:
+        out = dec.retrieve(rows)
+    _assert_yuv_exact(p, rows, out)
+
+
 def test_tpu_hevc_unsupported_falls_back(tmp_path):
     """Default x265 settings (deblock+SAO on, inter slices) are outside
     the TPU HEVC envelope: the decode must fail over to SOFTWARE with the
