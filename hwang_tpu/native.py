@@ -130,6 +130,26 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.hw_oracle_close.argtypes = [c.c_void_p]
 
 
+def _retain_big_allocations() -> None:
+    """Make glibc recycle the big decode buffers instead of munmapping.
+
+    The decode hot path allocates hundreds of MB of numpy SoA buffers per
+    span (GopTensors + pack outputs).  By default glibc serves >128 KB
+    requests with fresh mmaps, so every span pays first-touch page faults
+    on write and munmap TLB shootdowns on free — measured at ~2x the
+    useful pack time at 1080p.  Raising the mmap threshold and disabling
+    trim keeps that memory on the heap, where realloc-ed spans hit warm
+    pages.  RSS stays bounded by the high-water mark of one in-flight
+    chunk set (the pipeline bounds those)."""
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, (1 << 31) - 1)
+    except Exception:
+        pass  # non-glibc platforms: behave as before
+
+
 def get_lib() -> ctypes.CDLL:
     """Build (if needed) and load the native library."""
     global _lib
@@ -137,6 +157,7 @@ def get_lib() -> ctypes.CDLL:
         path = build()
         lib = ctypes.CDLL(path)
         _declare(lib)
+        _retain_big_allocations()
         _lib = lib
     return _lib
 
