@@ -327,6 +327,57 @@ class ClipBatchDecoder:
         tensors: dict[int, object] = {}
         staged = []  # (fut_dev_buf, layout, cqo) awaiting dispatch
         results = []  # per-chunk (Ys, Us, Vs)
+        # Streamed output fetch (HWANG_STREAM_OUT=1): fetch each chunk's
+        # final frames as soon as its decode is dispatched, overlapping
+        # D2H with the remaining chunks' device compute, instead of one
+        # monolithic np.asarray after everything finishes.  Only
+        # meaningful when the caller wants host output.
+        stream_fetches = (
+            [] if (to_host
+                   and os.environ.get("HWANG_STREAM_OUT", "0") == "1")
+            else None
+        )
+
+        def chunk_epilogue(chunk, res):
+            """Fused selection for one chunk: one gather for all requested
+            frames, then the RGB/resize (or YUV flatten) epilogue over the
+            stack.  Returns (device frames, [(clip, row)] index)."""
+            fpad, cqo, idxs, pad_b = chunk
+            Ys, Us, Vs = res
+            sel_b, sel_f, idxl = [], [], []
+            for k, i in enumerate(idxs):
+                # display -> decode mapping within the span (B reordering)
+                t = tensors[i]
+                perm = np.argsort(t.poc[: t.n_frames], kind="stable")
+                for row in jobs[i].valid:
+                    sel_b.append(k)
+                    sel_f.append(int(perm[row - jobs[i].start]))
+                    idxl.append((jobs[i].clip, row))
+            # one combined transfer (the relay charges fixed latency
+            # per transfer, so two tiny uploads cost two round trips)
+            sel = jnp.asarray(
+                np.stack([sel_b, sel_f]).astype(np.int32)
+            )
+            sb, sf = sel[0], sel[1]
+            y = Ys[sb, sf, top : top + H, left : left + W]
+            u = Us[sb, sf, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            v = Vs[sb, sf, top // 2 : (top + H + 1) // 2,
+                   left // 2 : (left + W + 1) // 2]
+            if output == "rgb":
+                frames = yuv420_to_rgb(y, u, v)
+                if out_size is not None:
+                    frames = jax.vmap(
+                        lambda fr: resize_bilinear_rgb(fr, out_size[0],
+                                                       out_size[1])
+                    )(frames)
+            else:
+                N = y.shape[0]
+                frames = jnp.concatenate(
+                    [y.reshape(N, -1), u.reshape(N, -1),
+                     v.reshape(N, -1)], axis=1
+                )
+            return frames, idxl
 
         def flush_staged(wait: bool):
             # dispatch staged chunks in order; without `wait`, stop at the
@@ -375,6 +426,16 @@ class ClipBatchDecoder:
                     results.append(tuple(
                         jnp.concatenate([p[i] for p in parts], axis=1)
                         for i in range(3)))
+                if stream_fetches is not None:
+                    # streamed output: dispatch this chunk's epilogue now
+                    # (async) and queue its D2H on the transfer pool, so
+                    # the fetch rides under the NEXT chunks' device compute
+                    # instead of serializing after all of them
+                    ci = len(results) - 1
+                    frames, idxl = chunk_epilogue(chunked[ci], results[ci])
+                    results[ci] = None  # free the device YUV planes
+                    stream_fetches.append(
+                        (self._xfer_pool.submit(np.asarray, frames), idxl))
 
         for fpad, cqo, idxs, pad_b in chunked:
             with prof.span("entropy_wait"):
@@ -440,46 +501,22 @@ class ClipBatchDecoder:
                 flush_staged(wait=len(staged) > 2)
         flush_staged(wait=True)
 
-        for (fpad, cqo, idxs, pad_b), (Ys, Us, Vs) in zip(chunked, results):
-            # fused selection: one gather for all requested frames of this
-            # bucket, then one epilogue over the stack
-            sel_b, sel_f = [], []
-            for k, i in enumerate(idxs):
-                # display -> decode mapping within the span (B reordering)
-                t = tensors[i]
-                perm = np.argsort(t.poc[: t.n_frames], kind="stable")
-                for row in jobs[i].valid:
-                    sel_b.append(k)
-                    sel_f.append(int(perm[row - jobs[i].start]))
-                    index.append((jobs[i].clip, row))
-            # one combined transfer (the relay charges fixed latency
-            # per transfer, so two tiny uploads cost two round trips)
-            sel = jnp.asarray(
-                np.stack([sel_b, sel_f]).astype(np.int32)
-            )
-            sb, sf = sel[0], sel[1]
-            y = Ys[sb, sf, top : top + H, left : left + W]
-            u = Us[sb, sf, top // 2 : (top + H + 1) // 2,
-                   left // 2 : (left + W + 1) // 2]
-            v = Vs[sb, sf, top // 2 : (top + H + 1) // 2,
-                   left // 2 : (left + W + 1) // 2]
-            if output == "rgb":
-                frames = yuv420_to_rgb(y, u, v)
-                if out_size is not None:
-                    frames = jax.vmap(
-                        lambda fr: resize_bilinear_rgb(fr, out_size[0],
-                                                       out_size[1])
-                    )(frames)
-                out_frames.append(frames)
-            else:
-                N = y.shape[0]
-                out_frames.append(
-                    jnp.concatenate(
-                        [y.reshape(N, -1), u.reshape(N, -1),
-                         v.reshape(N, -1)], axis=1
-                    )
-                )
-        import jax.numpy as jnp  # noqa: F811
+        if stream_fetches is not None:
+            # streamed mode: epilogues were dispatched and their D2H
+            # fetches submitted per chunk as each decode was dispatched
+            # (see flush_staged) — collect in chunk order
+            outs, index = [], []
+            for fut, idxl in stream_fetches:
+                with prof.span("d2h_fetch"):
+                    outs.append(fut.result())
+                index.extend(idxl)
+            stacked = np.concatenate(outs) if len(outs) > 1 else outs[0]
+            return stacked, index
+
+        for chunk, res in zip(chunked, results):
+            frames, idxl = chunk_epilogue(chunk, res)
+            out_frames.append(frames)
+            index.extend(idxl)
         stacked = jnp.concatenate(out_frames) if len(out_frames) > 1 else out_frames[0]
         if to_host:
             stacked = np.asarray(stacked)
