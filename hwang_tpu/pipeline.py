@@ -285,8 +285,18 @@ class ClipBatchDecoder:
             # Rounded DOWN to a power of two so the pow2 batch padding
             # below can never exceed the cap (at 1080p the old cap of 3
             # padded up to 4 and the padding itself OOMed the chip).
+            # Frame-window size first (mirrors the dispatch-side rule
+            # below): the caps below must bound the WINDOWED working set
+            # M*fw*B — capping with the logical chunk's fpad instead
+            # halved the 1080p batch (B=2 windows where B=4 is proven).
+            # The sharded path never windows, so it caps at fpad.
+            fw = fpad
+            if self.mesh is None:
+                fcap = int(os.environ.get("HWANG_FWIN_CAP_MBF", 300_000))
+                while fw > 8 and M * fw > fcap:
+                    fw //= 2
             max_b = max(1, min(64, int(
-                6e9 // (M * (fpad * 1700 + 66000)))))
+                6e9 // (M * (fw * 1700 + 66000)))))
             max_b = 1 << (max_b.bit_length() - 1)
             # Remote-compile size cap: the relay's compile helper is
             # OOM-killed (SIGKILL) compiling 1080p executables past
@@ -294,7 +304,7 @@ class ClipBatchDecoder:
             # MBs dies deterministically; F=32 b=4 compiles fine).  Keep
             # the largest program inside the proven envelope.
             cap = int(os.environ.get("HWANG_COMPILE_CAP_MBF", 1_100_000))
-            while max_b > 1 and M * fpad * max_b > cap:
+            while max_b > 1 and M * fw * max_b > cap:
                 max_b //= 2
             # sharded decode needs every chunk to divide the mesh
             pos = 0
