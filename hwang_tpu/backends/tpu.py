@@ -87,7 +87,7 @@ class HevcSpanDecoder:
     """Span-level HEVC decoder: owned I-slice entropy front-end
     (native/src/hevc/) + the matmul device recon (models/hevc/recon_jax).
 
-    Streams outside the supported envelope (inter slices, SAO, TUs > 16)
+    Streams outside the supported envelope (inter slices, TUs > 16)
     raise HwangError, which Decoder turns into the audited SOFTWARE
     fallback.  The reference decoded HEVC only through FFmpeg/NVDEC
     (software_video_decoder.cpp:122-136)."""
