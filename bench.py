@@ -145,9 +145,11 @@ def _run_tpu(paths, rows, out_size, iters=4, budget=False):
     prof = Profiler()
     dec = ClipBatchDecoder(paths, io_threads=16, profiler=prof)
     t0 = time.time()
+    _mark(f"warmup decode start ({len(paths)} clips) — first device touch")
     frames, _ = dec.decode(rows, out_size=out_size)
     device_sync()
     log(f"  warmup (incl. compile): {time.time()-t0:.1f}s out {frames.shape}")
+    _mark("warmup decode done")
 
     # the TPU relay adds +/-30% run-to-run noise; take the best of several
     best = float("inf")
@@ -282,17 +284,31 @@ def _seek_metrics(cfg, result):
 
 
 _RESULT = None  # best JSON-able result so far (for the deadline watchdog)
+_STATUS = ["startup"]  # last milestone + its wall time, for the partial emit
+
+
+def _mark(stage):
+    _STATUS[0] = f"{stage} at t+{time.time() - _T_START:.0f}s"
+    log(f"  [mark] {_STATUS[0]}")
+
+
+_T_START = time.time()
 
 
 def _emit_and_exit(signum=None, frame=None):
     """Deadline watchdog: the driver kills bench runs that overrun, and a
-    killed run prints nothing.  Always emit the best result we have."""
+    killed run prints nothing.  Always emit the best result we have.
+    When not even the insurance mini-run landed, say WHERE the run was
+    stuck (a wedged TPU worker's first touch has been observed to hang
+    >30 min) so a zero artifact is diagnosable."""
     del signum, frame
     out = _RESULT or {
-        "metric": "bench incomplete (deadline before headline finished)",
+        "metric": "bench incomplete (deadline before headline finished; "
+                  f"last milestone: {_STATUS[0]})",
         "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
     }
     out.setdefault("extra", {})["partial"] = True
+    out["extra"]["last_milestone"] = _STATUS[0]
     print(json.dumps(out), flush=True)
     os._exit(0)
 
@@ -332,6 +348,7 @@ def main():
     log("compile cache: " + enable_jax_cache(
         os.path.join(repo, ".jax_cache_cpu" if cpu_mode else ".jax_cache")))
     log(f"devices: {jax.devices()}")
+    _mark("jax initialized (device list ok)")
     budget = os.environ.get("HWANG_BENCH_BUDGET") == "1"
     fast = os.environ.get("HWANG_BENCH_FAST") == "1"
     preset = os.environ.get("HWANG_BENCH_PRESET")
