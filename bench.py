@@ -316,6 +316,7 @@ def _emit_and_exit(signum=None, frame=None):
 def main():
     global _RESULT
     import signal
+    import threading
 
     # The SIGTERM handler below is the real kill insurance: round 2's
     # driver kill was `timeout`-style (rc=124, SIGTERM) and a handled
@@ -330,6 +331,17 @@ def main():
     # result on the way out instead of dying unparsed
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.alarm(deadline)
+    # Signal handlers only run when the MAIN thread executes bytecode —
+    # observed live: a cold remote compile blocked the main thread in a
+    # native relay call for >14 min and the SIGALRM handler never ran
+    # (the later SIGTERM got through only because it EINTR'd the call).
+    # A daemon-thread watchdog is immune: jax's native waits release the
+    # GIL, so this thread can always emit the best JSON and hard-exit.
+    # (daemon=True: a plain Timer keeps the interpreter alive in
+    # threading._shutdown until the deadline even after main() returns)
+    wdt = threading.Timer(deadline + 30, _emit_and_exit)
+    wdt.daemon = True
+    wdt.start()
     t_start = time.time()
 
     import jax
