@@ -136,6 +136,50 @@ def _ffmpeg_baseline(paths, rows, iters=2):
     return n_total / ff_time
 
 
+def _entropy_ceiling(paths, rows):
+    """Host entropy-only fps over the same planned spans (the serial
+    stage nothing can overlap away on a 1-core host).  Published so the
+    config-2 target conversation is grounded: wall time can never beat
+    entropy time, so fps_ceiling = frames_requested / entropy_seconds."""
+    from hwang_tpu.intervals import slice_into_video_intervals
+    from hwang_tpu.models.h264.entropy import H264EntropyDecoder
+    from hwang_tpu.mp4_index import index_video
+
+    n_req = sum(len(r) for r in rows)
+    n_dec = 0
+    t_ent = 0.0
+    for p, r in zip(paths, rows):
+        vi = index_video(p)
+        dec = H264EntropyDecoder(vi.metadata_bytes)
+        dec.set_ring_slots(6)
+        for (start, end), valid in slice_into_video_intervals(
+            vi, sorted(set(r))
+        ):
+            if vi.has_reorder is False:
+                end = min(end, max(valid) + 1)
+            off0 = int(vi.sample_offsets[start])
+            last = end - 1
+            off1 = int(vi.sample_offsets[last]) + int(vi.sample_sizes[last])
+            with open(p, "rb") as f:
+                f.seek(off0)
+                data = f.read(off1 - off0)
+            import numpy as np
+
+            offs = vi.sample_offsets[start:end].astype(np.uint64) - np.uint64(
+                off0)
+            sizes = vi.sample_sizes[start:end].astype(np.uint64)
+            t0 = time.time()
+            dec.decode_gop(data, offs, sizes)
+            t_ent += time.time() - t0
+            n_dec += end - start
+    return {
+        "entropy_fps_decoded": round(n_dec / t_ent, 1),
+        "entropy_s": round(t_ent, 3),
+        "frames_decoded": n_dec,
+        "implied_fps_ceiling_requested": round(n_req / t_ent, 1),
+    }
+
+
 def _run_tpu(paths, rows, out_size, iters=4, budget=False):
     """Returns (fps, best_seconds, profiler_report, stage_budget_ms)."""
     from hwang_tpu.pipeline import ClipBatchDecoder
@@ -247,7 +291,7 @@ def _p50_seek(paths, gop, k=5, route="host"):
             os.environ["HWANG_ROUTER"] = prev
 
 
-def _run_config(name, cfg, out_size, budget=False, iters=4):
+def _run_config(name, cfg, out_size, budget=False, iters=4, ff_iters=2):
     W, H, n_clips, n_frames, mode, count, gop, profile, bframes = cfg
     log(f"[{name}] {n_clips} clips x {count} rows ({mode}) @{W}x{H} "
         f"{profile} gop={gop}")
@@ -260,31 +304,36 @@ def _run_config(name, cfg, out_size, budget=False, iters=4):
     if report:
         log("  host stages:\n" + "\n".join(
             "    " + ln for ln in report.splitlines()))
-    ff_fps = _ffmpeg_baseline(paths, rows)
+    ff_fps = _ffmpeg_baseline(paths, rows, iters=ff_iters)
     log(f"  ffmpeg 1-thread: {ff_fps:.1f} fps  (ratio {fps/ff_fps:.3f})")
     return {
         "fps": round(fps, 2),
+        "ffmpeg_1core_fps": round(ff_fps, 1),
         "vs_ffmpeg_1core": round(fps / ff_fps, 3),
         "stage_budget_ms": stage,
     }
 
 
-def _seek_metrics(cfg, result):
-    """p50 seek for both routes, into result['extra'].  Run LAST: the
-    forced-device route can pay a cold executable compile (30-150 s
-    through the relay) and must never crowd out the BASELINE configs."""
+def _seek_metrics(cfg, result, device_route=True):
+    """p50 seek for both routes, into result['extra'].  The host route is
+    milliseconds; only the forced-device route can pay a cold executable
+    compile (30-150 s through the relay), so it is separately gated."""
     paths = _fixture_paths(cfg, "seek")
     gop = cfg[6]
     p50h = _p50_seek(paths, gop, route="host")
     log(f"  p50 seek (host route, production default): {p50h:.0f} ms")
     result["extra"]["p50_seek_host_ms"] = round(p50h)
-    p50d = _p50_seek(paths, gop, route="device")
-    log(f"  p50 seek (forced device route): {p50d:.0f} ms")
-    result["extra"]["p50_seek_device_ms"] = round(p50d)
+    if device_route:
+        p50d = _p50_seek(paths, gop, route="device")
+        log(f"  p50 seek (forced device route): {p50d:.0f} ms")
+        result["extra"]["p50_seek_device_ms"] = round(p50d)
 
 
 _RESULT = None  # best JSON-able result so far (for the deadline watchdog)
 _STATUS = ["startup"]  # last milestone + its wall time, for the partial emit
+_DONE = False  # set when main() finished; the watchdog must not re-mark
+_EMIT_LOCK = None  # threading.Lock — watchdog emit vs main-thread emits
+_CACHE_SNAP = (None, frozenset())  # (dir, entries at startup)
 
 
 def _mark(stage):
@@ -295,6 +344,29 @@ def _mark(stage):
 _T_START = time.time()
 
 
+def _cache_new_files():
+    """Compile-cache entries written SINCE bench startup — a warm cache
+    must report 0 here; anything else is a compile the deadline paid for
+    (round 3 lost the primary config to exactly this)."""
+    d, snap = _CACHE_SNAP
+    if not d or not os.path.isdir(d):
+        return -1
+    return len(set(os.listdir(d)) - snap)
+
+
+def _emit(obj):
+    """Single JSON emit point: the daemon-thread watchdog and the main
+    thread both print here; the lock keeps the driver-parsed last line
+    from interleaving."""
+    obj.setdefault("extra", {})["cache_new_files"] = _cache_new_files()
+    lock = _EMIT_LOCK
+    if lock is not None:
+        with lock:
+            print(json.dumps(obj), flush=True)
+    else:
+        print(json.dumps(obj), flush=True)
+
+
 def _emit_and_exit(signum=None, frame=None):
     """Deadline watchdog: the driver kills bench runs that overrun, and a
     killed run prints nothing.  Always emit the best result we have.
@@ -302,6 +374,10 @@ def _emit_and_exit(signum=None, frame=None):
     stuck (a wedged TPU worker's first touch has been observed to hang
     >30 min) so a zero artifact is diagnosable."""
     del signum, frame
+    if _DONE:
+        # main() already emitted the complete result; a lingering timer
+        # must not re-mark a finished run as partial
+        os._exit(0)
     out = _RESULT or {
         "metric": "bench incomplete (deadline before headline finished; "
                   f"last milestone: {_STATUS[0]})",
@@ -309,14 +385,16 @@ def _emit_and_exit(signum=None, frame=None):
     }
     out.setdefault("extra", {})["partial"] = True
     out["extra"]["last_milestone"] = _STATUS[0]
-    print(json.dumps(out), flush=True)
+    _emit(out)
     os._exit(0)
 
 
 def main():
-    global _RESULT
+    global _RESULT, _DONE, _EMIT_LOCK, _CACHE_SNAP
     import signal
     import threading
+
+    _EMIT_LOCK = threading.Lock()
 
     # The SIGTERM handler below is the real kill insurance: round 2's
     # driver kill was `timeout`-style (rc=124, SIGTERM) and a handled
@@ -357,36 +435,85 @@ def main():
     # first) — jax.config.update is the only working switch, and a warm
     # committed .jax_cache/ turns 30-150 s relay compiles into <1 s hits
     repo = os.path.dirname(os.path.abspath(__file__))
-    log("compile cache: " + enable_jax_cache(
-        os.path.join(repo, ".jax_cache_cpu" if cpu_mode else ".jax_cache")))
+    cache_dir = os.path.join(
+        repo, ".jax_cache_cpu" if cpu_mode else ".jax_cache")
+    log("compile cache: " + enable_jax_cache(cache_dir))
+    _CACHE_SNAP = (
+        cache_dir,
+        frozenset(os.listdir(cache_dir)) if os.path.isdir(cache_dir)
+        else frozenset(),
+    )
     log(f"devices: {jax.devices()}")
     _mark("jax initialized (device list ok)")
     budget = os.environ.get("HWANG_BENCH_BUDGET") == "1"
     fast = os.environ.get("HWANG_BENCH_FAST") == "1"
     preset = os.environ.get("HWANG_BENCH_PRESET")
 
-    if preset:
-        head_name, head_cfg = preset, _CONFIGS[preset]
-        extras = []
-    elif "HWANG_BENCH_W" in os.environ or "HWANG_BENCH_MODE" in os.environ \
-            or "HWANG_BENCH_CLIPS" in os.environ:
-        head_name, head_cfg = "custom", _knob_config()
-        extras = []
-    else:
-        head_name, head_cfg = "config4", _CONFIGS["config4"]
-        extras = [] if fast else ["config2", "config3"]
+    def left():
+        return deadline - (time.time() - t_start)
 
-    out_size = (224, 224) if head_name in ("config4", "custom") else None
+    def finish():
+        global _DONE
+        _DONE = True
+        signal.alarm(0)
+        wdt.cancel()
+
+    if preset or fast or ("HWANG_BENCH_W" in os.environ
+                          or "HWANG_BENCH_MODE" in os.environ
+                          or "HWANG_BENCH_CLIPS" in os.environ):
+        # single-config mode: preset names a BASELINE config; knobs build
+        # a custom one; FAST=1 means the config4 headline only.  No
+        # extras, no mini.
+        if preset:
+            head_name, head_cfg = preset, _CONFIGS[preset]
+        elif "HWANG_BENCH_W" in os.environ or "HWANG_BENCH_MODE" in \
+                os.environ or "HWANG_BENCH_CLIPS" in os.environ:
+            head_name, head_cfg = "custom", _knob_config()
+        else:
+            head_name, head_cfg = "config4", _CONFIGS["config4"]
+        out_size = (224, 224) if head_name in ("config4", "custom") else None
+        head = _run_config(head_name, head_cfg, out_size, budget=budget)
+        W, H, n_clips, _, mode, count, gop, profile, _ = head_cfg
+        sized = " -> 224px RGB in HBM" if out_size else " YUV/RGB full-res"
+        result = {
+            "metric": f"frames/sec/chip {mode} gather {n_clips}x{count} "
+                      f"@{W}x{H} h264{sized}",
+            "value": head["fps"],
+            "unit": "frames/s",
+            "vs_baseline": head["vs_ffmpeg_1core"],
+            "extra": {"stage_budget_ms": head.get("stage_budget_ms")},
+        }
+        _RESULT = result
+        _emit(result)
+        if not fast and left() > 60:
+            try:
+                _seek_metrics(head_cfg, result, device_route=left() > 120)
+                _emit(result)
+            except Exception as e:
+                log(f"[seek] FAILED: {type(e).__name__}: {e}")
+        finish()
+        return
+
+    # ------------------------------------------------------------------
+    # Full BASELINE ritual, in PRIORITY order (BASELINE.md rows 2-3 are
+    # the primary metrics; config4 is the r1-r3-comparable headline):
+    #   mini insurance -> config2 -> ceiling math -> p50 seek -> config3
+    #   -> config4-full.  Each milestone emits immediately so a deadline
+    #   kill still leaves the best-so-far as the parsed last line.
+    # ------------------------------------------------------------------
+    extra = {}
+    result = None
 
     # Insurance against a wedged TPU worker: the first device touch of a
     # fresh process has been observed to take anywhere from 4 s to >540 s
     # (relay worker recovery).  Land a REAL nonzero number early with a
-    # small batch that reuses the cached size-4 executable, so a deadline
-    # hit later still leaves a meaningful parsed artifact.
-    if head_name == "config4" and not fast:
+    # small batch that reuses cached executables, so a deadline hit later
+    # still leaves a meaningful parsed artifact.
+    if not fast:
         try:
             mini = (640, 368, 8, 64, "dense", 16, 16, "baseline", 0)
-            m = _run_config("config4-mini", mini, out_size, iters=2)
+            m = _run_config("config4-mini", mini, (224, 224), iters=2,
+                            ff_iters=1)
             _RESULT = {
                 "metric": "frames/sec/chip dense gather 8x16 @640x368 h264"
                           " -> 224px RGB in HBM (mini insurance run)",
@@ -394,57 +521,117 @@ def main():
                 "vs_baseline": m["vs_ffmpeg_1core"],
                 "extra": {"mini": True},
             }
-            print(json.dumps(_RESULT), flush=True)
+            _emit(_RESULT)
         except Exception as e:
             log(f"[config4-mini] FAILED: {type(e).__name__}: {e}")
 
-    head = _run_config(head_name, head_cfg, out_size, budget=budget)
+    # config2 — THE primary BASELINE row (stride-30 sparse 1080p gather)
+    try:
+        c2 = _run_config("config2", _CONFIGS["config2"], None, iters=3,
+                         ff_iters=1)
+        extra["config2"] = c2
+        result = {
+            "metric": "frames/sec/chip stride30 gather 1x24 @1920x1088 "
+                      "h264 YUV/RGB full-res (config2)",
+            "value": c2["fps"], "unit": "frames/s",
+            "vs_baseline": c2["vs_ffmpeg_1core"], "extra": extra,
+        }
+        _RESULT = result
+        _emit(result)
+    except Exception as e:
+        log(f"[config2] FAILED: {type(e).__name__}: {e}")
+        import traceback
 
-    W, H, n_clips, _, mode, count, gop, profile, _ = head_cfg
-    sized = f" -> 224px RGB in HBM" if out_size else " YUV/RGB full-res"
-    result = {
-        "metric": f"frames/sec/chip {mode} gather {n_clips}x{count} "
-                  f"@{W}x{H} h264{sized}",
-        "value": head["fps"],
-        "unit": "frames/s",
-        "vs_baseline": head["vs_ffmpeg_1core"],
-        "extra": {
-            "stage_budget_ms": head.get("stage_budget_ms"),
-        },
-    }
-    _RESULT = result
-    # emit the headline NOW: if the driver kills the run during an extra
-    # config, the last JSON line on stdout is still a parsed result
-    print(json.dumps(result), flush=True)
+        traceback.print_exc(file=sys.stderr)
+        extra["config2"] = {"error": str(e)[:200]}
 
-    for name in extras:
-        # leave >=2 min of the deadline per 1080p extra (fixtures are
-        # cached after the first run; compiles are cached in .jax_cache)
-        if time.time() - t_start > deadline - 120:
-            log(f"[{name}] skipped: deadline budget exhausted")
-            result["extra"][name] = {"skipped": "deadline"}
-            continue
+    # ceiling math: entropy-only fps over config2's spans (host-serial
+    # floor) + the measured ffmpeg yardstick -> implied max ratio.  Cheap
+    # (pure host), grounds the >=2x target conversation quantitatively.
+    try:
+        cfg2 = _CONFIGS["config2"]
+        paths = _fixture_paths(cfg2, "ceil")
+        rows = _make_rows(cfg2[4], cfg2[3], cfg2[5], cfg2[2], cfg2[6])
+        ceil = _entropy_ceiling(paths, rows)
+        ff = extra.get("config2", {}).get("ffmpeg_1core_fps")
+        if ff:
+            ceil["implied_max_ratio_vs_ffmpeg"] = round(
+                ceil["implied_fps_ceiling_requested"] / ff, 3)
+        extra["config2_ceiling"] = ceil
+        log(f"  config2 ceiling: {ceil}")
+        if result is not None:
+            _emit(result)
+    except Exception as e:
+        log(f"[ceiling] FAILED: {type(e).__name__}: {e}")
+
+    # p50 seek on the 1080p fixture (BASELINE row-2 secondary metric).
+    # Host route is milliseconds; device route only when budget allows.
+    if result is not None and left() > 45:
         try:
-            result["extra"][name] = _run_config(name, _CONFIGS[name], None,
-                                                iters=3)
-            _RESULT = result
-            print(json.dumps(result), flush=True)
-        except Exception as e:  # an extra config must not sink the headline
-            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
-            result["extra"][name] = {"error": str(e)[:200]}
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-
-    # seek latency LAST (secondary metric; device route may cold-compile)
-    if time.time() - t_start < deadline - 60:
-        try:
-            _seek_metrics(head_cfg, result)
+            _seek_metrics(_CONFIGS["config2"], result,
+                          device_route=left() > 300)
+            _emit(result)
         except Exception as e:
             log(f"[seek] FAILED: {type(e).__name__}: {e}")
 
+    # config3 — shuffled 1080p sampling (the other primary row)
+    if left() > 150:
+        try:
+            c3 = _run_config("config3", _CONFIGS["config3"], None, iters=3,
+                             ff_iters=1)
+            extra["config3"] = c3
+            if result is None:
+                result = {
+                    "metric": "frames/sec/chip shuffle gather 1x24 "
+                              "@1920x1088 h264 YUV/RGB full-res (config3)",
+                    "value": c3["fps"], "unit": "frames/s",
+                    "vs_baseline": c3["vs_ffmpeg_1core"], "extra": extra,
+                }
+            _RESULT = result
+            _emit(result)
+        except Exception as e:
+            log(f"[config3] FAILED: {type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            extra["config3"] = {"error": str(e)[:200]}
+    else:
+        log("[config3] skipped: deadline budget exhausted")
+        extra["config3"] = {"skipped": "deadline"}
+
+    # config4 — the r1-r3-comparable batched-dataloader headline
+    if left() > 120:
+        try:
+            head = _run_config("config4", _CONFIGS["config4"], (224, 224),
+                               budget=budget)
+            extra["config4"] = {k: v for k, v in head.items()
+                                if k != "stage_budget_ms"}
+            extra["stage_budget_ms"] = head.get("stage_budget_ms")
+            result = {
+                "metric": "frames/sec/chip dense gather 64x16 @640x368 "
+                          "h264 -> 224px RGB in HBM",
+                "value": head["fps"], "unit": "frames/s",
+                "vs_baseline": head["vs_ffmpeg_1core"], "extra": extra,
+            }
+            _RESULT = result
+            _emit(result)
+        except Exception as e:
+            log(f"[config4] FAILED: {type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            extra["config4"] = {"error": str(e)[:200]}
+    else:
+        log("[config4] skipped: deadline budget exhausted")
+        extra["config4"] = {"skipped": "deadline"}
+
+    if result is None:
+        # nothing landed: leave _RESULT as the mini (or None) and let the
+        # partial path describe the failure
+        _emit_and_exit()
     _RESULT = result
-    print(json.dumps(result), flush=True)
+    _emit(result)
+    finish()
 
 
 if __name__ == "__main__":
