@@ -30,35 +30,39 @@ import numpy as np
 
 from .recon import GopArrays
 
-# u8 layout offsets (per MB).  i4 prediction modes are NOT here: most MBs
-# in P/B content aren't I4x4, so their 16 bytes ship as a sparse
+# u8 layout offsets (per MB).  Fields that are constant per frame in
+# practice (deblock idc/offsets) ship in `hdr` with a sparse per-MB
+# exception stream; `avail` is geometric for single-slice frames and is
+# derived on-device from the MB index (+ exceptions for multi-slice /
+# constrained-intra frames); refidx packs to nibbles; i16/chroma modes
+# share a byte.  i4 prediction modes are NOT here: most MBs in P/B
+# content aren't I4x4, so their 16 bytes ship as a sparse
 # per-I4x4-MB row stream (i4_pos/i4_val) instead of half the dense lane.
 _U8_FIELDS = [
     ("mb_kind", 1, 0),
     ("qp", 1, 0),
-    ("i16_mode", 1, 1),      # stored +1
-    ("chroma_mode", 1, 1),
-    ("deblock_idc", 1, 0),
-    ("avail", 1, 0),
-    ("alpha_off", 1, 128),   # stored +128
-    ("beta_off", 1, 128),
-    ("refidx", 4, 1),
+    ("modes", 1, 0),         # (i16_mode+1) | ((chroma_mode+1) << 4)
+    ("refnib", 2, 0),        # 4 refidx nibbles, each (refidx+1) clamped 15
     ("nnzmask", 3, 0),       # 24 per-block nonzero flags, bit-packed
 ]
-U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 15
+U8_STRIDE = sum(n for _, n, _ in _U8_FIELDS)  # 8
+_HDR_W = 40  # int16 per-frame header lanes (see pack_gop_batch fill)
 
 
 class PackedBatch(NamedTuple):
     u8: jnp.ndarray        # [B, F, M, U8_STRIDE] uint8
-    mv_base: jnp.ndarray   # [B, F, M, 2] int16 (the MB's first 4x4 MV)
+    mv_base: jnp.ndarray   # [B, F, M, 2] int8 raster DELTAS of the MB's
+                           # first 4x4 MV (cumsum along M rebuilds;
+                           # |delta| > 127 rides mvb_exc as the true delta)
     mv_exc_val: jnp.ndarray  # [Kv, 2] int16 sub-partition MV exceptions
     mv_exc_pos: jnp.ndarray  # [Kv] uint16 position deltas into
                              # [B*F*M*16] (+1 scratch) — see delta grammar
-    hdr: jnp.ndarray       # [B, F, 36] int16 (frame_type, ref_map,
-                           # ref_map_l1, is_ref, ring_slot, bi_explicit)
-    coeff_val: jnp.ndarray  # [K] int8 (|v|>127 rides the big side stream)
-    coeff_pos: jnp.ndarray  # [K] uint16 position deltas into
-                            # [B*F*M*26*16] (+1 scratch)
+    hdr: jnp.ndarray       # [B, F, 40] int16 (frame_type, ref_map,
+                           # ref_map_l1, is_ref, ring_slot, bi_explicit,
+                           # deblock_idc, alpha_off, beta_off)
+    coeff_tok: jnp.ndarray  # [K] uint16 combined coefficient tokens
+                            # (12-bit position delta + 4-bit signed value)
+                            # into [B*F*M*26*16] (+1 scratch)
     ipcm: jnp.ndarray | None  # [B, F, M, 384] uint8, only when present
     weights: jnp.ndarray | None  # [B, F, 16, 8] int16 pred weights (identity
                                  # rows on unweighted frames); None when no
@@ -80,6 +84,22 @@ class PackedBatch(NamedTuple):
     # intra-4x4 prediction modes, one 16-byte row per I4x4 macroblock
     i4_pos: jnp.ndarray | None = None  # [Ki] uint16 deltas into [B*F*M]
     i4_val: jnp.ndarray | None = None  # [Ki, 16] uint8 modes
+    # sparse per-MB exceptions against the per-frame/geometric defaults
+    # (uint16 position deltas into [B*F*M]); values:
+    #   db_exc   [Kd, 3] int8 (deblock_idc, alpha_off, beta_off)
+    #   avail_exc [Ka] uint8 (frames with multi-slice / constrained intra)
+    #   refidx_exc [Kr, 4] int8 (any refidx > 14 — nibble overflow)
+    db_exc_pos: jnp.ndarray | None = None
+    db_exc_val: jnp.ndarray | None = None
+    avail_exc_pos: jnp.ndarray | None = None
+    avail_exc_val: jnp.ndarray | None = None
+    refidx_exc_pos: jnp.ndarray | None = None
+    refidx_exc_val: jnp.ndarray | None = None
+    # mv_base delta overflow exceptions: true int16 deltas at these MBs
+    mvb_exc_pos: jnp.ndarray | None = None   # [Km] uint16 deltas, B*F*M
+    mvb_exc_val: jnp.ndarray | None = None   # [Km, 2] int16
+    mvb1_exc_pos: jnp.ndarray | None = None  # L1 twin (B frames)
+    mvb1_exc_val: jnp.ndarray | None = None
     # frame-windowed decode: the window's first span-global frame index,
     # shipped IN the fused blob so window executables need neither a
     # per-offset recompile nor a separate scalar upload (the relay
@@ -106,9 +126,20 @@ _ESC = 0xFFFF
 _ESC_ADV = 0xFFFE
 
 
+def bucket_size(n: int, min_bucket: int = 1024) -> int:
+    """Smallest of {2^k, 3*2^(k-1)} >= max(n, min_bucket).  Pure pow2
+    padding wasted up to 50% of the largest upload streams (41.5%
+    measured on the bench coefficient stream); half-step buckets cap the
+    waste at 33% for 2x the distinct compile shapes."""
+    n = max(int(n), int(min_bucket), 1)
+    p = 1 << (n - 1).bit_length()
+    mid = 3 * (p >> 2)  # 1.5x the previous power of two
+    return mid if mid >= n else p
+
+
 def delta_encode_pad(pos, vals, min_bucket=1024):
-    """Delta-encode sorted positions to the uint16 grammar above, pad to a
-    power-of-two bucket (so stream growth rarely recompiles), and keep
+    """Delta-encode sorted positions to the uint16 grammar above, pad to
+    a half-step bucket (so stream growth rarely recompiles), and keep
     `vals` aligned (zeros at escape/pad slots)."""
     pos = np.asarray(pos, np.int64)
     k = len(pos)
@@ -118,7 +149,7 @@ def delta_encode_pad(pos, vals, min_bucket=1024):
     esc = (gap - 1) // _ESC_ADV  # escapes needed before each entry
     n_esc = int(esc.sum())
     n = k + n_esc
-    kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    kpad = bucket_size(n, min_bucket)
     out = np.zeros(kpad, np.uint16)
     val_p = np.zeros((kpad,) + np.asarray(vals).shape[1:],
                      np.asarray(vals).dtype)
@@ -144,17 +175,104 @@ def decode_delta_positions(deltas, total):
     return jnp.where(emit, posn, total)
 
 
+# ---------------------------------------------------------------------------
+# Combined coefficient tokens.  Quantized residual levels are tiny
+# (99.8% in [-8, 7] measured at bench CRF) while their position deltas
+# are small (87% <= 255): ONE uint16 token carries both, at 2 B per
+# coefficient instead of the 3 B of separate delta+int8 streams.
+#   token = (val4 << 12) | gap12
+#   gap12 in [1, 0xFFE]   advance by gap12; emit the 4-bit signed value
+#                         when val4 != 0 (val4 == 0: position-only token —
+#                         the wide value rides the absolute big stream)
+#   gap12 == 0xFFF        advance by 0xFFE, emit nothing (escape; val4=0)
+#   token == 0            bucket padding (no advance, no emit)
+# ---------------------------------------------------------------------------
+
+_CW_ESC = 0xFFF
+_CW_ADV = 0xFFE
+
+
+def coeff_encode_pad(pos, vals, min_bucket=1024):
+    """Encode sorted positions + values in [-8, 7] (0 = emit nothing;
+    the caller routes wider values to the big side stream) to the
+    combined-token grammar, padded to a half-step bucket."""
+    pos = np.asarray(pos, np.int64)
+    vals = np.asarray(vals, np.int64)
+    k = len(pos)
+    gap = np.diff(pos, prepend=-1)
+    if k and gap.min() < 1:
+        raise ValueError("sparse positions must be strictly increasing")
+    if k and (vals.min() < -8 or vals.max() > 7):
+        raise ValueError("combined tokens carry 4-bit values only")
+    esc = (gap - 1) // _CW_ADV
+    n_esc = int(esc.sum())
+    n = k + n_esc
+    kpad = bucket_size(n, min_bucket)
+    out = np.zeros(kpad, np.uint16)
+    tok = ((vals & 0xF) << 12).astype(np.uint16)
+    if n_esc == 0:
+        out[:k] = tok | gap.astype(np.uint16)
+    else:
+        out[:n] = _CW_ESC
+        dst = np.arange(k) + np.cumsum(esc)
+        out[dst] = tok | (gap - esc * _CW_ADV).astype(np.uint16)
+    return out
+
+
+def decode_coeff_tokens(tokens, total):
+    """Device-side inverse: combined-token stream -> (int32 scatter
+    positions, int16 values).  Escape/pad/position-only slots redirect
+    to the scratch index `total`."""
+    t = tokens.astype(jnp.int32)
+    gap = t & 0xFFF
+    adv = jnp.where(gap == _CW_ESC, _CW_ADV, gap)
+    posn = jnp.cumsum(adv) - 1
+    v = t >> 12
+    val = ((v ^ 8) - 8).astype(jnp.int16)  # 4-bit sign extension
+    emit = (gap != 0) & (gap != _CW_ESC) & (v != 0)
+    return jnp.where(emit, posn, total), val
+
+
 def sparse_pad_abs(pos, vals, total, min_bucket=1024):
     """Absolute-position padding (scratch index = total) for the small
     side streams that don't warrant delta coding."""
     k = len(pos)
-    kpad = max(min_bucket, 1 << int(np.ceil(np.log2(max(k, 1)))))
+    kpad = bucket_size(k, min_bucket)
     pos_p = np.full(kpad, total, np.int32 if total < 2**31 else np.int64)
     pos_p[:k] = pos
     val_p = np.zeros((kpad,) + np.asarray(vals).shape[1:],
                      np.asarray(vals).dtype)
     val_p[:k] = vals
     return pos_p, val_p
+
+
+def avail_geometric_np(mb_w: int, mb_h: int) -> np.ndarray:
+    """The single-slice neighbor-availability bits per MB index (matches
+    native avail_bits, h264_decode.cpp: bit0..3 left/top/topright/topleft
+    intra-pred availability, bit4/5 left/top-in-same-slice): pure
+    geometry when the frame is one slice without constrained intra."""
+    mbx = np.arange(mb_w * mb_h) % mb_w
+    mby = np.arange(mb_w * mb_h) // mb_w
+    left = mbx > 0
+    top = mby > 0
+    tr = top & (mbx < mb_w - 1)
+    tl = left & top
+    return (
+        left * 1 + top * 2 + tr * 4 + tl * 8 + left * 16 + top * 32
+    ).astype(np.uint8)
+
+
+def avail_geometric_jnp(mb_w: int, mb_h: int) -> jnp.ndarray:
+    """Device twin of :func:`avail_geometric_np` (static per geometry —
+    folds to a constant under jit)."""
+    idx = jnp.arange(mb_w * mb_h)
+    mbx = idx % mb_w
+    mby = idx // mb_w
+    left = (mbx > 0).astype(jnp.int16)
+    top = (mby > 0).astype(jnp.int16)
+    tr = top * (mbx < mb_w - 1).astype(jnp.int16)
+    tl = left * top
+    return left * 1 + top * 2 + tr * 4 + tl * 8 + left * 16 + top * 32
 
 
 def pack_flags(tensors) -> dict:
@@ -239,7 +357,7 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
     force = force or {}
 
     u8 = np.zeros((B, F, M, U8_STRIDE), np.uint8)
-    hdr = np.zeros((B, F, 36), np.int16)
+    hdr = np.zeros((B, F, _HDR_W), np.int16)
     hdr[:, :, 17:33] = -1
     hdr[:, :, 34] = -1
     any_ipcm = force.get("ipcm", False) or any(
@@ -390,6 +508,12 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
             f"vs {counts2.tolist()}"
         )
 
+    geo_avail = avail_geometric_np(
+        tensors[0].mb_width, tensors[0].mb_height
+    )
+    db_pos, db_val = [], []
+    av_pos, av_val = [], []
+    ri_pos, ri_val = [], []
     for b, t in enumerate(tensors):
         n = t.n_frames
         hdr[b, :n, 0] = t.frame_type
@@ -400,6 +524,36 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         )
         if t.ring_slot is not None:
             hdr[b, :n, 34] = t.ring_slot
+        # per-frame deblock defaults (slice-constant in practice) + the
+        # geometric-avail diff; per-MB disagreements ride the sparse
+        # exception streams (multi-slice / constrained-intra frames)
+        di = t.deblock_idc[:n].reshape(n, M)
+        ao = t.alpha_off[:n].reshape(n, M)
+        bo = t.beta_off[:n].reshape(n, M)
+        hdr[b, :n, 36] = di[:, 0]
+        hdr[b, :n, 37] = ao[:, 0]
+        hdr[b, :n, 38] = bo[:, 0]
+        diff = (
+            (di != di[:, :1]) | (ao != ao[:, :1]) | (bo != bo[:, :1])
+        )
+        if diff.any():
+            fi, mi = np.nonzero(diff)
+            db_pos.append((b * F + fi) * M + mi)
+            db_val.append(
+                np.stack([di[diff], ao[diff], bo[diff]], -1).astype(np.int8)
+            )
+        av = t.avail[:n].reshape(n, M)
+        adiff = av != geo_avail[None, :]
+        if adiff.any():
+            fi, mi = np.nonzero(adiff)
+            av_pos.append((b * F + fi) * M + mi)
+            av_val.append(av[adiff].astype(np.uint8))
+        ri = t.refidx[:n].reshape(n, M, 4)
+        rdiff = (ri > 14).any(-1)
+        if rdiff.any():
+            fi, mi = np.nonzero(rdiff)
+            ri_pos.append((b * F + fi) * M + mi)
+            ri_val.append(ri[rdiff].astype(np.int8))
         if any_expb:
             hdr[b, :n, 35] = explicit_b_frames(t)
             weights_l1[b, :n] = weights_l1_or_identity(t)
@@ -416,37 +570,75 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         if any_weights:
             weights[b, :n] = weights_or_identity(t)
 
+    def _mv_delta8(base16):
+        """[B, F, M, 2] int16 absolute -> int8 raster deltas + overflow
+        exceptions (true int16 delta; device scatters before cumsum)."""
+        d = base16.astype(np.int32).copy()
+        d[:, :, 1:] -= base16[:, :, :-1].astype(np.int32)
+        exc = (np.abs(d) > 127).any(-1)
+        d8 = np.where(exc[..., None], 0, d).astype(np.int8)
+        bi, fi, mi = np.nonzero(exc)
+        epos = (bi.astype(np.int64) * F + fi) * M + mi
+        evals = d[exc].astype(np.int16)
+        pp, vv = delta_encode_pad(epos, evals, min_bucket=64)
+        return d8, pp, vv
+
+    mv_d8, mvbp_p, mvbv_p = _mv_delta8(base)
+    if any_b:
+        mv1_d8, mvb1p_p, mvb1v_p = _mv_delta8(base1)
+
     total_coeff = B * F * M * _COEFF_BLOCKS * 16
-    # int8 value diet: quantized residual levels are almost all in
-    # [-127, 127]; the rare wide value ships in a tiny absolute-position
+    # 4-bit value diet: quantized residual levels are almost all in
+    # [-8, 7]; the rare wide value ships in a tiny absolute-position
     # side stream whose scatter runs AFTER the main one (overwrite wins)
-    big = np.abs(vals) > 127
+    big = (vals < -8) | (vals > 7)
     big_pos_p, big_val_p = sparse_pad_abs(pos[big], vals[big], total_coeff,
                                           min_bucket=64)
-    pos_p, val8_p = delta_encode_pad(
-        pos, np.where(big, 0, vals).astype(np.int8)
-    )
+    tok_p = coeff_encode_pad(pos, np.where(big, 0, vals))
     mpos_p, mval_p = delta_encode_pad(mpos, mvals, min_bucket=256)
     i4pos_p, i4val_p = delta_encode_pad(i4pos, i4vals, min_bucket=64)
     if any_b:
         mpos1_p, mval1_p = delta_encode_pad(m1pos_a, m1vals,
                                             min_bucket=256)
 
+    def cat(parts, empty_shape, dtype):
+        return (np.concatenate(parts) if parts
+                else np.zeros(empty_shape, dtype))
+
+    total_mbs = B * F * M
+    dbp_p, dbv_p = delta_encode_pad(
+        cat(db_pos, 0, np.int64), cat(db_val, (0, 3), np.int8),
+        min_bucket=64)
+    avp_p, avv_p = delta_encode_pad(
+        cat(av_pos, 0, np.int64), cat(av_val, 0, np.uint8),
+        min_bucket=64)
+    rip_p, riv_p = delta_encode_pad(
+        cat(ri_pos, 0, np.int64), cat(ri_val, (0, 4), np.int8),
+        min_bucket=64)
+    del total_mbs
+
     # honor to_device: the fused/sharded transports keep buffers in
     # host numpy and upload once with their own placement
     conv = jnp.asarray if to_device else (lambda a: a)
     return PackedBatch(
         u8=conv(u8),
-        mv_base=conv(base),
+        mv_base=conv(mv_d8),
+        mvb_exc_pos=conv(mvbp_p),
+        mvb_exc_val=conv(mvbv_p),
         mv_exc_val=conv(mval_p),
         mv_exc_pos=conv(mpos_p),
         hdr=conv(hdr),
-        coeff_val=conv(val8_p),
-        coeff_pos=conv(pos_p),
+        coeff_tok=conv(tok_p),
         coeff_big_pos=conv(big_pos_p),
         coeff_big_val=conv(big_val_p),
         i4_pos=conv(i4pos_p),
         i4_val=conv(i4val_p),
+        db_exc_pos=conv(dbp_p),
+        db_exc_val=conv(dbv_p),
+        avail_exc_pos=conv(avp_p),
+        avail_exc_val=conv(avv_p),
+        refidx_exc_pos=conv(rip_p),
+        refidx_exc_val=conv(riv_p),
         ipcm=conv(ipcm) if any_ipcm else None,
         weights=conv(weights) if any_weights else None,
         **(
@@ -460,7 +652,9 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
         ),
         **(
             {
-                "mv1_base": conv(base1),
+                "mv1_base": conv(mv1_d8),
+                "mvb1_exc_pos": conv(mvb1p_p),
+                "mvb1_exc_val": conv(mvb1v_p),
                 "mv1_exc_val": conv(mval1_p),
                 "mv1_exc_pos": conv(mpos1_p),
                 "refidx_l1": conv(ridx1),
@@ -542,18 +736,61 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     fused into consumers).
     """
     B, F, M, _ = p.u8.shape
+    nmb = B * F * M
     u = p.u8.astype(jnp.int16)
-    off = 0
-    fields = {}
-    for name, width, bias in _U8_FIELDS:
-        a = u[..., off : off + width] - bias
-        fields[name] = a[..., 0] if width == 1 else a
-        off += width
+    fields = {
+        "mb_kind": u[..., 0],
+        "qp": u[..., 1],
+        "i16_mode": (u[..., 2] & 0xF) - 1,
+        "chroma_mode": (u[..., 2] >> 4) - 1,
+        "nnzmask": u[..., 5:8],
+    }
+    refidx = jnp.stack(
+        [u[..., 3] & 0xF, u[..., 3] >> 4, u[..., 4] & 0xF, u[..., 4] >> 4],
+        axis=-1,
+    ) - 1
+    if p.refidx_exc_pos is not None:
+        rpos = decode_delta_positions(p.refidx_exc_pos, nmb)
+        rt = jnp.concatenate(
+            [refidx.reshape(nmb, 4), jnp.zeros((1, 4), jnp.int16)]
+        )
+        refidx = rt.at[rpos].set(
+            p.refidx_exc_val.astype(jnp.int16)
+        )[:-1].reshape(B, F, M, 4)
+    fields["refidx"] = refidx
+
+    def _exc_flat(base_flat, pos, vals):
+        t = jnp.concatenate([base_flat, jnp.zeros(1, base_flat.dtype)])
+        return t.at[pos].set(vals.astype(base_flat.dtype))[:-1]
+
+    # deblock params: per-frame hdr defaults, per-MB exceptions overwrite
+    db_def = p.hdr[:, :, None, 36:39]
+    if p.db_exc_pos is not None:
+        dpos = decode_delta_positions(p.db_exc_pos, nmb)
+        for i, name in enumerate(("deblock_idc", "alpha_off", "beta_off")):
+            base = jnp.broadcast_to(db_def[..., i], (B, F, M)).reshape(nmb)
+            fields[name] = _exc_flat(
+                base, dpos, p.db_exc_val[:, i]
+            ).reshape(B, F, M)
+    else:
+        for i, name in enumerate(("deblock_idc", "alpha_off", "beta_off")):
+            fields[name] = jnp.broadcast_to(db_def[..., i], (B, F, M))
+
+    # neighbor availability: geometric (single-slice) + exceptions
+    avail = jnp.broadcast_to(
+        avail_geometric_jnp(mb_w, mb_h)[None, None], (B, F, M)
+    )
+    if p.avail_exc_pos is not None:
+        apos = decode_delta_positions(p.avail_exc_pos, nmb)
+        avail = _exc_flat(
+            avail.reshape(nmb), apos, p.avail_exc_val
+        ).reshape(B, F, M)
+    fields["avail"] = avail
 
     total_c = B * F * M * _COEFF_BLOCKS * 16
-    cpos = decode_delta_positions(p.coeff_pos, total_c)
+    cpos, cval = decode_coeff_tokens(p.coeff_tok, total_c)
     dense = jnp.zeros(total_c + 1, jnp.int16)
-    dense = dense.at[cpos].set(p.coeff_val.astype(jnp.int16))
+    dense = dense.at[cpos].set(cval)
     if p.coeff_big_pos is not None:
         dense = dense.at[p.coeff_big_pos].set(p.coeff_big_val)
     coeff_all = dense[:-1].reshape(B, F, M * _COEFF_BLOCKS * 16)
@@ -570,6 +807,15 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
     # [N, 2] target would tile 2 lanes of 128); exception positions are
     # doubled into component positions, so the scatter stays on the fast
     # per-row path.
+    def mv_base16(d8, bepos, beval):
+        """int8 raster deltas (+ overflow exceptions carrying the true
+        int16 delta) -> [B, F, M, 2] int16 via cumsum along M."""
+        d = d8.astype(jnp.int16).reshape(nmb, 2)
+        if bepos is not None:
+            bt = jnp.concatenate([d, jnp.zeros((1, 2), jnp.int16)])
+            d = bt.at[decode_delta_positions(bepos, nmb)].set(beval)[:-1]
+        return jnp.cumsum(d.reshape(B, F, M, 2), axis=2)
+
     def mv_unpack(mbase, epos, eval_):
         N = B * F * M * 16
         flat = jnp.broadcast_to(
@@ -581,9 +827,15 @@ def unpack(p: PackedBatch, mb_w: int, mb_h: int) -> GopArrays:
         flat = flat.at[pos2].set(eval_.reshape(-1))
         return flat[:-2].reshape(B, F, M * 32)
 
-    mv16 = mv_unpack(p.mv_base, p.mv_exc_pos, p.mv_exc_val)
+    mv16 = mv_unpack(
+        mv_base16(p.mv_base, p.mvb_exc_pos, p.mvb_exc_val),
+        p.mv_exc_pos, p.mv_exc_val,
+    )
     mv16_l1 = (
-        mv_unpack(p.mv1_base, p.mv1_exc_pos, p.mv1_exc_val)
+        mv_unpack(
+            mv_base16(p.mv1_base, p.mvb1_exc_pos, p.mvb1_exc_val),
+            p.mv1_exc_pos, p.mv1_exc_val,
+        )
         if p.mv1_base is not None
         else None
     )

@@ -137,23 +137,30 @@ def pack_gop_batch_sharded(tensors, pad_frames: int, n_shards: int):
         k = max(getattr(p, pos_name).shape[0] for p in packs)
         for i, p in enumerate(packs):
             pos = getattr(p, pos_name)
-            val = getattr(p, val_name)
+            val = getattr(p, val_name) if val_name else None
             if pos.shape[0] == k:
                 continue
             n = k - pos.shape[0]
-            fill = 0 if pos.dtype == np.uint16 else total
+            fill = 0 if pos.dtype in (np.uint16, np.uint8) else total
             pos = np.concatenate([pos, np.full(n, fill, pos.dtype)])
-            val = np.concatenate(
-                [val, np.zeros((n,) + val.shape[1:], val.dtype)]
-            )
-            packs[i] = p._replace(**{pos_name: pos, val_name: val})
+            rep = {pos_name: pos}
+            if val is not None:
+                rep[val_name] = np.concatenate(
+                    [val, np.zeros((n,) + val.shape[1:], val.dtype)]
+                )
+            packs[i] = p._replace(**rep)
 
-    grow("coeff_pos", "coeff_val", per * F * M * 26 * 16)
+    grow("coeff_tok", None, 0)  # combined tokens: 0 = pad, no val stream
     grow("coeff_big_pos", "coeff_big_val", per * F * M * 26 * 16)
     grow("i4_pos", "i4_val", per * F * M)
     grow("mv_exc_pos", "mv_exc_val", per * F * M * 16)
+    grow("db_exc_pos", "db_exc_val", per * F * M)
+    grow("avail_exc_pos", "avail_exc_val", per * F * M)
+    grow("refidx_exc_pos", "refidx_exc_val", per * F * M)
+    grow("mvb_exc_pos", "mvb_exc_val", per * F * M)
     if packs[0].mv1_exc_pos is not None:
         grow("mv1_exc_pos", "mv1_exc_val", per * F * M * 16)
+        grow("mvb1_exc_pos", "mvb1_exc_val", per * F * M)
 
     return jax.tree.map(lambda *xs: np.stack(xs), *packs)
 

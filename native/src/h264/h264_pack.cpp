@@ -31,7 +31,7 @@ using namespace hwh264;
 
 namespace {
 
-constexpr int U8_STRIDE = 15;
+constexpr int U8_STRIDE = 8;
 constexpr int MB_STRIDE = 26 * 16;  // unified coeff lanes per MB
 
 }  // namespace
@@ -62,20 +62,24 @@ HW_API int hw_h264_pack_clip(
       uint32_t nnz_bits = 0;
       for (int k = 0; k < 24; k++) nnz_bits |= (uint32_t)(nnz[k] > 0) << k;
       if (!count_only) {
+        // Deblock idc/offsets and neighbor availability are NOT here:
+        // they ship as per-frame hdr defaults / device-side geometry
+        // with sparse per-MB exception streams (packed.py).
         uint8_t* d = u8 + fm * U8_STRIDE;
         d[0] = t->mb_kind[fm];
         d[1] = (uint8_t)t->qp[fm];
-        d[2] = (uint8_t)(t->i16_mode[fm] + 1);
-        d[3] = (uint8_t)(t->chroma_mode[fm] + 1);
-        d[4] = t->deblock_idc[fm];
-        d[5] = t->intra_pred_avail[fm];
-        d[6] = (uint8_t)(t->alpha_off[fm] + 128);
-        d[7] = (uint8_t)(t->beta_off[fm] + 128);
+        d[2] = (uint8_t)((t->i16_mode[fm] + 1) |
+                         ((t->chroma_mode[fm] + 1) << 4));
         const int8_t* ri = t->refidx + fm * 4;
-        for (int k = 0; k < 4; k++) d[8 + k] = (uint8_t)(ri[k] + 1);
-        d[12] = nnz_bits & 0xFF;
-        d[13] = (nnz_bits >> 8) & 0xFF;
-        d[14] = nnz_bits >> 16;
+        auto nib = [](int v) {
+          int x = v + 1;
+          return (uint8_t)(x < 0 ? 0 : (x > 15 ? 15 : x));
+        };
+        d[3] = nib(ri[0]) | (nib(ri[1]) << 4);
+        d[4] = nib(ri[2]) | (nib(ri[3]) << 4);
+        d[5] = nnz_bits & 0xFF;
+        d[6] = (nnz_bits >> 8) & 0xFF;
+        d[7] = nnz_bits >> 16;
       }
 
       if (t->mb_kind[fm] == 2 /* MB_I4x4 */) {
