@@ -105,7 +105,8 @@ def _declare(lib):
     lib.hw_h264_decode_gop.restype = c.c_int
     lib.hw_h264_decode_gop.argtypes = [
         c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
-        c.POINTER(c.c_uint64), c.c_int, c.POINTER(_GopOut),
+        c.POINTER(c.c_uint64), c.c_int, c.POINTER(c.c_uint8),
+        c.POINTER(_GopOut),
     ]
     lib.hw_h264_chroma_qp_offset.restype = c.c_int
     lib.hw_h264_chroma_qp_offset.argtypes = [c.c_void_p]
@@ -275,9 +276,15 @@ class H264EntropyDecoder:
             pass
 
     def decode_gop(
-        self, data: bytes, sample_offsets, sample_sizes
+        self, data: bytes, sample_offsets, sample_sizes, wanted_disp=None
     ) -> GopTensors:
-        """Entropy-decode the samples of one span into SoA tensors."""
+        """Entropy-decode the samples of one span into SoA tensors.
+
+        `wanted_disp` (optional bool array [n_samples]): marks the
+        span-relative DISPLAY positions the caller will read.  Frames
+        that are neither referenced (nal_ref_idc == 0) nor wanted skip
+        slice-data decode entirely (their SoA slots stay zero — safe
+        because nothing reads them)."""
         F = len(sample_offsets)
         M = self.mb_width * self.mb_height
 
@@ -304,15 +311,19 @@ class H264EntropyDecoder:
             mv_l1=z((F, M, 16, 2), np.int16),
             refidx_l1=np.full((F, M, 4), -1, np.int8),
             luma_dc=z((F, M, 16), np.int16),
-            luma_ac=z((F, M, 16, 16), np.int16),
+            # np.empty for the three big buffers: their calloc memset
+            # was 27% of the 1080p entropy wall (gprofng).  AC blocks
+            # are zeroed per-MB by the native decoder (cache-warm);
+            # ipcm content is mb_kind==4-gated everywhere.
+            luma_ac=np.empty((F, M, 16, 16), np.int16),
             chroma_dc=z((F, M, 2, 4), np.int16),
-            chroma_ac=z((F, M, 2, 4, 16), np.int16),
+            chroma_ac=np.empty((F, M, 2, 4, 16), np.int16),
             nnz=z((F, M, 24), np.uint8),
             deblock_idc=z((F, M), np.uint8),
             alpha_off=z((F, M), np.int8),
             beta_off=z((F, M), np.int8),
             avail=z((F, M), np.uint8),
-            ipcm=z((F, M, 384), np.uint8),
+            ipcm=np.empty((F, M, 384), np.uint8),
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
             pred_weights_l1=z((F, 16, 8), np.int16),
@@ -348,12 +359,21 @@ class H264EntropyDecoder:
         dptr, downer = as_u8p(data)
         offs = np.ascontiguousarray(sample_offsets, np.uint64)
         sizes = np.ascontiguousarray(sample_sizes, np.uint64)
+        if wanted_disp is not None:
+            wd = np.ascontiguousarray(
+                np.asarray(wanted_disp, np.uint8).reshape(F)
+            )
+            wd_ptr = wd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        else:
+            wd = None
+            wd_ptr = None
         n = self._lib.hw_h264_decode_gop(
             self._h, dptr,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            F, ctypes.byref(out),
+            F, wd_ptr, ctypes.byref(out),
         )
+        del wd
         del downer
         if n < 0:
             raise ValueError(

@@ -242,8 +242,19 @@ class ClipBatchDecoder:
                 dec.set_ring_slots(self.n_refs)
             import time as _time
 
+            # Entropy-level skip: frames that are neither referenced nor
+            # requested decode no slice data (reference behavior analog:
+            # the automata still FEEDS every packet but the backend's
+            # output for unrequested frames is discarded — here the
+            # discard moves before the expensive work).
+            wanted = None
+            if os.environ.get("HWANG_SKIP_NONREF", "1") == "1":
+                wanted = np.zeros(len(job.offsets), np.uint8)
+                for r in job.valid:
+                    wanted[r - job.start] = 1
             t0 = _time.perf_counter()
-            t = dec.decode_gop(job.data, job.offsets, job.sizes)
+            t = dec.decode_gop(job.data, job.offsets, job.sizes,
+                               wanted_disp=wanted)
             prof.add_interval("entropy_decode", _time.perf_counter() - t0)
             return t
 

@@ -971,6 +971,9 @@ bool derive_b_direct_mb(Ctx& c, const SliceCtx& sc, GopOut* out, int fidx,
 bool derive_b_skip(Ctx& c, const SliceCtx& sc, int mb, GopOut* out,
                    int fidx) {
   const size_t base = (size_t)fidx * c.n_mbs + mb;
+  // AC buffers arrive np.empty from Python; see decode_mb_cavlc
+  memset(out->luma_ac + base * 256, 0, 256 * sizeof(int16_t));
+  memset(out->chroma_ac + base * 128, 0, 128 * sizeof(int16_t));
   MbState& M = c.mbs[mb];
   M.slice_id = c.cur_slice_id;
   M.kind = MB_B_SKIP;
@@ -1160,6 +1163,12 @@ bool decode_b_motion(Ctx& c, const SliceCtx& sc, GopOut* out, int fidx,
 bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
                      GopOut* out, int fidx) {
   const size_t base = (size_t)fidx * c.n_mbs + mb;
+  // The AC coefficient buffers arrive np.empty from Python (a cold
+  // 100+ MB calloc memset per 1080p span was 27% of the entropy wall,
+  // gprofng-measured); zero this MB's slice cache-warm instead — pad
+  // frames and skip-decoded frames are never read (nnz-gated).
+  memset(out->luma_ac + base * 256, 0, 256 * sizeof(int16_t));
+  memset(out->chroma_ac + base * 128, 0, 128 * sizeof(int16_t));
   MbState& M = c.mbs[mb];
   M.slice_id = c.cur_slice_id;
   memset(M.nnz, 0, sizeof(M.nnz));
@@ -1583,6 +1592,9 @@ bool decode_mb_cavlc(Ctx& c, BitReader& br, const SliceCtx& sc, int mb,
 // P_Skip MV derivation (spec 8.4.1.1).
 void derive_pskip(Ctx& c, int mb, GopOut* out, int fidx) {
   const size_t base = (size_t)fidx * c.n_mbs + mb;
+  // AC buffers arrive np.empty from Python; see decode_mb_cavlc
+  memset(out->luma_ac + base * 256, 0, 256 * sizeof(int16_t));
+  memset(out->chroma_ac + base * 128, 0, 128 * sizeof(int16_t));
   MbState& M = c.mbs[mb];
   M.slice_id = c.cur_slice_id;
   M.kind = MB_P_SKIP;
@@ -1830,6 +1842,9 @@ int cabac_mvd(Ctx& c, Cabac& cb, CabacContexts& cx, int ctx_base, int amvd) {
 bool decode_mb_cabac(Ctx& c, Cabac& cb, CabacContexts& cx, const SliceCtx& sc,
                      int mb, GopOut* out, int fidx, int& last_qp_delta) {
   const size_t base = (size_t)fidx * c.n_mbs + mb;
+  // see decode_mb_cavlc: AC buffers are np.empty; zero per-MB here
+  memset(out->luma_ac + base * 256, 0, 256 * sizeof(int16_t));
+  memset(out->chroma_ac + base * 128, 0, 128 * sizeof(int16_t));
   MbState& M = c.mbs[mb];
   M.slice_id = c.cur_slice_id;
   memset(M.nnz, 0, sizeof(M.nnz));
@@ -2996,19 +3011,9 @@ HW_API int hw_h264_is_cabac(void* h) {
   return p->c.pps_map.begin()->second.entropy_coding_mode ? 1 : 0;
 }
 
-// Decode `n_samples` AVCC-framed access units into the SoA output.
-// `offsets`/`sizes` locate each sample inside `data`.  The first sample must
-// be an IDR.  Returns number of frames decoded, or -1 on error.
-HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
-                              const uint64_t* offsets, const uint64_t* sizes,
-                              int n_samples, GopOut* out) {
-  auto* p = static_cast<PublicCtx*>(h);
-  Ctx& c = p->c;
-  c.err.clear();
-  if (!c.have_active) {
-    snprintf(p->errbuf, sizeof(p->errbuf), "no SPS");
-    return -1;
-  }
+namespace {
+
+void reset_gop_state(Ctx& c) {
   c.dpb.clear();
   c.prev_frame_num = -1;
   c.frame_num_offset = 0;
@@ -3017,7 +3022,118 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
   c.ring_span.clear();
   c.poc_epoch = 0;
   c.max_poc_emitted = 0;
+}
+
+// Header-only pre-pass: per-sample POC + is-reference flags, mirroring
+// the main loop's POC state sequence (IDR epochs, MMCO5 resets) exactly.
+// Used to map requested DISPLAY positions to decode indices so
+// non-referenced, unrequested frames can skip slice-data decode
+// entirely (the CABAC/CAVLC work is ~all of the entropy wall).
+int scan_span_headers(Ctx& c, const uint8_t* data, const uint64_t* offsets,
+                      const uint64_t* sizes, int n_samples, int32_t* poc,
+                      uint8_t* is_ref) {
+  int fidx = 0;
+  for (int s = 0; s < n_samples; s++) {
+    const uint8_t* sample = data + offsets[s];
+    size_t size = sizes[s];
+    size_t pos = 0;
+    while (pos + c.nal_length_size <= size) {
+      uint64_t nal_len = 0;
+      for (int i = 0; i < c.nal_length_size; i++)
+        nal_len = (nal_len << 8) | sample[pos + i];
+      pos += c.nal_length_size;
+      if (nal_len == 0 || pos + nal_len > size) return -1;
+      int nal_ref_idc = (sample[pos] >> 5) & 3;
+      int nal_type = sample[pos] & 0x1F;
+      if (nal_type == 7 || nal_type == 8) {
+        auto rbsp = strip_ep(sample + pos + 1, nal_len - 1);
+        BitReader br(rbsp.data(), rbsp.size());
+        if (nal_type == 7) {
+          SPS sps;
+          if (!parse_sps(br, sps, c.err)) return -1;
+          c.sps_map[sps.seq_parameter_set_id] = sps;
+        } else {
+          PPS pps;
+          if (!parse_pps(br, pps, c.sps_map, c.err)) return -1;
+          c.pps_map[pps.pic_parameter_set_id] = pps;
+        }
+      } else if (nal_type == 1 || nal_type == 5) {
+        auto rbsp = strip_ep(sample + pos + 1, nal_len - 1);
+        BitReader br(rbsp.data(), rbsp.size());
+        SliceHeader sh;
+        if (!parse_slice_header(c, br, nal_ref_idc, nal_type == 5, sh))
+          return -1;
+        if (sh.is_idr && fidx > 0) c.poc_epoch = c.max_poc_emitted + 2;
+        poc[fidx] = poc_of_frame(c, sh) + c.poc_epoch;
+        is_ref[fidx] = nal_ref_idc != 0;
+        if (nal_ref_idc != 0 && sh.adaptive_ref_pic_marking) {
+          for (auto& [op, vals] : sh.mmco_ops) {
+            if (op == 5) {  // mirror the main loop's MMCO5 POC reset
+              c.frame_num_offset = 0;
+              c.prev_frame_num = 0;
+              c.prev_poc_msb = c.prev_poc_lsb = 0;
+              c.poc_epoch = c.max_poc_emitted + 2;
+              poc[fidx] = c.poc_epoch;
+            }
+          }
+        }
+        if (poc[fidx] > c.max_poc_emitted) c.max_poc_emitted = poc[fidx];
+        fidx++;
+        break;  // only the first slice of an access unit matters here
+      }
+      pos += nal_len;
+    }
+  }
+  return fidx;
+}
+
+}  // namespace
+
+// Decode `n_samples` AVCC-framed access units into the SoA output.
+// `offsets`/`sizes` locate each sample inside `data`.  The first sample must
+// be an IDR.  `wanted_disp` (optional, [n_samples]): nonzero marks the
+// span-relative DISPLAY positions the caller needs — frames that are
+// neither referenced (nal_ref_idc == 0) nor wanted skip slice-data
+// decode and stay all-zero in the SoA (their output slots are never
+// read).  NULL decodes everything.  Returns number of frames decoded,
+// or -1 on error.
+HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
+                              const uint64_t* offsets, const uint64_t* sizes,
+                              int n_samples, const uint8_t* wanted_disp,
+                              GopOut* out) {
+  auto* p = static_cast<PublicCtx*>(h);
+  Ctx& c = p->c;
+  c.err.clear();
+  if (!c.have_active) {
+    snprintf(p->errbuf, sizeof(p->errbuf), "no SPS");
+    return -1;
+  }
+  reset_gop_state(c);
   c.mbs.assign(c.n_mbs, MbState());
+
+  // Resolve the display-position mask to per-decode-index skip flags via
+  // the header-only POC pre-pass (display rank r = position in the
+  // POC-sorted order, matching the consumer's stable argsort).
+  std::vector<uint8_t> wanted_decode;
+  if (wanted_disp && n_samples > 0) {
+    std::vector<int32_t> poc(n_samples);
+    std::vector<uint8_t> is_ref(n_samples);
+    int n = scan_span_headers(c, data, offsets, sizes, n_samples,
+                              poc.data(), is_ref.data());
+    if (n < 0) {
+      snprintf(p->errbuf, sizeof(p->errbuf), "header scan: %s",
+               c.err.c_str());
+      return -1;
+    }
+    std::vector<int> order(n);
+    for (int i = 0; i < n; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return poc[a] < poc[b]; });
+    wanted_decode.assign(n_samples, 1);
+    for (int r = 0; r < n; r++)
+      wanted_decode[order[r]] = is_ref[order[r]] || wanted_disp[r];
+    reset_gop_state(c);
+  }
 
   int fidx = 0;
   for (int s = 0; s < n_samples; s++) {
@@ -3141,6 +3257,12 @@ HW_API int hw_h264_decode_gop(void* h, const uint8_t* data,
         for (int i = 0; i < 16; i++) {
           out->ref_map[fidx * 16 + i] = -1;
           out->ref_map_l1[fidx * 16 + i] = -1;
+        }
+        if (!wanted_decode.empty() && !wanted_decode[fidx]) {
+          // non-referenced frame nobody asked for: its SoA slot stays
+          // all-zero and its output is never read — skip the slice data
+          pos += nal_len;
+          continue;
         }
         if (sc.sh.slice_type == SLICE_P) {
           if (!build_ref_list_p(c, sc.sh, sc.list0)) {

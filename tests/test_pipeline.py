@@ -45,6 +45,84 @@ def test_pipeline_mixed_clip_settings(tmp_path):
             assert np.array_equal(frames[k], want), f"{p} frame {r}"
             k += 1
 
+def test_entropy_skip_nonref_bit_exact(tmp_path, monkeypatch):
+    """Entropy-level skip of non-referenced, unrequested frames
+    (HWANG_SKIP_NONREF): a sparse gather over a B-frame stream must stay
+    bit-exact vs the oracle — skipped B frames' SoA slots are never
+    read, and requested/reference frames decode identically."""
+    monkeypatch.setenv("HWANG_ROUTER", "off")  # force the device pipeline
+    p = str(tmp_path / "b.mp4")
+    encode_video(p, 32, 64, 48, profile="main", gop_size=16, crf=24, seed=5,
+                 b_frames=2,
+                 extra_opts="keyint=16:min-keyint=16:no-scenecut=1:ref=2")
+    rows = [[3, 9, 21, 30]]  # hits B and P display positions, both GOPs
+
+    monkeypatch.setenv("HWANG_SKIP_NONREF", "1")
+    dec = ClipBatchDecoder([p])
+    frames, mapping = dec.decode(rows, output="yuv")
+    frames = np.asarray(frames)
+    dec.close()
+
+    oracle = oracle_decode_all(p, fmt="yuv")
+    for k, (c, r) in enumerate(mapping):
+        oy, ou, ov = oracle[r]
+        want = np.concatenate(
+            [oy.reshape(-1), ou.reshape(-1), ov.reshape(-1)]
+        )
+        assert np.array_equal(frames[k], want), f"frame {r}"
+
+
+def test_entropy_skip_unit():
+    """decode_gop(wanted_disp=...): requested/reference frames match the
+    full decode exactly; skippable frames are skipped and stay zero."""
+    import os
+
+    from hwang_tpu import index_video
+    from hwang_tpu.intervals import slice_into_video_intervals
+    from hwang_tpu.models.h264.entropy import H264EntropyDecoder
+    from hwang_tpu.utils.fixtures import fixture
+
+    p = fixture("skiptest_bframes", 48, 192, 144, profile="main",
+                gop_size=16, crf=24, seed=3, b_frames=2,
+                extra_opts="keyint=16:min-keyint=16:no-scenecut=1:ref=2")
+    with open(p, "rb") as f:
+        idx = index_video(f)
+    ivs = slice_into_video_intervals(idx, [5, 14])
+    (s, e), valid = ivs.sample_index_intervals[0], ivs.valid_frames[0]
+    with open(p, "rb") as f:
+        f.seek(idx.sample_offsets[s])
+        nb = (idx.sample_offsets[e - 1] + idx.sample_sizes[e - 1]
+              - idx.sample_offsets[s])
+        data = f.read(nb)
+    offs = [o - idx.sample_offsets[s] for o in idx.sample_offsets[s:e]]
+    sizes = list(idx.sample_sizes[s:e])
+
+    t_full = H264EntropyDecoder(idx.metadata_bytes).decode_gop(
+        data, offs, sizes)
+    want = np.zeros(len(offs), np.uint8)
+    for r in valid:
+        want[r - s] = 1
+    t_skip = H264EntropyDecoder(idx.metadata_bytes).decode_gop(
+        data, offs, sizes, wanted_disp=want)
+
+    assert np.array_equal(t_full.poc, t_skip.poc)
+    perm = np.argsort(t_full.poc, kind="stable")
+    needed = {int(perm[r - s]) for r in valid} | {
+        i for i in range(len(offs)) if t_full.frame_is_ref[i]
+    }
+    skipped = [i for i in range(len(offs)) if i not in needed]
+    assert skipped, "fixture must contain skippable non-ref B frames"
+    for i in sorted(needed):
+        assert np.array_equal(t_full.mv[i], t_skip.mv[i])
+        assert np.array_equal(t_full.luma_ac[i], t_skip.luma_ac[i])
+        assert np.array_equal(t_full.mb_kind[i], t_skip.mb_kind[i])
+    for i in skipped:
+        # skipped frames' AC buffers are np.empty garbage BY DESIGN —
+        # the read contract is nnz/mb_kind gating, which must stay zero
+        assert not t_skip.mb_kind[i].any()
+        assert not t_skip.nnz[i].any()
+
+
 def test_yuv_numpy_mirrors_match_jax():
     """The host route's numpy epilogue mirrors must be bit-identical to
     the device epilogue (same exact-integer BT.601 / fixed-point resize)."""
