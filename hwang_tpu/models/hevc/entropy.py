@@ -64,6 +64,7 @@ def _declare(lib):
         c.POINTER(c.c_int),
     ]
     lib.hw_hevc_ctb_log2.argtypes = [c.c_void_p]
+    lib.hw_hevc_strong_smoothing.argtypes = [c.c_void_p]
     lib.hw_hevc_decode_gop.restype = c.c_int
     lib.hw_hevc_decode_gop.argtypes = [
         c.c_void_p, c.POINTER(c.c_uint8), c.POINTER(c.c_uint64),
@@ -99,6 +100,7 @@ class HevcGopTensors:
     #   (type 0/1/2, resolved offsets for bands / edge cats 1..4,
     #    band_position or eo_class)
     ctb_log2: int = 6
+    strong_smoothing: int = 1  # SPS strong_intra_smoothing_enabled_flag
 
 
 class HevcEntropyDecoder:
@@ -121,6 +123,7 @@ class HevcEntropyDecoder:
         self.height = h.value
         self.crop = tuple(crop)
         self.ctb_log2 = self._lib.hw_hevc_ctb_log2(self._h)
+        self.strong_smoothing = self._lib.hw_hevc_strong_smoothing(self._h)
 
     def close(self):
         if self._h:
@@ -160,6 +163,7 @@ class HevcEntropyDecoder:
             sao=np.zeros((F, -(-H // (1 << self.ctb_log2)),
                           -(-W // (1 << self.ctb_log2)), 3, 6), np.int8),
             ctb_log2=self.ctb_log2,
+            strong_smoothing=self.strong_smoothing,
         )
 
         def vp(a):

@@ -115,6 +115,252 @@ def _filter_flag(mode: int, n: int, luma: bool) -> bool:
     return min(abs(mode - 26), abs(mode - 10)) > thres
 
 
+# ---------------------------------------------------------------------------
+# Level-batched prep (v2).  Instead of one TU per frame per scan step,
+# TUs are grouped into DEPENDENCY LEVELS: level(TU) = 1 + max level of
+# any already-decoded TU whose pixels intersect this TU's reference
+# border (left column incl. below-left extension, corner, top row incl.
+# top-right extension).  TUs within a level are mutually independent, so
+# a scan step processes a whole level — step count drops from O(TUs) to
+# O(levels), and the intra weight table streams once per LEVEL instead
+# of once per TU.  Two size classes per step: "small" (4/8/16, the
+# existing 16x16-window machinery) and "big" (32x32, luma only — its own
+# window/table so the hot small class doesn't pay 32-sized shapes).
+# ---------------------------------------------------------------------------
+
+MARGIN_TL4 = 4    # v2 margins: 4-aligned so plane rows of 4px stay aligned
+MARGIN_BR4 = 68   # top refs reach x0 + 2*32 - 1
+
+RAW32_CONST = 129  # big-class raw window: 64 left, corner(64), 64 top, const
+
+
+@dataclasses.dataclass
+class PlanePrepLv:
+    """Level-batched SoA TU arrays for one plane scan."""
+
+    h: int
+    w: int
+    n_levels: int       # T (padded)
+    n_seq: int          # F
+    # small class [T, F, S]:
+    x0: np.ndarray
+    y0: np.ndarray
+    subst: np.ndarray   # [T, F, S, 65]
+    widx: np.ndarray
+    si: np.ndarray
+    filt: np.ndarray
+    mi: np.ndarray
+    qmul: np.ndarray
+    qsh: np.ndarray
+    dcadd: np.ndarray
+    dcshift: np.ndarray
+    mask: np.ndarray
+    coeff: np.ndarray   # [T, F, S, 256] int16
+    # big class [T, F, B] (B == 0 when the stream has no 32x32 TUs):
+    x0b: np.ndarray
+    y0b: np.ndarray
+    substb: np.ndarray  # [T, F, B, 129]
+    modeb: np.ndarray
+    filtb: np.ndarray   # 0 = none, 1 = 3-tap, 2 = strong-select on device
+    qmulb: np.ndarray
+    qshb: np.ndarray
+    maskb: np.ndarray
+    coeffb: np.ndarray  # [T, F, B, 1024] int16
+
+
+def _subst_for_tu32(done, w4, h, w, x0, y0):
+    """Canonical-slot -> raw-window index vector [129] for a 32x32 TU."""
+    n = 32
+    idx = np.full(129, RAW32_CONST, np.int32)
+
+    def avail(x, y):
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return False
+        return bool(done[(y >> 2) * w4 + (x >> 2)])
+
+    order = [("L", i, x0 - 1, y0 + i) for i in range(2 * n - 1, -1, -1)]
+    order.append(("C", 0, x0 - 1, y0 - 1))
+    order += [("T", i, x0 + i, y0 - 1) for i in range(2 * n)]
+    ok = [avail(x, y) for (_, _, x, y) in order]
+
+    def nat(k, i):
+        return i if k == "L" else (64 if k == "C" else 65 + i)
+
+    raw = [nat(k, i) for (k, i, _, _) in order]
+    res = np.full(len(order), RAW32_CONST, np.int32)
+    if any(ok):
+        first = ok.index(True)
+        res[0] = raw[0] if ok[0] else raw[first]
+        for j in range(1, len(order)):
+            res[j] = raw[j] if ok[j] else res[j - 1]
+    for j, (k, i, _, _) in enumerate(order):
+        if k == "L":
+            idx[i] = res[j]
+        elif k == "C":
+            idx[64] = res[j]
+        else:
+            idx[65 + i] = res[j]
+    return idx
+
+
+def _tu_level(lvl4, w4, h4, x0, y0, n):
+    """Dependency level of a TU: 1 + max level over its reference-border
+    4x4 cells (left column + below-left, corner, top row + top-right)."""
+    m = 0
+    cx = x0 >> 2
+    cy = y0 >> 2
+    if cx > 0:
+        col = lvl4[max(cy - 1, 0):min((y0 + 2 * n - 1) >> 2, h4 - 1) + 1,
+                   cx - 1]
+        if col.size:
+            m = int(col.max())
+    if cy > 0:
+        row = lvl4[cy - 1,
+                   max(cx - 1, 0):min((x0 + 2 * n - 1) >> 2, w4 - 1) + 1]
+        if row.size:
+            m = max(m, int(row.max()))
+    return m + 1
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def prep_plane_sequences_lv(t, strong: bool):
+    """Level-batched (luma, chroma) PlanePrepLv for all frames."""
+    seqs_l = [[] for _ in range(t.n_frames)]
+    seqs_c = [[] for _ in range(2 * t.n_frames)]
+    for f in range(t.n_frames):
+        lo = int(t.tu_off[f])
+        for i in range(lo, lo + int(t.n_tu[f])):
+            c = int(t.tu_cidx[i])
+            (seqs_l[f] if c == 0 else seqs_c[2 * f + c - 1]).append(i)
+    W, H = t.width, t.height
+    luma = _prep_sequences_lv(t, seqs_l, H, W, True, strong)
+    chroma = _prep_sequences_lv(t, seqs_c, H // 2, W // 2, False, strong)
+    return luma, chroma
+
+
+def _prep_sequences_lv(t, seqs, h, w, is_luma, strong) -> PlanePrepLv:
+    F = len(seqs)
+    w4 = (w + 3) >> 2
+    h4 = (h + 3) >> 2
+
+    # pass 1: levels and per-level class counts
+    per_seq = []  # [(levels, classes)] aligned with seqs
+    max_lv = 0
+    max_s = 0
+    max_b = 0
+    for seq in seqs:
+        lvl4 = np.zeros((h4, w4), np.int32)
+        levels = []
+        s_cnt = {}
+        b_cnt = {}
+        for i in seq:
+            n = 1 << int(t.tu_log2[i])
+            x0, y0 = int(t.tu_x[i]), int(t.tu_y[i])
+            lv = _tu_level(lvl4, w4, h4, x0, y0, n)
+            ny = min(n, h - y0)
+            nx = min(n, w - x0)
+            lvl4[y0 >> 2:(y0 + ny + 3) >> 2, x0 >> 2:(x0 + nx + 3) >> 2] = lv
+            levels.append(lv)
+            d = b_cnt if n == 32 else s_cnt
+            d[lv] = d.get(lv, 0) + 1
+        per_seq.append(levels)
+        if levels:
+            max_lv = max(max_lv, max(levels))
+        if s_cnt:
+            max_s = max(max_s, max(s_cnt.values()))
+        if b_cnt:
+            max_b = max(max_b, max(b_cnt.values()))
+
+    T = _round_up(max(max_lv, 1), 8)
+    S = _round_up(max(max_s, 1), 8)
+    B = _round_up(max_b, 2)  # 0 when the stream has no 32x32 TUs
+
+    p = PlanePrepLv(
+        h=h, w=w, n_levels=T, n_seq=F,
+        x0=np.full((T, F, S), MARGIN_TL4, np.int32),
+        y0=np.full((T, F, S), MARGIN_TL4, np.int32),
+        subst=np.full((T, F, S, tables.N_REF), RAW_CONST, np.int32),
+        widx=np.zeros((T, F, S), np.int32),
+        si=np.zeros((T, F, S), np.int32),
+        filt=np.zeros((T, F, S), np.int32),
+        mi=np.zeros((T, F, S), np.int32),
+        qmul=np.zeros((T, F, S), np.int32),
+        qsh=np.zeros((T, F, S), np.int32),
+        dcadd=np.zeros((T, F, S), np.int32),
+        dcshift=np.full((T, F, S), 1, np.int32),
+        mask=np.zeros((T, F, S), np.int32),
+        coeff=np.zeros((T, F, S, 256), np.int16),
+        x0b=np.full((T, F, B), MARGIN_TL4, np.int32),
+        y0b=np.full((T, F, B), MARGIN_TL4, np.int32),
+        substb=np.full((T, F, B, tables.N_REF32), RAW32_CONST, np.int32),
+        modeb=np.zeros((T, F, B), np.int32),
+        filtb=np.zeros((T, F, B), np.int32),
+        qmulb=np.zeros((T, F, B), np.int32),
+        qshb=np.zeros((T, F, B), np.int32),
+        maskb=np.zeros((T, F, B), np.int32),
+        coeffb=np.zeros((T, F, B, 1024), np.int16),
+    )
+
+    # pass 2: fill slots (decode order; `done` is identical to the
+    # level-ordered state for every reference-border query — a border
+    # cell of a level-L TU is written only by TUs of levels < L)
+    for f, seq in enumerate(seqs):
+        done = np.zeros(h4 * w4, np.uint8)
+        slot_s = {}
+        slot_b = {}
+        for k, i in enumerate(seq):
+            lg = int(t.tu_log2[i])
+            n = 1 << lg
+            x0, y0 = int(t.tu_x[i]), int(t.tu_y[i])
+            mode = int(t.tu_mode[i])
+            cidx = int(t.tu_cidx[i])
+            qp = int(t.tu_qp[i])
+            lv = per_seq[f][k] - 1
+            if n == 32:
+                s = slot_b.get(lv, 0)
+                slot_b[lv] = s + 1
+                p.x0b[lv, f, s] = x0 + MARGIN_TL4
+                p.y0b[lv, f, s] = y0 + MARGIN_TL4
+                p.substb[lv, f, s] = _subst_for_tu32(done, w4, h, w, x0, y0)
+                p.modeb[lv, f, s] = mode
+                if _filter_flag(mode, n, is_luma):
+                    p.filtb[lv, f, s] = 2 if strong else 1
+                p.qmulb[lv, f, s] = 16 * int(tables.LEVEL_SCALE[qp % 6])
+                p.qshb[lv, f, s] = (lg + 3) - (qp // 6)
+                p.maskb[lv, f, s] = 1
+                if t.tu_cbf[i]:
+                    off = int(t.tu_coef_off[i])
+                    p.coeffb[lv, f, s] = t.coeff[off:off + 1024]
+            else:
+                s = slot_s.get(lv, 0)
+                slot_s[lv] = s + 1
+                p.x0[lv, f, s] = x0 + MARGIN_TL4
+                p.y0[lv, f, s] = y0 + MARGIN_TL4
+                p.subst[lv, f, s] = _subst_for_tu(done, w4, h, w, x0, y0, n)
+                p.widx[lv, f, s] = tables.widx(mode, n, is_luma)
+                p.si[lv, f, s] = tables.SIZES.index(n)
+                p.filt[lv, f, s] = int(_filter_flag(mode, n, is_luma))
+                p.mi[lv, f, s] = tables.m_index(n, cidx)
+                p.qmul[lv, f, s] = 16 * int(tables.LEVEL_SCALE[qp % 6])
+                p.qsh[lv, f, s] = (lg + 3) - (qp // 6)
+                p.dcadd[lv, f, s] = n
+                p.dcshift[lv, f, s] = lg + 1
+                p.mask[lv, f, s] = 1
+                if t.tu_cbf[i]:
+                    off = int(t.tu_coef_off[i])
+                    co = t.coeff[off:off + n * n].reshape(n, n)
+                    p.coeff[lv, f, s].reshape(16, 16)[:n, :n] = co
+            ny = min(n, h - y0)
+            nx = min(n, w - x0)
+            done.reshape(h4, w4)[
+                y0 >> 2:(y0 + ny + 3) >> 2, x0 >> 2:(x0 + nx + 3) >> 2
+            ] = 1
+    return p
+
+
 def prep_plane_sequences(t, round_steps: int = 32):
     """Returns (luma: PlanePrep, chroma: PlanePrep) for all frames of a
     HevcGopTensors.  Chroma packs Cb and Cr of every frame as separate

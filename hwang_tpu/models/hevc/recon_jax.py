@@ -144,6 +144,214 @@ def decode_planes(p: PlanePrep) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Level-batched decode (v2): one scan step reconstructs a whole
+# DEPENDENCY LEVEL of TUs (prep.prep_plane_sequences_lv) — S "small"
+# (4/8/16) slots and B "big" (32x32, luma-only) slots per frame.  The
+# intra weight tables stream once per level instead of once per TU, and
+# the plane lives as 4-pixel ROWS so the per-level scatter writes n/4
+# 4-px rows per TU row instead of n scalar elements (TU x origins are
+# 4-aligned; margins are 4 so padded coords stay aligned).  32x32 TUs
+# add the 129-sample reference window, DCT-32, and the data-dependent
+# strong-intra-smoothing select (8.4.4.2.3) evaluated ON DEVICE from the
+# unfiltered reference vector.
+# ---------------------------------------------------------------------------
+
+from .prep import MARGIN_BR4, MARGIN_TL4  # noqa: E402
+
+
+@functools.lru_cache(maxsize=1)
+def _consts32():
+    W32 = tables.w_table32()  # [35, 1024, 131]
+    t32 = np.transpose(W32, (0, 2, 1)).reshape(35 * tables.N_COL32, 1024)
+    return (
+        jnp.asarray(t32, jnp.bfloat16),
+        jnp.asarray(tables.filter_table32(), jnp.int32),  # [129, 129]
+        jnp.asarray(tables.dc_table32(), jnp.int32),      # [129]
+        jnp.asarray(tables.m_table32(), jnp.int32),       # [32, 32]
+    )
+
+
+def _dequant_split(coeff, qmul, qsh):
+    """8.6.3 int32-safe split-shift dequant (see PlanePrep.qsh)."""
+    prod = coeff.astype(jnp.int32) * qmul
+    rnd = jnp.where(qsh > 0, 1 << jnp.maximum(qsh - 1, 0), 0)
+    d_r = (prod + rnd) >> jnp.maximum(qsh, 0)
+    d_l = prod << jnp.maximum(-qsh, 0)
+    return jnp.clip(jnp.where(qsh >= 0, d_r, d_l), -32768, 32767)
+
+
+def _step_lv(consts, consts32, Hp, Wp, has_big, rows4, xs):
+    t2, A, dcw, M = consts
+    F, S = xs["x0"].shape
+    Wr = Wp // 4
+    n_rows = rows4.shape[0] - 1  # last row is never read (drop target)
+    pf = rows4[:-1].reshape(-1)  # flat pixel view for the ref gathers
+    offs = jnp.arange(F, dtype=jnp.int32)[:, None] * (Hp * Wp)
+    roffs = jnp.arange(F, dtype=jnp.int32)[:, None, None] * (Hp * Wr)
+
+    # ---- small class --------------------------------------------------
+    x0, y0 = xs["x0"], xs["y0"]
+    ar32 = jnp.arange(32, dtype=jnp.int32)
+    ar33 = jnp.arange(33, dtype=jnp.int32)
+    left_idx = offs[..., None] + (y0[..., None] + ar32) * Wp \
+        + (x0[..., None] - 1)
+    ctop_idx = offs[..., None] + (y0[..., None] - 1) * Wp \
+        + (x0[..., None] - 1) + ar33
+    raw = jnp.concatenate(
+        [pf[left_idx], pf[ctop_idx],
+         jnp.full((F, S, 1), 128, jnp.int32)], axis=-1)       # [F, S, 66]
+    x = jnp.take_along_axis(raw, xs["subst"], axis=-1)        # [F, S, 65]
+
+    si_oh = jax.nn.one_hot(xs["si"], 3, dtype=jnp.int32)      # [F, S, 3]
+    dcsum = jnp.sum(jnp.einsum("fsj,tj->fst", x, dcw) * si_oh, axis=-1)
+    dc = (dcsum + xs["dcadd"]) >> xs["dcshift"]
+
+    xf3 = jnp.einsum("fsj,tkj->fstk", x, A)                   # [F, S, 3, 65]
+    xf = (jnp.sum(xf3 * si_oh[..., None], axis=2) + 2) >> 2
+    xsel = jnp.where(xs["filt"][..., None] == 1, xf, x)
+    xe = jnp.concatenate(
+        [xsel, dc[..., None], jnp.ones((F, S, 1), jnp.int32)], axis=-1)
+
+    oh = jax.nn.one_hot(xs["widx"], 210, dtype=jnp.bfloat16)
+    z = (oh[..., None] * xe[..., None, :].astype(jnp.bfloat16)).reshape(
+        F * S, 210 * tables.N_COL)
+    pred = jnp.dot(z, t2, preferred_element_type=jnp.float32)
+    pred = jnp.clip(pred.astype(jnp.int32) >> 5, 0, 255).reshape(F, S, 256)
+
+    d = _dequant_split(xs["coeff"], xs["qmul"][..., None],
+                       xs["qsh"][..., None]).reshape(F, S, 16, 16)
+    Msel = jnp.einsum("fsm,mkr->fskr",
+                      jax.nn.one_hot(xs["mi"], 4, dtype=jnp.int32), M)
+    e = jnp.einsum("fsrk,fsrc->fskc", Msel, d)
+    e = jnp.clip((e + 64) >> 7, -32768, 32767)
+    r = (jnp.einsum("fskc,fscj->fskj", e, Msel) + 2048) >> 12
+    r = jnp.clip(r, -32768, 32767)
+    rec = jnp.clip(pred.reshape(F, S, 16, 16) + r, 0, 255)
+
+    # 4-px-row scatter: rows i < n, chunks j < n/4 of each slot
+    n = 4 << xs["si"]                                          # [F, S]
+    ar16 = jnp.arange(16, dtype=jnp.int32)
+    ar4 = jnp.arange(4, dtype=jnp.int32)
+    ridx = roffs[..., None] + (y0[..., None, None] + ar16[:, None]) * Wr \
+        + (x0[..., None, None] >> 2) + ar4[None, :]            # [F, S, 16, 4]
+    valid = (ar16[:, None] < n[..., None, None]) \
+        & (ar4[None, :] < (n[..., None, None] >> 2)) \
+        & (xs["mask"][..., None, None] == 1)
+    ridx = jnp.where(valid, ridx, n_rows + 1)   # out of bounds -> dropped
+    rows4 = rows4.at[ridx.reshape(-1)].set(
+        rec.reshape(F, S, 16, 4, 4).reshape(-1, 4),
+        mode="drop")
+
+    # ---- big class (32x32) -------------------------------------------
+    if has_big:
+        t32, A32, dcw32, M32 = consts32
+        pf = rows4[:-1].reshape(-1)  # NOTE: reads the same level's state
+        x0b, y0b = xs["x0b"], xs["y0b"]
+        _, Bn = x0b.shape
+        ar64 = jnp.arange(64, dtype=jnp.int32)
+        ar65 = jnp.arange(65, dtype=jnp.int32)
+        lidx = offs[..., None] + (y0b[..., None] + ar64) * Wp \
+            + (x0b[..., None] - 1)
+        ctidx = offs[..., None] + (y0b[..., None] - 1) * Wp \
+            + (x0b[..., None] - 1) + ar65
+        rawb = jnp.concatenate(
+            [pf[lidx], pf[ctidx],
+             jnp.full((F, Bn, 1), 128, jnp.int32)], axis=-1)  # [F, B, 130]
+        xb = jnp.take_along_axis(rawb, xs["substb"], axis=-1)  # [F, B, 129]
+
+        dc32 = (jnp.einsum("fbj,j->fb", xb, dcw32) + 32) >> 6
+        xf = (jnp.einsum("fbj,kj->fbk", xb, A32) + 2) >> 2
+        # strong smoothing (8.4.4.2.3): bilinear from corner/endpoints,
+        # selected per-TU by the flatness test on the UNFILTERED refs
+        corner = xb[..., 64]
+        l63 = xb[..., 63]
+        t63 = xb[..., 128]
+        cond = (
+            (jnp.abs(corner + t63 - 2 * xb[..., 65 + 31]) < 8)
+            & (jnp.abs(corner + l63 - 2 * xb[..., 31]) < 8)
+        )
+        wgt = jnp.arange(63, dtype=jnp.int32)
+        sl = (corner[..., None] * (63 - wgt) + l63[..., None] * (wgt + 1)
+              + 32) >> 6
+        st = (corner[..., None] * (63 - wgt) + t63[..., None] * (wgt + 1)
+              + 32) >> 6
+        xstrong = jnp.concatenate(
+            [sl, l63[..., None], corner[..., None], st, t63[..., None]],
+            axis=-1)                                           # [F, B, 129]
+        fb = xs["filtb"][..., None]
+        xselb = jnp.where(
+            fb == 0, xb,
+            jnp.where((fb == 2) & cond[..., None], xstrong, xf))
+        xeb = jnp.concatenate(
+            [xselb, dc32[..., None], jnp.ones((F, Bn, 1), jnp.int32)],
+            axis=-1)                                           # [F, B, 131]
+
+        ohb = jax.nn.one_hot(xs["modeb"], 35, dtype=jnp.bfloat16)
+        zb = (ohb[..., None] * xeb[..., None, :].astype(jnp.bfloat16)
+              ).reshape(F * Bn, 35 * tables.N_COL32)
+        predb = jnp.dot(zb, t32, preferred_element_type=jnp.float32)
+        predb = jnp.clip(predb.astype(jnp.int32) >> tables.SHIFT32,
+                         0, 255).reshape(F, Bn, 1024)
+
+        db = _dequant_split(xs["coeffb"], xs["qmulb"][..., None],
+                            xs["qshb"][..., None]).reshape(F, Bn, 32, 32)
+        eb = jnp.clip((jnp.einsum("rk,fbrc->fbkc", M32, db) + 64) >> 7,
+                      -32768, 32767)
+        rb = jnp.clip((jnp.einsum("fbkc,cj->fbkj", eb, M32) + 2048) >> 12,
+                      -32768, 32767)
+        recb = jnp.clip(predb.reshape(F, Bn, 32, 32) + rb, 0, 255)
+
+        ar32r = jnp.arange(32, dtype=jnp.int32)
+        ar8 = jnp.arange(8, dtype=jnp.int32)
+        ridxb = roffs[..., None] \
+            + (y0b[..., None, None] + ar32r[:, None]) * Wr \
+            + (x0b[..., None, None] >> 2) + ar8[None, :]      # [F, B, 32, 8]
+        validb = (xs["maskb"][..., None, None] == 1) \
+            & jnp.ones((32, 8), bool)
+        ridxb = jnp.where(validb, ridxb, n_rows + 1)
+        rows4 = rows4.at[ridxb.reshape(-1)].set(
+            recb.reshape(F, Bn, 32, 8, 4).reshape(-1, 4),
+            mode="drop")
+    return rows4, None
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "has_big"))
+def _decode_core_lv(consts, consts32, xs, h, w, has_big):
+    Hp = h + MARGIN_TL4 + MARGIN_BR4
+    Wp = w + MARGIN_TL4 + MARGIN_BR4
+    F = xs["x0"].shape[1]
+    rows4 = jnp.zeros((F * Hp * (Wp // 4) + 1, 4), jnp.int32)
+    step = functools.partial(_step_lv, consts, consts32, Hp, Wp, has_big)
+    rows4, _ = jax.lax.scan(step, rows4, xs)
+    plane = rows4[:-1].reshape(F, Hp, Wp)
+    out = plane[:, MARGIN_TL4:MARGIN_TL4 + h, MARGIN_TL4:MARGIN_TL4 + w]
+    return out.astype(jnp.uint8)
+
+
+def decode_planes_lv(p) -> jax.Array:
+    """Level-batched plane scan; returns [n_seq, h, w] uint8 on device."""
+    has_big = p.coeffb.shape[2] > 0
+    xs = {
+        "x0": jnp.asarray(p.x0), "y0": jnp.asarray(p.y0),
+        "subst": jnp.asarray(p.subst), "widx": jnp.asarray(p.widx),
+        "si": jnp.asarray(p.si), "filt": jnp.asarray(p.filt),
+        "mi": jnp.asarray(p.mi), "qmul": jnp.asarray(p.qmul),
+        "qsh": jnp.asarray(p.qsh), "dcadd": jnp.asarray(p.dcadd),
+        "dcshift": jnp.asarray(p.dcshift), "mask": jnp.asarray(p.mask),
+        "coeff": jnp.asarray(p.coeff),
+    }
+    if has_big:
+        xs.update(
+            x0b=jnp.asarray(p.x0b), y0b=jnp.asarray(p.y0b),
+            substb=jnp.asarray(p.substb), modeb=jnp.asarray(p.modeb),
+            filtb=jnp.asarray(p.filtb), qmulb=jnp.asarray(p.qmulb),
+            qshb=jnp.asarray(p.qshb), maskb=jnp.asarray(p.maskb),
+            coeffb=jnp.asarray(p.coeffb),
+        )
+    return _decode_core_lv(_consts(), _consts32(), xs, p.h, p.w, has_big)
+
+
+# ---------------------------------------------------------------------------
 # Deblocking (8.7.2) — picture-based two-pass, dense on device.
 #
 # HEVC deblocking has no sequential structure: ALL vertical edges filter
@@ -336,11 +544,12 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
     device, coded size (apply t.crop for display)."""
     from .deblock_ref import deblock_params
-    from .prep import prep_plane_sequences
+    from .prep import prep_plane_sequences_lv
 
-    luma, chroma = prep_plane_sequences(t)
-    y = decode_planes(luma)
-    c = decode_planes(chroma)
+    strong = bool(getattr(t, "strong_smoothing", 1))
+    luma, chroma = prep_plane_sequences_lv(t, strong)
+    y = decode_planes_lv(luma)
+    c = decode_planes_lv(chroma)
     if not bool(np.asarray(t.deblock_disabled).all()):
         prm = {}
         per = [deblock_params(t, f) for f in range(t.n_frames)]

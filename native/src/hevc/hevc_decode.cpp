@@ -1379,6 +1379,11 @@ HW_API int hw_hevc_dims(void* h, int* w, int* h_out, int* crop) {
   return 0;
 }
 
+HW_API int hw_hevc_strong_smoothing(void* h) {
+  auto* p = static_cast<PublicCtx*>(h);
+  return p->c.sps.strong_intra_smoothing ? 1 : 0;
+}
+
 HW_API int hw_hevc_ctb_log2(void* h) {
   return static_cast<PublicCtx*>(h)->c.sps.log2_ctb;
 }
