@@ -180,6 +180,46 @@ def _entropy_ceiling(paths, rows):
     }
 
 
+def _hevc_metrics(result, iters=3):
+    """Informational HEVC decode rate (frames/s) on a 720p x265-default
+    I-frame clip through the TPU span decoder (level-batched recon v2:
+    ctu=64, 32x32 TUs, strong smoothing, deblock+SAO on device).  Lands
+    in extra['hevc']; has no BASELINE row (the reference's HEVC went to
+    FFmpeg/NVDEC, software_video_decoder.cpp:122-136)."""
+    from hwang_tpu.backends.tpu import HevcSpanDecoder
+    from hwang_tpu.mp4_index import index_video
+    from hwang_tpu.utils.fixtures import fixture
+
+    n_frames = 8
+    path = fixture(
+        "bench_hevc_1280x720_i8", n_frames, 1280, 720, codec="libx265",
+        profile="main", gop_size=1, crf=28, seed=0,
+        extra_opts="keyint=1:min-keyint=1:no-open-gop=1:frame-threads=1",
+    )
+    vi = index_video(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = HevcSpanDecoder(vi.metadata_bytes)
+    best = float("inf")
+    t_first = None
+    for _ in range(iters):
+        t0 = time.time()
+        out = dec.decode_span(data, vi.sample_offsets, vi.sample_sizes)
+        device_sync()
+        dt = time.time() - t0
+        del out
+        if t_first is None:
+            t_first = dt
+        best = min(best, dt)
+    result["extra"]["hevc"] = {
+        "fps_720p_i": round(n_frames / best, 2),
+        "warm_first_s": round(t_first, 2),
+        "note": "x265 defaults: ctu64 tu32 strong deblock sao",
+    }
+    log(f"  hevc 720p I x265-defaults: {n_frames/best:.1f} fps"
+        f" (first iter {t_first:.1f}s)")
+
+
 def _run_tpu(paths, rows, out_size, iters=4, budget=False):
     """Returns (fps, best_seconds, profiler_report, stage_budget_ms)."""
     from hwang_tpu.pipeline import ClipBatchDecoder
@@ -598,6 +638,16 @@ def main():
     else:
         log("[config3] skipped: deadline budget exhausted")
         extra["config3"] = {"skipped": "deadline"}
+
+    # HEVC informational row (720p I, x265 defaults incl. 32x32 TUs) —
+    # cheap when its executables are in the warm cache
+    if result is not None and left() > 180:
+        try:
+            _hevc_metrics(result)
+            _emit(result)
+        except Exception as e:
+            log(f"[hevc] FAILED: {type(e).__name__}: {e}")
+            result["extra"]["hevc"] = {"error": str(e)[:160]}
 
     # config4 — the r1-r3-comparable batched-dataloader headline
     if left() > 120:
