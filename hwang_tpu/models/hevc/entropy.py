@@ -42,6 +42,25 @@ class _HevcOut(ctypes.Structure):
         ("cap_coeff", ctypes.c_int64),
         ("used_tu", ctypes.c_int64),
         ("used_coeff", ctypes.c_int64),
+        # inter outputs
+        ("n_pu", ctypes.c_void_p),
+        ("pu_off", ctypes.c_void_p),
+        ("pu_x", ctypes.c_void_p),
+        ("pu_y", ctypes.c_void_p),
+        ("pu_w", ctypes.c_void_p),
+        ("pu_h", ctypes.c_void_p),
+        ("pu_flags", ctypes.c_void_p),
+        ("pu_ref0", ctypes.c_void_p),
+        ("pu_ref1", ctypes.c_void_p),
+        ("pu_mv", ctypes.c_void_p),
+        ("pu_wp0", ctypes.c_void_p),
+        ("pu_wp1", ctypes.c_void_p),
+        ("frame_type", ctypes.c_void_p),
+        ("poc", ctypes.c_void_p),
+        ("wp_rows", ctypes.c_void_p),
+        ("bs_map", ctypes.c_void_p),
+        ("cap_pu", ctypes.c_int64),
+        ("used_pu", ctypes.c_int64),
     ]
 
 
@@ -99,6 +118,26 @@ class HevcGopTensors:
     sao: np.ndarray             # [F, ctb_h, ctb_w, 3, 6] int8 per-CTB SAO:
     #   (type 0/1/2, resolved offsets for bands / edge cats 1..4,
     #    band_position or eo_class)
+    # ---- inter outputs (PU records in decode order) ----
+    n_pu: np.ndarray = None     # [F] int32
+    pu_off: np.ndarray = None   # [F] int32
+    pu_x: np.ndarray = None     # [NP] uint16 luma coords
+    pu_y: np.ndarray = None
+    pu_w: np.ndarray = None     # [NP] uint8 luma sizes
+    pu_h: np.ndarray = None
+    pu_flags: np.ndarray = None  # [NP] uint8: bit0 L0, bit1 L1
+    pu_ref0: np.ndarray = None  # [NP] uint8 span decode index of the ref
+    pu_ref1: np.ndarray = None
+    pu_mv: np.ndarray = None    # [NP, 4] int16: mv0x mv0y mv1x mv1y (q-pel)
+    pu_wp0: np.ndarray = None   # [NP] uint8 wp_rows row (list*16+ref) or 255
+    pu_wp1: np.ndarray = None
+    frame_type: np.ndarray = None  # [F] uint8: 0=B 1=P 2=I 3=skipped RASL
+    poc: np.ndarray = None      # [F] int32 PicOrderCntVal
+    wp_rows: np.ndarray = None  # [F, 32, 8] int16 weighted-pred rows:
+    #   (lw, lo, cw0, co0, cw1, co1, luma_log2_denom, chroma_log2_denom)
+    bs_map: np.ndarray = None   # [F, h4, w4, 2] uint8 deblock boundary
+    #   strengths (vertical edge of each 4x4 col on the 8-grid, then
+    #   horizontal)
     ctb_log2: int = 6
     strong_smoothing: int = 1  # SPS strong_intra_smoothing_enabled_flag
 
@@ -144,6 +183,9 @@ class HevcEntropyDecoder:
         # own TU entry; coefficients bounded by total plane samples
         cap_tu = F * ((W * H) // 16 + 2 * ((W * H) // 64) + 64)
         cap_coeff = F * (W * H + (W * H) // 2)
+        # PUs: at most one per 8x4/4x8 luma block
+        cap_pu = F * ((W * H) // 32 + 16)
+        h4, w4 = (H + 3) >> 2, (W + 3) >> 2
 
         t = HevcGopTensors(
             n_frames=F, width=W, height=H, crop=self.crop,
@@ -162,6 +204,21 @@ class HevcEntropyDecoder:
             dbf=np.zeros((F, 4), np.int8),
             sao=np.zeros((F, -(-H // (1 << self.ctb_log2)),
                           -(-W // (1 << self.ctb_log2)), 3, 6), np.int8),
+            n_pu=np.zeros(F, np.int32), pu_off=np.zeros(F, np.int32),
+            pu_x=np.zeros(cap_pu, np.uint16),
+            pu_y=np.zeros(cap_pu, np.uint16),
+            pu_w=np.zeros(cap_pu, np.uint8),
+            pu_h=np.zeros(cap_pu, np.uint8),
+            pu_flags=np.zeros(cap_pu, np.uint8),
+            pu_ref0=np.zeros(cap_pu, np.uint8),
+            pu_ref1=np.zeros(cap_pu, np.uint8),
+            pu_mv=np.zeros((cap_pu, 4), np.int16),
+            pu_wp0=np.zeros(cap_pu, np.uint8),
+            pu_wp1=np.zeros(cap_pu, np.uint8),
+            frame_type=np.zeros(F, np.uint8),
+            poc=np.zeros(F, np.int32),
+            wp_rows=np.zeros((F, 32, 8), np.int16),
+            bs_map=np.zeros((F, h4, w4, 2), np.uint8),
             ctb_log2=self.ctb_log2,
             strong_smoothing=self.strong_smoothing,
         )
@@ -177,6 +234,14 @@ class HevcEntropyDecoder:
             deblock_disabled=vp(t.deblock_disabled),
             qp_map=vp(t.qp_map), dbf=vp(t.dbf), sao=vp(t.sao),
             cap_tu=cap_tu, cap_coeff=cap_coeff,
+            n_pu=vp(t.n_pu), pu_off=vp(t.pu_off), pu_x=vp(t.pu_x),
+            pu_y=vp(t.pu_y), pu_w=vp(t.pu_w), pu_h=vp(t.pu_h),
+            pu_flags=vp(t.pu_flags), pu_ref0=vp(t.pu_ref0),
+            pu_ref1=vp(t.pu_ref1), pu_mv=vp(t.pu_mv),
+            pu_wp0=vp(t.pu_wp0), pu_wp1=vp(t.pu_wp1),
+            frame_type=vp(t.frame_type), poc=vp(t.poc),
+            wp_rows=vp(t.wp_rows), bs_map=vp(t.bs_map),
+            cap_pu=cap_pu,
         )
         dptr, downer = as_u8p(data)
         offs = np.ascontiguousarray(sample_offsets, np.uint64)
@@ -199,4 +264,8 @@ class HevcEntropyDecoder:
                   "tu_cbf", "tu_coef_off"):
             setattr(t, f, getattr(t, f)[:nt])
         t.coeff = t.coeff[:nc]
+        np_used = out.used_pu
+        for f in ("pu_x", "pu_y", "pu_w", "pu_h", "pu_flags", "pu_ref0",
+                  "pu_ref1", "pu_mv", "pu_wp0", "pu_wp1"):
+            setattr(t, f, getattr(t, f)[:np_used])
         return t

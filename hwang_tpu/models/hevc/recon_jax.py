@@ -544,7 +544,13 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
     device, coded size (apply t.crop for display)."""
     from .deblock_ref import deblock_params
-    from .prep import prep_plane_sequences_lv
+    from .prep import UnsupportedStream, prep_plane_sequences_lv
+
+    if t.n_pu is not None and int(np.asarray(t.n_pu).sum()) > 0:
+        # inter (P/B) frames: host front-end + numpy recon support them
+        # (test_hevc_inter.py); the device recon's inter stage is staged
+        # next — reject so the backend takes the audited SOFTWARE path
+        raise UnsupportedStream("HEVC inter frames: device recon staged")
 
     strong = bool(getattr(t, "strong_smoothing", 1))
     luma, chroma = prep_plane_sequences_lv(t, strong)

@@ -1,14 +1,16 @@
-"""Spec-faithful numpy reconstruction for HEVC I frames.
+"""Spec-faithful numpy reconstruction for HEVC I/P/B frames.
 
-Consumes the TU-entry stream from HevcEntropyDecoder (entropy.py) and
-reconstructs pixels: intra prediction (H.265 8.4.4), dequantization
-(8.6.3) and inverse transforms (8.6.4, DST-4 + DCT 4/8/16/32).  In-loop
-filters are not applied — use fixtures encoded with deblock and SAO
-disabled (the entropy layer refuses SAO-enabled slices and reports the
-deblock flag so callers can detect a mismatch).
+Consumes the TU-entry + PU streams from HevcEntropyDecoder (entropy.py)
+and reconstructs pixels: intra prediction (H.265 8.4.4), inter
+prediction (8.5.3.3: 8-tap luma quarter-pel / 4-tap chroma eighth-pel
+at 14-bit intermediate precision, default and explicit weighted
+combination), dequantization (8.6.3) and inverse transforms (8.6.4,
+DST-4 + DCT 4/8/16/32).  In-loop filters are not applied — use fixtures
+encoded with deblock and SAO disabled; references are then identical to
+the unfiltered recon.
 
 Role: ground-truth chain anchor, mirroring models/h264/ref_recon.py —
-libavcodec (oracle) == this numpy recon == (next round) the JAX recon.
+libavcodec (oracle) == this numpy recon == the JAX recon.
 Debug entropy/codec issues here; it is readable and steppable.
 """
 
@@ -229,12 +231,162 @@ def intra_predict(plane, done, x0, y0, n, mode, cidx, strong_smoothing):
 
 
 # ---------------------------------------------------------------------------
+# Inter prediction (8.5.3.3)
+# ---------------------------------------------------------------------------
+
+# Table 8-12: luma 8-tap filters by quarter-pel fraction
+_LF = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], np.int64)
+
+# Table 8-13: chroma 4-tap filters by eighth-pel fraction
+_CF = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], np.int64)
+
+
+def _mc_block(ref, x0, y0, nW, nH, mvx, mvy, filt, frac_bits):
+    """14-bit-scale prediction block (8.5.3.3.3, 8-bit input).
+
+    ref: [H, W] uint8 plane.  (x0, y0): block origin on this plane's
+    grid.  mv in units of 1/(1<<frac_bits) samples (2 = luma qpel,
+    3 = chroma 1/8).  filt: [nfrac, taps] filter bank.
+    """
+    H, W = ref.shape
+    taps = filt.shape[1]
+    center = taps // 2 - 1
+    xi = x0 + (mvx >> frac_bits)
+    yi = y0 + (mvy >> frac_bits)
+    fx = mvx & ((1 << frac_bits) - 1)
+    fy = mvy & ((1 << frac_bits) - 1)
+    r = ref.astype(np.int64)
+    if fx == 0 and fy == 0:
+        ys = np.clip(yi + np.arange(nH), 0, H - 1)
+        xs = np.clip(xi + np.arange(nW), 0, W - 1)
+        return r[np.ix_(ys, xs)] << 6
+    if fy == 0:
+        ys = np.clip(yi + np.arange(nH), 0, H - 1)
+        xs = np.clip(xi - center + np.arange(nW + taps - 1), 0, W - 1)
+        win = r[np.ix_(ys, xs)]
+        f = filt[fx]
+        return sum(int(f[t]) * win[:, t:t + nW] for t in range(taps))
+    if fx == 0:
+        ys = np.clip(yi - center + np.arange(nH + taps - 1), 0, H - 1)
+        xs = np.clip(xi + np.arange(nW), 0, W - 1)
+        win = r[np.ix_(ys, xs)]
+        f = filt[fy]
+        return sum(int(f[t]) * win[t:t + nH, :] for t in range(taps))
+    ys = np.clip(yi - center + np.arange(nH + taps - 1), 0, H - 1)
+    xs = np.clip(xi - center + np.arange(nW + taps - 1), 0, W - 1)
+    win = r[np.ix_(ys, xs)]
+    fh = filt[fx]
+    tmp = sum(int(fh[t]) * win[:, t:t + nW] for t in range(taps))
+    fv = filt[fy]
+    return sum(int(fv[t]) * tmp[t:t + nH, :] for t in range(taps)) >> 6
+
+
+def _combine(p0, p1, w0, w1, luma, cidx):
+    """Weighted sample prediction (8.5.3.3.4) -> uint8 block.
+
+    p0/p1: 14-bit-scale predictions (p1 None for uni).  w0/w1: weight
+    rows (lw, lo, cw0, co0, cw1, co1, luma_denom, chroma_denom) or None
+    for default weights.
+    """
+    def wpar(w):
+        if luma:
+            return int(w[0]), int(w[1]), int(w[6]) + 6
+        return int(w[2 * cidx]), int(w[2 * cidx + 1]), int(w[7]) + 6
+
+    if p1 is None:
+        if w0 is None:
+            return np.clip((p0 + 32) >> 6, 0, 255).astype(np.uint8)
+        wv, off, lw = wpar(w0)
+        v = ((p0 * wv + (1 << (lw - 1))) >> lw) + off
+        return np.clip(v, 0, 255).astype(np.uint8)
+    if w0 is None or w1 is None:
+        return np.clip((p0 + p1 + 64) >> 7, 0, 255).astype(np.uint8)
+    wv0, o0, lw = wpar(w0)
+    wv1, o1, _ = wpar(w1)
+    v = (p0 * wv0 + p1 * wv1 + ((o0 + o1 + 1) << lw)) >> (lw + 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def inter_predict_frame(t, frame_idx, refs):
+    """Dense inter prediction planes for one frame from its PU stream.
+
+    refs: dict span decode index -> (y, u, v) uint8 planes.  Returns
+    (pred_y, pred_u, pred_v) uint8 with inter-PU areas filled.
+    """
+    W, H = t.width, t.height
+    py = np.zeros((H, W), np.uint8)
+    pu_ = np.zeros((H // 2, W // 2), np.uint8)
+    pv = np.zeros((H // 2, W // 2), np.uint8)
+    lo = int(t.pu_off[frame_idx])
+    hi = lo + int(t.n_pu[frame_idx])
+    wp = t.wp_rows[frame_idx] if t.wp_rows is not None else None
+    for i in range(lo, hi):
+        x, y = int(t.pu_x[i]), int(t.pu_y[i])
+        w, h = int(t.pu_w[i]), int(t.pu_h[i])
+        pf = int(t.pu_flags[i])
+        mv = t.pu_mv[i]
+        preds = []   # (pred_y14, pred_u14, pred_v14, wrow)
+        for li, (bit, ref_arr, wp_arr) in enumerate(
+                ((1, t.pu_ref0, t.pu_wp0), (2, t.pu_ref1, t.pu_wp1))):
+            if not pf & bit:
+                continue
+            ry, ru, rv = refs[int(ref_arr[i])]
+            mvx, mvy = int(mv[2 * li]), int(mv[2 * li + 1])
+            by = _mc_block(ry, x, y, w, h, mvx, mvy, _LF, 2)
+            bu = _mc_block(ru, x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy,
+                           _CF, 3)
+            bv = _mc_block(rv, x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy,
+                           _CF, 3)
+            wrow = None
+            if wp is not None and int(wp_arr[i]) != 255:
+                wrow = wp[int(wp_arr[i])]
+            preds.append((by, bu, bv, wrow))
+        if not preds:
+            continue
+        if len(preds) == 1:
+            b, w0 = preds[0][:3], preds[0][3]
+            py[y:y + h, x:x + w] = _combine(b[0], None, w0, None, True, 0)
+            pu_[y >> 1:(y >> 1) + (h >> 1), x >> 1:(x >> 1) + (w >> 1)] = \
+                _combine(b[1], None, w0, None, False, 1)
+            pv[y >> 1:(y >> 1) + (h >> 1), x >> 1:(x >> 1) + (w >> 1)] = \
+                _combine(b[2], None, w0, None, False, 2)
+        else:
+            (b0, w0), (b1, w1) = (preds[0][:3], preds[0][3]), \
+                (preds[1][:3], preds[1][3])
+            py[y:y + h, x:x + w] = _combine(b0[0], b1[0], w0, w1, True, 0)
+            pu_[y >> 1:(y >> 1) + (h >> 1), x >> 1:(x >> 1) + (w >> 1)] = \
+                _combine(b0[1], b1[1], w0, w1, False, 1)
+            pv[y >> 1:(y >> 1) + (h >> 1), x >> 1:(x >> 1) + (w >> 1)] = \
+                _combine(b0[2], b1[2], w0, w1, False, 2)
+    return py, pu_, pv
+
+
+# ---------------------------------------------------------------------------
 # Frame reconstruction driver
 # ---------------------------------------------------------------------------
 
-def reconstruct_frame(t, frame_idx: int, strong_smoothing: bool = True):
+def reconstruct_frame(t, frame_idx: int, strong_smoothing: bool = True,
+                      refs=None):
     """Reconstruct one frame from HevcGopTensors.  Returns (y, cb, cr)
-    uint8 planes at coded size (apply t.crop for display)."""
+    uint8 planes at coded size (apply t.crop for display).
+
+    refs: dict span decode index -> (y, u, v) reconstructed planes of
+    earlier frames (required for P/B frames).
+    """
     W, H = t.width, t.height
     planes = [np.zeros((H, W), np.uint8),
               np.zeros((H // 2, W // 2), np.uint8),
@@ -243,6 +395,10 @@ def reconstruct_frame(t, frame_idx: int, strong_smoothing: bool = True):
     for pl in planes:
         ph, pw = pl.shape
         dones.append(np.zeros(((ph + 3) >> 2) * ((pw + 3) >> 2), np.uint8))
+
+    ipred = None
+    if t.n_pu is not None and int(t.n_pu[frame_idx]) > 0:
+        ipred = inter_predict_frame(t, frame_idx, refs or {})
 
     lo = t.tu_off[frame_idx]
     hi = lo + t.n_tu[frame_idx]
@@ -256,13 +412,17 @@ def reconstruct_frame(t, frame_idx: int, strong_smoothing: bool = True):
         plane = planes[cidx]
         done = dones[cidx]
         ph, pw = plane.shape
-        pred = intra_predict(plane, done, x0, y0, n, mode, cidx,
-                             strong_smoothing)
+        if mode == 255:  # inter TU: prediction comes from the MC planes
+            pred = ipred[cidx][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        else:
+            pred = intra_predict(plane, done, x0, y0, n, mode, cidx,
+                                 strong_smoothing)
         if t.tu_cbf[i]:
             off = int(t.tu_coef_off[i])
             coeff = t.coeff[off:off + n * n].reshape(n, n)
             d = dequant(coeff, qp, log2)
-            res = inverse_transform(d, log2, dst=(cidx == 0 and n == 4))
+            res = inverse_transform(
+                d, log2, dst=(cidx == 0 and n == 4 and mode != 255))
             pred = pred + res
         block = np.clip(pred, 0, 255).astype(np.uint8)
         ny = min(n, ph - y0)
@@ -273,3 +433,18 @@ def reconstruct_frame(t, frame_idx: int, strong_smoothing: bool = True):
             for bx in range((nx + 3) >> 2):
                 done[((y0 >> 2) + by) * w4 + (x0 >> 2) + bx] = 1
     return planes[0], planes[1], planes[2]
+
+
+def reconstruct_gop(t, strong_smoothing: bool = True):
+    """Reconstruct every frame of a span in decode order, feeding each
+    reconstruction back as reference.  Returns list of (y, u, v)."""
+    refs = {}
+    out = []
+    for f in range(t.n_frames):
+        if t.frame_type is not None and t.frame_type[f] == 3:
+            out.append(None)  # skipped RASL
+            continue
+        y, u, v = reconstruct_frame(t, f, strong_smoothing, refs)
+        refs[f] = (y, u, v)
+        out.append((y, u, v))
+    return out

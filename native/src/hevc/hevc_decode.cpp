@@ -68,6 +68,15 @@ enum {
   CTX_PART_MODE = 13,
   CTX_PREV_INTRA = 17,
   CTX_INTRA_CHROMA = 18,
+  CTX_MERGE_FLAG = 20,
+  CTX_MERGE_IDX = 21,
+  CTX_INTER_PRED_IDC = 22,
+  CTX_REF_IDX = 27,        // shared by both lists (lavc keeps an unused
+                           // L1 copy at 29 with identical init values)
+  CTX_MVD_GREATER0 = 31,
+  CTX_MVD_GREATER1 = 32,  // 33-34 hold the unused per-list copy pair
+  CTX_MVP_FLAG = 35,
+  CTX_NO_RESIDUAL = 36,
   CTX_SPLIT_TRANSFORM = 37,
   CTX_CBF_LUMA = 40,
   CTX_CBF_CB_CR = 42,
@@ -112,13 +121,13 @@ inline bool dump_on() {
   return v;
 }
 inline int DEC(Cabac& cb, HevcContexts& cx, int idx) {
-  return dump_on() ? cb.decode_dump(&cx.s[idx], idx) : DEC(cb, cx, idx);
+  return dump_on() ? cb.decode_dump(&cx.s[idx], idx) : cb.decode(&cx.s[idx]);
 }
 inline int BYP(Cabac& cb) {
-  return dump_on() ? cb.bypass_dump() : BYP(cb);
+  return dump_on() ? cb.bypass_dump() : cb.bypass();
 }
 inline int TERM(Cabac& cb) {
-  return dump_on() ? cb.terminate_dump() : TERM(cb);
+  return dump_on() ? cb.terminate_dump() : cb.terminate();
 }
 
 // ---- scan order tables (6.5.3-6.5.5), generated at static init ----------
@@ -199,40 +208,107 @@ bool parse_ptl(BitReader& br, int max_sub) {
   return !br.error();
 }
 
-// st_ref_pic_set (7.3.7): parsed for exact bit consumption; returns the
-// derived NumDeltaPocs for this set (needed by later inter-predicted sets).
+// st_ref_pic_set (7.3.7): parse AND resolve to delta POCs (7.4.8),
+// including sets inter-predicted from an earlier set in `sets`.
+// Appends the resolved set.
 bool parse_st_rps(BitReader& br, int idx, int num_sets,
-                  std::vector<int>& num_delta_pocs, std::string& err) {
+                  std::vector<StRps>& sets, std::string& err) {
+  StRps o;
   int inter_pred = idx != 0 ? (int)br.u1() : 0;
   if (inter_pred) {
     int delta_idx = idx == num_sets ? (int)br.ue() + 1 : 1;
-    int ref = idx - delta_idx;
-    if (ref < 0 || ref >= (int)num_delta_pocs.size()) {
+    int ref_i = idx - delta_idx;
+    if (ref_i < 0 || ref_i >= (int)sets.size()) {
       err = "st_rps bad ref idx";
       return false;
     }
-    br.u1();  // delta_rps_sign
-    br.ue();  // abs_delta_rps_minus1
-    int n = 0;
-    for (int j = 0; j <= num_delta_pocs[ref]; j++) {
-      int used = br.u1();
-      int use_delta = 1;
-      if (!used) use_delta = br.u1();
-      if (used || use_delta) n++;
+    const StRps r = sets[ref_i];  // copy: push_back may reallocate
+    int sign = (int)br.u1();
+    int abs_delta = (int)br.ue() + 1;
+    int delta_rps = sign ? -abs_delta : abs_delta;
+    int nref = r.n_neg + r.n_pos;
+    if (nref > 16) {
+      err = "st_rps ref too large";
+      return false;
     }
-    num_delta_pocs.push_back(n);
+    uint8_t used_curr[17], use_flag[17];
+    for (int j = 0; j <= nref; j++) {
+      used_curr[j] = (uint8_t)br.u1();
+      use_flag[j] = used_curr[j] ? 1 : (uint8_t)br.u1();
+    }
+    // negative half (DeltaPocS0, decreasing order from closest)
+    int i = 0;
+    int32_t dp[17];
+    uint8_t du[17];
+    for (int j = r.n_pos - 1; j >= 0; j--) {
+      int d = r.delta_poc[r.n_neg + j] + delta_rps;
+      if (d < 0 && use_flag[r.n_neg + j]) {
+        dp[i] = d;
+        du[i++] = used_curr[r.n_neg + j];
+      }
+    }
+    if (delta_rps < 0 && use_flag[nref]) {
+      dp[i] = delta_rps;
+      du[i++] = used_curr[nref];
+    }
+    for (int j = 0; j < r.n_neg; j++) {
+      int d = r.delta_poc[j] + delta_rps;
+      if (d < 0 && use_flag[j]) {
+        dp[i] = d;
+        du[i++] = used_curr[j];
+      }
+    }
+    o.n_neg = i;
+    // positive half (DeltaPocS1, increasing order from closest)
+    for (int j = r.n_neg - 1; j >= 0; j--) {
+      int d = r.delta_poc[j] + delta_rps;
+      if (d > 0 && use_flag[j]) {
+        dp[i] = d;
+        du[i++] = used_curr[j];
+      }
+    }
+    if (delta_rps > 0 && use_flag[nref]) {
+      dp[i] = delta_rps;
+      du[i++] = used_curr[nref];
+    }
+    for (int j = 0; j < r.n_pos; j++) {
+      int d = r.delta_poc[r.n_neg + j] + delta_rps;
+      if (d > 0 && use_flag[r.n_neg + j]) {
+        dp[i] = d;
+        du[i++] = used_curr[r.n_neg + j];
+      }
+    }
+    o.n_pos = i - o.n_neg;
+    if (i > 16) {
+      err = "st_rps too many pics";
+      return false;
+    }
+    for (int j = 0; j < i; j++) {
+      o.delta_poc[j] = dp[j];
+      o.used[j] = du[j];
+    }
   } else {
     int neg = (int)br.ue(), pos = (int)br.ue();
     if (neg + pos > 16) {
       err = "st_rps too many pics";
       return false;
     }
-    for (int j = 0; j < neg + pos; j++) {
-      br.ue();  // delta_poc_sX_minus1
-      br.u1();  // used_by_curr_pic_sX
+    o.n_neg = neg;
+    o.n_pos = pos;
+    int prev = 0;
+    for (int j = 0; j < neg; j++) {
+      prev -= (int)br.ue() + 1;
+      o.delta_poc[j] = prev;
+      o.used[j] = (uint8_t)br.u1();
     }
-    num_delta_pocs.push_back(neg + pos);
+    prev = 0;
+    for (int j = 0; j < pos; j++) {
+      prev += (int)br.ue() + 1;
+      o.delta_poc[neg + j] = prev;
+      o.used[neg + j] = (uint8_t)br.u1();
+    }
   }
+  sets.push_back(o);
   return !br.error();
 }
 
@@ -279,9 +355,9 @@ bool parse_sps(BitReader& br, HevcSPS& sps, std::string& err) {
     return false;
   }
   sps.num_st_rps = (int)br.ue();
-  std::vector<int> ndp;
+  sps.st_rps.clear();
   for (int i = 0; i < sps.num_st_rps; i++)
-    if (!parse_st_rps(br, i, sps.num_st_rps, ndp, err)) return false;
+    if (!parse_st_rps(br, i, sps.num_st_rps, sps.st_rps, err)) return false;
   sps.long_term_ref_pics = br.u1();
   if (sps.long_term_ref_pics) {
     int n = (int)br.ue();
@@ -392,6 +468,43 @@ struct Ctx {
   std::vector<uint8_t> ct_depth;  // coding-tree depth per 4x4
   std::vector<int8_t> ipm;        // intra pred mode per 4x4
   std::vector<int8_t> qpy;        // luma QP per 4x4
+
+  // ---- inter / DPB state ----------------------------------------------
+  // Motion info per 4x4 block of the CURRENT picture.  pf: bit0 = L0,
+  // bit1 = L1; 0 = intra or not-yet-decoded (see dec4).
+  struct MvInfo {
+    int16_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x, y] quarter-pel
+    int8_t refidx[2] = {-1, -1};
+    uint8_t pf = 0;
+  };
+  std::vector<MvInfo> mvf;
+  std::vector<uint8_t> dec4;   // 1 = 4x4 block decoded (z-scan avail.)
+  std::vector<uint8_t> skip4;  // cu_skip_flag per 4x4 (context derivation)
+  std::vector<uint8_t> cbfy4;  // luma-TB-has-coeffs per 4x4 (deblock BS)
+  std::vector<uint8_t> tub4;   // TU left/top boundary bits per 4x4
+  std::vector<uint8_t> pub4;   // PU left/top boundary bits per 4x4
+
+  // Compressed (16x16) motion field of a decoded picture — TMVP source.
+  struct ColMv {
+    int16_t mv[2][2];
+    int32_t refpoc[2];  // POC of the picture each list references
+    uint8_t pf;
+  };
+  struct Pic {
+    int32_t poc = 0;
+    int span_idx = -1;   // decode index within the span
+    int w16 = 0, h16 = 0;
+    std::vector<ColMv> col;
+  };
+  std::vector<Pic> dpb;
+  int32_t poc_val = 0;
+  int32_t prev_tid0_poc = 0;
+  int cur_span_idx = 0;
+  // active reference lists (built per picture from the slice RPS)
+  int n_ref[2] = {0, 0};
+  int ref_dpb[2][16];        // DPB index
+  int32_t ref_pocs[2][16];   // POC per (list, refIdx)
+  bool no_backward = true;   // NoBackwardPredFlag
 
   // slice/CU decode state
   HevcSliceHeader sh;
@@ -719,6 +832,562 @@ bool residual_coding(Ctx& c, Cabac& cb, HevcContexts& cx, int log2, int cidx,
   return !cb.error();
 }
 
+// ---- inter prediction parameter derivation (8.5.3) ------------------------
+
+// pred_weight_table (7.3.6.3)
+bool parse_pred_weight_table(Ctx& c, BitReader& br, HevcSliceHeader& sh) {
+  sh.has_wp = true;
+  sh.luma_log2_denom = (int)br.ue();
+  if (sh.luma_log2_denom > 7) {
+    c.err = "bad luma weight denom";
+    return false;
+  }
+  sh.chroma_log2_denom = sh.luma_log2_denom + (int)br.se();
+  if (sh.chroma_log2_denom < 0 || sh.chroma_log2_denom > 7) {
+    c.err = "bad chroma weight denom";
+    return false;
+  }
+  int n_lists = sh.slice_type == 0 ? 2 : 1;
+  for (int l = 0; l < n_lists; l++) {
+    int n = sh.num_ref[l];
+    uint8_t lf[16] = {0}, cf[16] = {0};
+    for (int i = 0; i < n; i++) lf[i] = (uint8_t)br.u1();
+    for (int i = 0; i < n; i++) cf[i] = (uint8_t)br.u1();
+    for (int i = 0; i < n; i++) {
+      WpEntry& w = sh.wp[l][i];
+      w.has_luma = lf[i];
+      w.has_chroma = cf[i];
+      w.lw = (int16_t)(1 << sh.luma_log2_denom);
+      w.lo = 0;
+      w.cw[0] = w.cw[1] = (int16_t)(1 << sh.chroma_log2_denom);
+      w.co[0] = w.co[1] = 0;
+      if (lf[i]) {
+        w.lw = (int16_t)((1 << sh.luma_log2_denom) + (int)br.se());
+        w.lo = (int16_t)br.se();
+      }
+      if (cf[i]) {
+        for (int j = 0; j < 2; j++) {
+          int dw = (int)br.se();
+          int doff = (int)br.se();
+          int cw = (1 << sh.chroma_log2_denom) + dw;
+          w.cw[j] = (int16_t)cw;
+          w.co[j] = (int16_t)clip3(
+              -128, 127, 128 + doff - ((128 * cw) >> sh.chroma_log2_denom));
+        }
+      }
+    }
+  }
+  return !br.error();
+}
+
+// PicOrderCntVal (8.3.1).  tid = nuh_temporal_id (0 in x265 defaults).
+void derive_poc(Ctx& c, int nal_type, int tid, int poc_lsb) {
+  const int max_lsb = 1 << c.sps.log2_max_poc_lsb;
+  if (nal_type >= 16 && nal_type <= 23) {
+    // IRAP with NoRaslOutputFlag (span start / IDR): msb = 0.  IDR has
+    // no poc_lsb (0); CRA keeps its lsb.
+    if (nal_type == 19 || nal_type == 20) {
+      c.poc_val = 0;
+    } else {
+      // CRA/BLA mid-span: normal derivation (x265 open-GOP CRAs are
+      // NoRaslOutputFlag=0 when decoded in sequence)
+      int prev_lsb = c.prev_tid0_poc & (max_lsb - 1);
+      int prev_msb = c.prev_tid0_poc - prev_lsb;
+      int msb = prev_msb;
+      if (poc_lsb < prev_lsb && prev_lsb - poc_lsb >= max_lsb / 2)
+        msb = prev_msb + max_lsb;
+      else if (poc_lsb > prev_lsb && poc_lsb - prev_lsb > max_lsb / 2)
+        msb = prev_msb - max_lsb;
+      c.poc_val = msb + poc_lsb;
+    }
+  } else {
+    int prev_lsb = c.prev_tid0_poc & (max_lsb - 1);
+    int prev_msb = c.prev_tid0_poc - prev_lsb;
+    int msb = prev_msb;
+    if (poc_lsb < prev_lsb && prev_lsb - poc_lsb >= max_lsb / 2)
+      msb = prev_msb + max_lsb;
+    else if (poc_lsb > prev_lsb && poc_lsb - prev_lsb > max_lsb / 2)
+      msb = prev_msb - max_lsb;
+    c.poc_val = msb + poc_lsb;
+  }
+  // prevTid0Pic: TemporalId == 0, not RASL/RADL (6..9), not a
+  // sub-layer non-reference picture (even nal types 0..14)
+  bool slnr = nal_type <= 14 && (nal_type % 2 == 0);
+  bool rasl_radl = nal_type >= 6 && nal_type <= 9;
+  if (tid == 0 && !slnr && !rasl_radl) c.prev_tid0_poc = c.poc_val;
+}
+
+// Apply the slice RPS: evict stale DPB entries, build RefPicList0/1
+// (8.3.2 + 8.3.4).  Returns false when a USED reference is missing
+// (caller decides: error, or RASL skip).
+bool build_ref_lists(Ctx& c, bool* missing_ref) {
+  const HevcSliceHeader& sh = c.sh;
+  *missing_ref = false;
+  // retention: any picture named by the RPS (used or follow) stays
+  std::vector<Ctx::Pic> kept;
+  for (auto& p : c.dpb) {
+    bool keep = false;
+    for (int i = 0; i < sh.rps.n_neg + sh.rps.n_pos; i++)
+      if (p.poc == c.poc_val + sh.rps.delta_poc[i]) keep = true;
+    if (keep) kept.push_back(std::move(p));
+  }
+  c.dpb.swap(kept);
+  auto find_poc = [&](int32_t poc) {
+    for (int i = 0; i < (int)c.dpb.size(); i++)
+      if (c.dpb[i].poc == poc) return i;
+    return -1;
+  };
+  // PocStCurrBefore (negatives, closest first) / After
+  int before[16], after[16];
+  int nb = 0, na = 0;
+  for (int i = 0; i < sh.rps.n_neg; i++) {
+    if (!sh.rps.used[i]) continue;
+    int d = find_poc(c.poc_val + sh.rps.delta_poc[i]);
+    if (d < 0) {
+      *missing_ref = true;
+      return false;
+    }
+    before[nb++] = d;
+  }
+  for (int i = 0; i < sh.rps.n_pos; i++) {
+    if (!sh.rps.used[sh.rps.n_neg + i]) continue;
+    int d = find_poc(c.poc_val + sh.rps.delta_poc[sh.rps.n_neg + i]);
+    if (d < 0) {
+      *missing_ref = true;
+      return false;
+    }
+    after[na++] = d;
+  }
+  c.n_ref[0] = c.n_ref[1] = 0;
+  if (sh.slice_type == 2) return true;
+  int total = nb + na;
+  if (total == 0) {
+    c.err = "P/B slice with empty RPS";
+    return false;
+  }
+  // RefPicListTemp cycling (8.3.4)
+  for (int r = 0; r < sh.num_ref[0]; r++) {
+    int i = r % total;
+    int d = i < nb ? before[i] : after[i - nb];
+    c.ref_dpb[0][r] = d;
+    c.ref_pocs[0][r] = c.dpb[d].poc;
+    c.n_ref[0] = r + 1;
+  }
+  for (int r = 0; r < sh.num_ref[1]; r++) {
+    int i = r % total;
+    int d = i < na ? after[i] : before[i - na];
+    c.ref_dpb[1][r] = d;
+    c.ref_pocs[1][r] = c.dpb[d].poc;
+    c.n_ref[1] = r + 1;
+  }
+  c.no_backward = true;
+  for (int l = 0; l < 2; l++)
+    for (int r = 0; r < c.n_ref[l]; r++)
+      if (c.ref_pocs[l][r] > c.poc_val) c.no_backward = false;
+  return true;
+}
+
+struct PuMotion {
+  int16_t mv[2][2] = {{0, 0}, {0, 0}};
+  int8_t refidx[2] = {-1, -1};
+  uint8_t pf = 0;
+};
+
+bool same_motion(const PuMotion& a, const PuMotion& b) {
+  if (a.pf != b.pf) return false;
+  for (int l = 0; l < 2; l++) {
+    if (!((a.pf >> l) & 1)) continue;
+    if (a.refidx[l] != b.refidx[l] || a.mv[l][0] != b.mv[l][0] ||
+        a.mv[l][1] != b.mv[l][1])
+      return false;
+  }
+  return true;
+}
+
+// Motion of the decoded 4x4 block at luma position (xN, yN); pf == 0
+// means unavailable (outside, not yet decoded, or intra).
+//
+// Availability (6.4.2) falls out of the dec4 marking discipline: PU
+// areas are marked as each PU's parameters are derived, CU areas at CU
+// parse end — so dec4 is exactly "z-scan decoded" for neighbors outside
+// the current CU and "earlier PU of this CU" (the sameCb branch, which
+// BYPASSES the z-scan order: PU0 of an Nx2N CU is available to PU1
+// even though its lower blocks follow in z-order) for neighbors inside.
+Ctx::MvInfo nb_motion(const Ctx& c, int xN, int yN) {
+  Ctx::MvInfo none;
+  if (xN < 0 || yN < 0 || xN >= c.sps.width || yN >= c.sps.height)
+    return none;
+  int i = (yN >> 2) * c.w4 + (xN >> 2);
+  if (!c.dec4[i]) return none;
+  return c.mvf[i];
+}
+
+void scale_mv(int16_t* mv, int tb, int td) {
+  td = clip3(-128, 127, td);
+  tb = clip3(-128, 127, tb);
+  int tx = (16384 + (abs(td) >> 1)) / td;
+  int dsf = clip3(-4096, 4095, (tb * tx + 32) >> 6);
+  for (int k = 0; k < 2; k++) {
+    int v = dsf * mv[k];
+    mv[k] = (int16_t)clip3(-32768, 32767,
+                           (v >= 0 ? 1 : -1) * ((abs(v) + 127) >> 8));
+  }
+}
+
+// Temporal MV prediction (8.5.3.2.8/9) for target (list X, refIdx).
+bool tmvp_mv(const Ctx& c, int xPb, int yPb, int nW, int nH, int X,
+             int refidx, int16_t* out) {
+  if (!c.sh.tmvp) return false;
+  int cl = c.sh.col_from_l0 ? 0 : 1;
+  if (c.sh.col_ref_idx >= c.n_ref[cl]) return false;
+  const Ctx::Pic& col = c.dpb[c.ref_dpb[cl][c.sh.col_ref_idx]];
+  if (col.col.empty()) return false;
+  auto fetch = [&](int xC, int yC) -> bool {
+    if (xC < 0 || yC < 0 || xC >= c.sps.width || yC >= c.sps.height)
+      return false;
+    const Ctx::ColMv& cm = col.col[(yC >> 4) * col.w16 + (xC >> 4)];
+    if (!cm.pf) return false;
+    int src;
+    if (cm.pf == 1)
+      src = 0;
+    else if (cm.pf == 2)
+      src = 1;
+    else
+      src = c.no_backward ? X : (c.sh.col_from_l0 ? 1 : 0);
+    int td = col.poc - cm.refpoc[src];
+    int tb = c.poc_val - c.ref_pocs[X][refidx];
+    out[0] = cm.mv[src][0];
+    out[1] = cm.mv[src][1];
+    if (td != tb) scale_mv(out, tb, td);
+    return true;
+  };
+  int xBr = xPb + nW, yBr = yPb + nH;
+  if ((yPb >> c.sps.log2_ctb) == (yBr >> c.sps.log2_ctb)) {
+    if (fetch(xBr, yBr)) return true;
+  }
+  return fetch(xPb + (nW >> 1), yPb + (nH >> 1));
+}
+
+// Merge candidate list (8.5.3.2.3).  part_mode: 0=2Nx2N 1=2NxN 2=Nx2N
+// 3=NxN 4=2NxnU 5=2NxnD 6=nLx2N 7=nRx2N.  Fills exactly max_merge
+// candidates.
+void merge_candidates(const Ctx& c, int xCb, int yCb, int cbSize, int xPb,
+                      int yPb, int nW, int nH, int part_mode, int part_idx,
+                      PuMotion* cands) {
+  if (c.pps.log2_parallel_merge_level > 2 && cbSize == 8) {
+    // singleMCLFlag: all PUs of an 8x8 CU share the 2Nx2N candidates
+    xPb = xCb;
+    yPb = yCb;
+    nW = nH = 8;
+    part_idx = 0;
+    part_mode = 0;
+  }
+  int pl = c.pps.log2_parallel_merge_level;
+  auto same_region = [&](int xN, int yN) {
+    return (xPb >> pl) == (xN >> pl) && (yPb >> pl) == (yN >> pl);
+  };
+  auto to_pu = [](const Ctx::MvInfo& m) {
+    PuMotion p;
+    p.pf = m.pf;
+    for (int l = 0; l < 2; l++) {
+      p.refidx[l] = m.refidx[l];
+      p.mv[l][0] = m.mv[l][0];
+      p.mv[l][1] = m.mv[l][1];
+    }
+    return p;
+  };
+  int n = 0;
+  // Block-level availability of A1/B1 (exclusions + MER + intra)
+  // gates the pruning comparisons of later candidates even when the
+  // block itself was NOT added to the list (8.5.3.2.3).
+  PuMotion a1, b1;
+  bool a1_avail = false, b1_avail = false;
+  if (!(part_idx == 1 &&
+        (part_mode == 2 || part_mode == 6 || part_mode == 7))) {
+    auto m = nb_motion(c, xPb - 1, yPb + nH - 1);
+    if (m.pf && !same_region(xPb - 1, yPb + nH - 1)) {
+      a1_avail = true;
+      a1 = to_pu(m);
+      cands[n++] = a1;
+    }
+  }
+  if (!(part_idx == 1 &&
+        (part_mode == 1 || part_mode == 4 || part_mode == 5))) {
+    auto m = nb_motion(c, xPb + nW - 1, yPb - 1);
+    if (m.pf && !same_region(xPb + nW - 1, yPb - 1)) {
+      b1_avail = true;
+      b1 = to_pu(m);
+      if (!a1_avail || !same_motion(a1, b1)) cands[n++] = b1;
+    }
+  }
+  // B0 (pruned against the B1 BLOCK when it is available)
+  {
+    auto m = nb_motion(c, xPb + nW, yPb - 1);
+    if (m.pf && !same_region(xPb + nW, yPb - 1)) {
+      PuMotion b0 = to_pu(m);
+      if (!b1_avail || !same_motion(b1, b0)) cands[n++] = b0;
+    }
+  }
+  // A0 (pruned against the A1 block)
+  {
+    auto m = nb_motion(c, xPb - 1, yPb + nH);
+    if (m.pf && !same_region(xPb - 1, yPb + nH)) {
+      PuMotion a0 = to_pu(m);
+      if (!a1_avail || !same_motion(a1, a0)) cands[n++] = a0;
+    }
+  }
+  // B2 (only when fewer than 4 so far; pruned against A1 and B1 blocks)
+  if (n < 4) {
+    auto m = nb_motion(c, xPb - 1, yPb - 1);
+    if (m.pf && !same_region(xPb - 1, yPb - 1)) {
+      PuMotion b2 = to_pu(m);
+      if ((!a1_avail || !same_motion(a1, b2)) &&
+          (!b1_avail || !same_motion(b1, b2)))
+        cands[n++] = b2;
+    }
+  }
+  bool is_b = c.sh.slice_type == 0;
+  // temporal candidate (refIdx 0)
+  if (n < c.sh.max_merge && c.sh.tmvp) {
+    PuMotion t;
+    int16_t mv[2];
+    if (tmvp_mv(c, xPb, yPb, nW, nH, 0, 0, mv)) {
+      t.pf |= 1;
+      t.refidx[0] = 0;
+      t.mv[0][0] = mv[0];
+      t.mv[0][1] = mv[1];
+    }
+    if (is_b && tmvp_mv(c, xPb, yPb, nW, nH, 1, 0, mv)) {
+      t.pf |= 2;
+      t.refidx[1] = 0;
+      t.mv[1][0] = mv[0];
+      t.mv[1][1] = mv[1];
+    }
+    if (t.pf) cands[n++] = t;
+  }
+  // combined bi-predictive candidates (B slices)
+  if (is_b && n > 1 && n < c.sh.max_merge) {
+    static const int l0i[12] = {0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3};
+    static const int l1i[12] = {1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2};
+    int orig = n;
+    int total = orig * (orig - 1);
+    for (int k = 0; k < total && k < 12 && n < c.sh.max_merge; k++) {
+      const PuMotion& c0 = cands[l0i[k]];
+      const PuMotion& c1 = cands[l1i[k]];
+      if ((c0.pf & 1) && (c1.pf & 2)) {
+        int32_t p0 = c.ref_pocs[0][c0.refidx[0]];
+        int32_t p1 = c.ref_pocs[1][c1.refidx[1]];
+        if (p0 != p1 || c0.mv[0][0] != c1.mv[1][0] ||
+            c0.mv[0][1] != c1.mv[1][1]) {
+          PuMotion m;
+          m.pf = 3;
+          m.refidx[0] = c0.refidx[0];
+          m.mv[0][0] = c0.mv[0][0];
+          m.mv[0][1] = c0.mv[0][1];
+          m.refidx[1] = c1.refidx[1];
+          m.mv[1][0] = c1.mv[1][0];
+          m.mv[1][1] = c1.mv[1][1];
+          cands[n++] = m;
+        }
+      }
+    }
+  }
+  // zero candidates
+  int nri = is_b ? (c.n_ref[0] < c.n_ref[1] ? c.n_ref[0] : c.n_ref[1])
+                 : c.n_ref[0];
+  int zi = 0;
+  while (n < c.sh.max_merge) {
+    PuMotion m;
+    m.pf = is_b ? 3 : 1;
+    m.refidx[0] = (int8_t)(zi < nri ? zi : 0);
+    if (is_b) m.refidx[1] = m.refidx[0];
+    cands[n++] = m;
+    zi++;
+  }
+  if (trace_on()) {
+    fprintf(stderr, "  mrg a1=%d b1=%d n_spatial(+t)=%d\n", (int)a1_avail,
+            (int)b1_avail, n);
+    for (int k = 0; k < n; k++)
+      fprintf(stderr, "  mrg[%d] pf=%d r=%d/%d mv0=(%d,%d) mv1=(%d,%d)\n",
+              k, cands[k].pf, cands[k].refidx[0], cands[k].refidx[1],
+              cands[k].mv[0][0], cands[k].mv[0][1], cands[k].mv[1][0],
+              cands[k].mv[1][1]);
+  }
+}
+
+// AMVP predictor (8.5.3.2.6/7) for (list X, refIdx); returns the
+// predictor selected by mvp_flag.
+void amvp_mv(const Ctx& c, int xPb, int yPb, int nW, int nH, int X,
+             int refidx, int mvp_flag, int16_t* out) {
+  int32_t target_poc = c.ref_pocs[X][refidx];
+  Ctx::MvInfo nbs[5];
+  nbs[0] = nb_motion(c, xPb - 1, yPb + nH);      // A0
+  nbs[1] = nb_motion(c, xPb - 1, yPb + nH - 1);  // A1
+  nbs[2] = nb_motion(c, xPb + nW, yPb - 1);      // B0
+  nbs[3] = nb_motion(c, xPb + nW - 1, yPb - 1);  // B1
+  nbs[4] = nb_motion(c, xPb - 1, yPb - 1);       // B2
+  auto try_same = [&](const Ctx::MvInfo& m, int16_t* mv) -> bool {
+    if (!m.pf) return false;
+    for (int t = 0; t < 2; t++) {
+      int l = t == 0 ? X : 1 - X;
+      if (((m.pf >> l) & 1) && c.ref_pocs[l][m.refidx[l]] == target_poc) {
+        mv[0] = m.mv[l][0];
+        mv[1] = m.mv[l][1];
+        return true;
+      }
+    }
+    return false;
+  };
+  auto try_scaled = [&](const Ctx::MvInfo& m, int16_t* mv) -> bool {
+    if (!m.pf) return false;
+    for (int t = 0; t < 2; t++) {
+      int l = t == 0 ? X : 1 - X;
+      if ((m.pf >> l) & 1) {
+        mv[0] = m.mv[l][0];
+        mv[1] = m.mv[l][1];
+        int td = c.poc_val - c.ref_pocs[l][m.refidx[l]];
+        int tb = c.poc_val - target_poc;
+        if (td != tb) scale_mv(mv, tb, td);
+        return true;
+      }
+    }
+    return false;
+  };
+  int16_t mvA[2] = {0, 0}, mvB[2] = {0, 0};
+  bool availA = false, availB = false;
+  bool is_scaled = nbs[0].pf != 0 || nbs[1].pf != 0;
+  for (int i = 0; i < 2 && !availA; i++) availA = try_same(nbs[i], mvA);
+  for (int i = 0; i < 2 && !availA; i++) availA = try_scaled(nbs[i], mvA);
+  for (int i = 2; i < 5 && !availB; i++) availB = try_same(nbs[i], mvB);
+  if (!is_scaled) {
+    // no left neighbors: B's unscaled value becomes A, and B re-derives
+    // with scaling allowed
+    availA = availB;
+    mvA[0] = mvB[0];
+    mvA[1] = mvB[1];
+    availB = false;
+    for (int i = 2; i < 5 && !availB; i++) availB = try_scaled(nbs[i], mvB);
+  }
+  int16_t list[3][2];
+  int n = 0;
+  if (availA) {
+    list[n][0] = mvA[0];
+    list[n][1] = mvA[1];
+    n++;
+  }
+  if (availB && (!availA || mvA[0] != mvB[0] || mvA[1] != mvB[1])) {
+    list[n][0] = mvB[0];
+    list[n][1] = mvB[1];
+    n++;
+  }
+  if (n < 2) {
+    int16_t mv[2];
+    if (tmvp_mv(c, xPb, yPb, nW, nH, X, refidx, mv)) {
+      list[n][0] = mv[0];
+      list[n][1] = mv[1];
+      n++;
+    }
+  }
+  while (n < 2) {
+    list[n][0] = 0;
+    list[n][1] = 0;
+    n++;
+  }
+  out[0] = list[mvp_flag][0];
+  out[1] = list[mvp_flag][1];
+}
+
+// mvd_coding (7.3.8.9): greater0/1 flags, EG1 remainder, sign.
+bool mvd_coding(Ctx& c, Cabac& cb, HevcContexts& cx, int16_t* out) {
+  int g0[2], g1[2] = {0, 0};
+  g0[0] = DEC(cb, cx, CTX_MVD_GREATER0);
+  g0[1] = DEC(cb, cx, CTX_MVD_GREATER0);
+  if (g0[0]) g1[0] = DEC(cb, cx, CTX_MVD_GREATER1);
+  if (g0[1]) g1[1] = DEC(cb, cx, CTX_MVD_GREATER1);
+  for (int i = 0; i < 2; i++) {
+    int v = g0[i];
+    if (g0[i]) {
+      if (g1[i]) {
+        int val = 2, k = 1;
+        while (k < 24 && BYP(cb)) {
+          val += 1 << k;
+          k++;
+        }
+        val += (int)bypass_bits(cb, k);
+        v = val;
+      }
+      if (BYP(cb)) v = -v;
+    }
+    out[i] = (int16_t)v;
+    if (v < -32768 || v > 32767) {
+      c.err = "mvd overflow";
+      return false;
+    }
+  }
+  return !cb.error();
+}
+
+// Store a PU's motion over its area and emit the PU record.
+bool emit_pu(Ctx& c, int xPb, int yPb, int nW, int nH, const PuMotion& pu) {
+  Ctx::MvInfo m;
+  m.pf = pu.pf;
+  for (int l = 0; l < 2; l++) {
+    m.refidx[l] = pu.refidx[l];
+    m.mv[l][0] = pu.mv[l][0];
+    m.mv[l][1] = pu.mv[l][1];
+  }
+  int bx0 = xPb >> 2, by0 = yPb >> 2;
+  int bw = nW >> 2, bh = nH >> 2;
+  for (int by = 0; by < bh; by++)
+    for (int bx = 0; bx < bw; bx++) {
+      int i = (by0 + by) * c.w4 + bx0 + bx;
+      c.mvf[i] = m;
+      c.dec4[i] = 1;
+      // PU left/top boundary bits (deblock)
+      uint8_t b = 0;
+      if (bx == 0) b |= 1;
+      if (by == 0) b |= 2;
+      c.pub4[i] |= b;
+    }
+  HevcOut* o = c.out;
+  if (!o->n_pu) {
+    c.err = "inter output buffers missing";
+    return false;
+  }
+  if (o->used_pu >= o->cap_pu) {
+    c.err = "PU capacity exceeded";
+    return false;
+  }
+  int64_t i = o->used_pu++;
+  o->pu_x[i] = (uint16_t)xPb;
+  o->pu_y[i] = (uint16_t)yPb;
+  o->pu_w[i] = (uint8_t)nW;
+  o->pu_h[i] = (uint8_t)nH;
+  o->pu_flags[i] = pu.pf;
+  const HevcSliceHeader& sh = c.sh;
+  bool wp_on = sh.has_wp;
+  o->pu_ref0[i] = 0;
+  o->pu_ref1[i] = 0;
+  o->pu_wp0[i] = 255;
+  o->pu_wp1[i] = 255;
+  if (pu.pf & 1) {
+    o->pu_ref0[i] = (uint8_t)c.dpb[c.ref_dpb[0][pu.refidx[0]]].span_idx;
+    if (wp_on) o->pu_wp0[i] = (uint8_t)(0 * 16 + pu.refidx[0]);
+  }
+  if (pu.pf & 2) {
+    o->pu_ref1[i] = (uint8_t)c.dpb[c.ref_dpb[1][pu.refidx[1]]].span_idx;
+    if (wp_on) o->pu_wp1[i] = (uint8_t)(16 + pu.refidx[1]);
+  }
+  o->pu_mv[i * 4 + 0] = pu.mv[0][0];
+  o->pu_mv[i * 4 + 1] = pu.mv[0][1];
+  o->pu_mv[i * 4 + 2] = pu.mv[1][0];
+  o->pu_mv[i * 4 + 3] = pu.mv[1][1];
+  HTRACE("  PU (%d,%d) %dx%d pf=%d ref=%d/%d mv0=(%d,%d) mv1=(%d,%d)\n",
+         xPb, yPb, nW, nH, pu.pf, pu.refidx[0], pu.refidx[1], pu.mv[0][0],
+         pu.mv[0][1], pu.mv[1][0], pu.mv[1][1]);
+  return true;
+}
+
 // ---- intra mode prediction (8.4.2) ----------------------------------------
 
 int ipm_at(const Ctx& c, int x, int y) {
@@ -773,6 +1442,8 @@ struct CuState {
   int luma_mode[4] = {1, 1, 1, 1};
   int chroma_mode = 1;
   int x0 = 0, y0 = 0, log2 = 0;
+  bool inter = false;
+  int part_mode = 0;  // 0=2Nx2N 1=2NxN 2=Nx2N 3=NxN 4..7=AMP
 };
 
 bool transform_tree(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
@@ -802,14 +1473,33 @@ bool transform_unit(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
   }
   c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
 
-  // mode covering this TU (for scan selection + recon)
-  int pu = 0;
-  if (cu.part_nxn) {
-    int half = 1 << (cu.log2 - 1);
-    pu = ((y0 - cu.y0) >= half ? 2 : 0) + ((x0 - cu.x0) >= half ? 1 : 0);
+  // mode covering this TU (for scan selection + recon); inter TUs get
+  // the 255 marker (no intra prediction, diagonal scan)
+  int lmode, cmode;
+  if (cu.inter) {
+    lmode = cmode = 255;
+  } else {
+    int pu = 0;
+    if (cu.part_nxn) {
+      int half = 1 << (cu.log2 - 1);
+      pu = ((y0 - cu.y0) >= half ? 2 : 0) + ((x0 - cu.x0) >= half ? 1 : 0);
+    }
+    lmode = cu.luma_mode[pu];
+    cmode = cu.chroma_mode;
   }
-  int lmode = cu.luma_mode[pu];
-  int cmode = cu.chroma_mode;
+  // deblock bookkeeping: TU left/top boundary bits + luma cbf per 4x4
+  {
+    int bx0 = x0 >> 2, by0 = y0 >> 2, nb = 1 << (log2 - 2);
+    for (int dy = 0; dy < nb; dy++)
+      for (int dx = 0; dx < nb; dx++) {
+        int i = (by0 + dy) * c.w4 + bx0 + dx;
+        uint8_t b = 0;
+        if (dx == 0) b |= 1;
+        if (dy == 0) b |= 2;
+        c.tub4[i] |= b;
+        c.cbfy4[i] = (uint8_t)(cbf_luma != 0);
+      }
+  }
 
   int size = 1 << log2;
   static thread_local std::vector<int16_t> buf;
@@ -858,14 +1548,19 @@ bool transform_tree(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
                     int y0, int xBase, int yBase, int log2, int depth,
                     int blk_idx, int cbf_cb, int cbf_cr) {
   const HevcSPS& sps = c.sps;
-  int max_depth = sps.max_trafo_depth_intra + (cu.part_nxn ? 1 : 0);
-  int intra_split_force = cu.part_nxn && depth == 0;
+  int max_depth = cu.inter
+                      ? sps.max_trafo_depth_inter
+                      : sps.max_trafo_depth_intra + (cu.part_nxn ? 1 : 0);
+  int intra_split_force = !cu.inter && cu.part_nxn && depth == 0;
+  int inter_split_force = cu.inter && sps.max_trafo_depth_inter == 0 &&
+                          cu.part_mode != 0 && depth == 0;
   int split;
   if (log2 <= sps.log2_max_tb && log2 > sps.log2_min_tb &&
       depth < max_depth && !intra_split_force) {
     split = DEC(cb, cx, CTX_SPLIT_TRANSFORM + (5 - log2));
   } else {
-    split = (log2 > sps.log2_max_tb) || intra_split_force;
+    split = (log2 > sps.log2_max_tb) || intra_split_force ||
+            inter_split_force;
   }
   if (log2 > 2) {
     if (depth == 0 || cbf_cb)
@@ -893,12 +1588,179 @@ bool transform_tree(Ctx& c, Cabac& cb, HevcContexts& cx, CuState& cu, int x0,
       return false;
     return true;
   }
-  // leaf: cbf_luma always coded for intra (7.3.8.8)
-  int cbf_luma = DEC(cb, cx, CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+  // leaf: cbf_luma always coded for intra; for inter it is inferred 1
+  // at depth 0 with no chroma cbf (7.3.8.8)
+  int cbf_luma = 1;
+  if (!cu.inter || depth > 0 || cbf_cb || cbf_cr)
+    cbf_luma = DEC(cb, cx, CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
   HTRACE("  TU (%d,%d) log2=%d d=%d cbf=%d/%d/%d\n", x0, y0, log2, depth,
          cbf_luma, cbf_cb, cbf_cr);
   return transform_unit(c, cb, cx, cu, x0, y0, xBase, yBase, log2, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr);
+}
+
+// PU rectangles (x, y, w, h relative to the CU) for an inter part mode.
+int pu_rects(int pm, int s, int r[4][4]) {
+  int h = s >> 1, q = s >> 2;
+  switch (pm) {
+    case 1:  // 2NxN
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = s; r[0][3] = h;
+      r[1][0] = 0; r[1][1] = h; r[1][2] = s; r[1][3] = h;
+      return 2;
+    case 2:  // Nx2N
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = h; r[0][3] = s;
+      r[1][0] = h; r[1][1] = 0; r[1][2] = h; r[1][3] = s;
+      return 2;
+    case 3:  // NxN
+      for (int i = 0; i < 4; i++) {
+        r[i][0] = (i & 1) ? h : 0;
+        r[i][1] = (i & 2) ? h : 0;
+        r[i][2] = h;
+        r[i][3] = h;
+      }
+      return 4;
+    case 4:  // 2NxnU
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = s; r[0][3] = q;
+      r[1][0] = 0; r[1][1] = q; r[1][2] = s; r[1][3] = s - q;
+      return 2;
+    case 5:  // 2NxnD
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = s; r[0][3] = s - q;
+      r[1][0] = 0; r[1][1] = s - q; r[1][2] = s; r[1][3] = q;
+      return 2;
+    case 6:  // nLx2N
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = q; r[0][3] = s;
+      r[1][0] = q; r[1][1] = 0; r[1][2] = s - q; r[1][3] = s;
+      return 2;
+    case 7:  // nRx2N
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = s - q; r[0][3] = s;
+      r[1][0] = s - q; r[1][1] = 0; r[1][2] = q; r[1][3] = s;
+      return 2;
+    default:  // 2Nx2N
+      r[0][0] = 0; r[0][1] = 0; r[0][2] = s; r[0][3] = s;
+      return 1;
+  }
+}
+
+// part_mode for inter CUs (9.3.3.7, Table 9-43 binarization)
+int decode_part_mode_inter(Ctx& c, Cabac& cb, HevcContexts& cx, int log2) {
+  const HevcSPS& sps = c.sps;
+  if (DEC(cb, cx, CTX_PART_MODE + 0)) return 0;  // 2Nx2N
+  if (log2 == sps.log2_min_cb) {
+    if (DEC(cb, cx, CTX_PART_MODE + 1)) return 1;  // 2NxN
+    if (log2 == 3) return 2;                       // Nx2N (no inter 4x4)
+    if (DEC(cb, cx, CTX_PART_MODE + 2)) return 2;  // Nx2N
+    return 3;                                      // NxN
+  }
+  if (!sps.amp_enabled)
+    return DEC(cb, cx, CTX_PART_MODE + 1) ? 1 : 2;
+  if (DEC(cb, cx, CTX_PART_MODE + 1)) {  // horizontal family
+    if (DEC(cb, cx, CTX_PART_MODE + 3)) return 1;  // 2NxN
+    return BYP(cb) ? 5 : 4;                        // 2NxnD : 2NxnU
+  }
+  if (DEC(cb, cx, CTX_PART_MODE + 3)) return 2;  // Nx2N
+  return BYP(cb) ? 7 : 6;                        // nRx2N : nLx2N
+}
+
+int decode_merge_idx(Ctx& c, Cabac& cb, HevcContexts& cx) {
+  int midx = 0;
+  if (c.sh.max_merge > 1 && DEC(cb, cx, CTX_MERGE_IDX)) {
+    midx = 1;
+    while (midx < c.sh.max_merge - 1 && BYP(cb)) midx++;
+  }
+  return midx;
+}
+
+// Emit cbf=0 inter TUs covering a residual-free CU (skip or
+// rqt_root_cbf == 0) so reconstruction marks the area decoded in exact
+// z-order.  Tiles are bounded by the 32x32 transform ceiling.
+bool emit_cover_tus(Ctx& c, int x0, int y0, int log2) {
+  c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
+  int qp_cb = chroma_qp(c.qpy_cur, c.pps.cb_qp_offset + c.sh.cb_qp_offset);
+  int qp_cr = chroma_qp(c.qpy_cur, c.pps.cr_qp_offset + c.sh.cr_qp_offset);
+  int L = log2 > 5 ? 5 : log2;
+  int s = 1 << log2;
+  for (int dy = 0; dy < s; dy += 1 << L)
+    for (int dx = 0; dx < s; dx += 1 << L)
+      if (!emit_tu(c, x0 + dx, y0 + dy, L, 0, 255, c.qpy_cur, 0, nullptr))
+        return false;
+  int Cl = (log2 - 1) > 4 ? 4 : log2 - 1;
+  int cs = s >> 1;
+  for (int dy = 0; dy < cs; dy += 1 << Cl)
+    for (int dx = 0; dx < cs; dx += 1 << Cl) {
+      if (!emit_tu(c, (x0 >> 1) + dx, (y0 >> 1) + dy, Cl, 1, 255, qp_cb, 0,
+                   nullptr))
+        return false;
+      if (!emit_tu(c, (x0 >> 1) + dx, (y0 >> 1) + dy, Cl, 2, 255, qp_cr, 0,
+                   nullptr))
+        return false;
+    }
+  return true;
+}
+
+// prediction_unit (7.3.8.6): merge or AMVP with explicit mvd/refidx.
+bool prediction_unit(Ctx& c, Cabac& cb, HevcContexts& cx, int xCb, int yCb,
+                     int cbSize, int pm, int pi, int xPb, int yPb, int nW,
+                     int nH, bool skip, bool* merge_out) {
+  HTRACE("  pu_enter (%d,%d) %dx%d pm=%d pi=%d skip=%d\n", xPb, yPb, nW,
+         nH, pm, pi, (int)skip);
+  PuMotion pu;
+  int merge_flag = skip ? 1 : DEC(cb, cx, CTX_MERGE_FLAG);
+  if (merge_out) *merge_out = merge_flag != 0;
+  if (merge_flag) {
+    int midx = decode_merge_idx(c, cb, cx);
+    PuMotion cands[5];
+    merge_candidates(c, xCb, yCb, cbSize, xPb, yPb, nW, nH, pm, pi, cands);
+    if (midx >= c.sh.max_merge) {
+      c.err = "merge_idx out of range";
+      return false;
+    }
+    pu = cands[midx];
+    if (nW + nH == 12 && pu.pf == 3) {  // 8x4/4x8: no bi-prediction
+      pu.pf = 1;
+      pu.refidx[1] = -1;
+    }
+    HTRACE("  PU merge idx=%d\n", midx);
+  } else {
+    int idc = 0;  // 0=L0 1=L1 2=BI
+    if (c.sh.slice_type == 0) {
+      if (nW + nH != 12) {
+        int depth = c.ct_depth[(yCb >> 2) * c.w4 + (xCb >> 2)];
+        if (DEC(cb, cx, CTX_INTER_PRED_IDC + depth))
+          idc = 2;
+        else
+          idc = DEC(cb, cx, CTX_INTER_PRED_IDC + 4);
+      } else {
+        idc = DEC(cb, cx, CTX_INTER_PRED_IDC + 4);
+      }
+    }
+    HTRACE("  PU amvp idc=%d\n", idc);
+    for (int X = 0; X < 2; X++) {
+      if (idc != 2 && idc != X) continue;
+      int num = c.sh.num_ref[X];
+      int ri = 0;
+      if (num > 1) {
+        if (DEC(cb, cx, CTX_REF_IDX + 0)) {
+          ri = 1;
+          if (num > 2 && DEC(cb, cx, CTX_REF_IDX + 1)) {
+            ri = 2;
+            while (ri < num - 1 && BYP(cb)) ri++;
+          }
+        }
+      }
+      int16_t mvd[2] = {0, 0};
+      if (!(X == 1 && c.sh.mvd_l1_zero && idc == 2)) {
+        if (!mvd_coding(c, cb, cx, mvd)) return false;
+      }
+      int mvp_flag = DEC(cb, cx, CTX_MVP_FLAG);
+      int16_t mvp[2];
+      amvp_mv(c, xPb, yPb, nW, nH, X, ri, mvp_flag, mvp);
+      pu.pf |= 1 << X;
+      pu.refidx[X] = (int8_t)ri;
+      pu.mv[X][0] = (int16_t)(mvp[0] + mvd[0]);
+      pu.mv[X][1] = (int16_t)(mvp[1] + mvd[1]);
+    }
+  }
+  return emit_pu(c, xPb, yPb, nW, nH, pu);
 }
 
 bool coding_unit(Ctx& c, Cabac& cb, HevcContexts& cx, int x0, int y0,
@@ -908,8 +1770,88 @@ bool coding_unit(Ctx& c, Cabac& cb, HevcContexts& cx, int x0, int y0,
   cu.x0 = x0;
   cu.y0 = y0;
   cu.log2 = log2;
+  int size = 1 << log2;
+  bool is_pb = c.sh.slice_type != 2;
   HTRACE("CU (%d,%d) log2=%d\n", x0, y0, log2);
-  // I slice: pred mode is intra; part_mode only at min CB size
+
+  auto qp_tail = [&]() {
+    c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
+    int nb = 1 << (log2 - 2);
+    for (int dy = 0; dy < nb; dy++)
+      for (int dx = 0; dx < nb; dx++)
+        c.qpy[((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx] = (int8_t)c.qpy_cur;
+    c.qpy_prev = c.qpy_cur;
+  };
+  auto mark_intra = [&]() {
+    int nb = 1 << (log2 - 2);
+    for (int dy = 0; dy < nb; dy++)
+      for (int dx = 0; dx < nb; dx++) {
+        int i = ((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx;
+        c.mvf[i] = Ctx::MvInfo();
+        c.dec4[i] = 1;
+      }
+  };
+
+  if (c.pps.transquant_bypass) {
+    if (DEC(cb, cx, CTX_TQ_BYPASS)) {
+      c.err = "transquant bypass CU unsupported";
+      return false;
+    }
+  }
+  if (is_pb) {
+    int inc = 0;
+    if (x0 > 0) inc += c.skip4[(y0 >> 2) * c.w4 + ((x0 - 1) >> 2)];
+    if (y0 > 0) inc += c.skip4[((y0 - 1) >> 2) * c.w4 + (x0 >> 2)];
+    HTRACE("  pre-skip inc=%d\n", inc);
+    int skipf = DEC(cb, cx, CTX_CU_SKIP + inc);
+    HTRACE("  post-skip %d\n", skipf);
+    if (skipf) {
+      // skip: one 2Nx2N merge PU, no residual
+      if (!prediction_unit(c, cb, cx, x0, y0, size, 0, 0, x0, y0, size,
+                           size, true, nullptr))
+        return false;
+      int nb = 1 << (log2 - 2);
+      for (int dy = 0; dy < nb; dy++)
+        for (int dx = 0; dx < nb; dx++)
+          c.skip4[((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx] = 1;
+      if (!emit_cover_tus(c, x0, y0, log2)) return false;
+      qp_tail();
+      return true;
+    }
+  }
+
+  int pred_intra = 1;
+  if (is_pb) pred_intra = !!DEC(cb, cx, CTX_PRED_MODE);
+  HTRACE("  pred_intra=%d\n", pred_intra);
+  if (!pred_intra) {
+    cu.inter = true;
+    cu.part_mode = decode_part_mode_inter(c, cb, cx, log2);
+    HTRACE("CU inter part=%d\n", cu.part_mode);
+    int rects[4][4];
+    int npu = pu_rects(cu.part_mode, size, rects);
+    bool merge_2nx2n = false;
+    for (int pi = 0; pi < npu; pi++) {
+      bool m = false;
+      if (!prediction_unit(c, cb, cx, x0, y0, size, cu.part_mode, pi,
+                           x0 + rects[pi][0], y0 + rects[pi][1],
+                           rects[pi][2], rects[pi][3], false, &m))
+        return false;
+      if (pi == 0 && cu.part_mode == 0) merge_2nx2n = m;
+    }
+    int rqt_root = 1;
+    if (!merge_2nx2n) rqt_root = DEC(cb, cx, CTX_NO_RESIDUAL);
+    if (rqt_root) {
+      if (!transform_tree(c, cb, cx, cu, x0, y0, x0, y0, log2, 0, 0, 0, 0))
+        return false;
+    } else {
+      if (!emit_cover_tus(c, x0, y0, log2)) return false;
+    }
+    qp_tail();
+    return true;
+  }
+
+  // ---- intra CU ----
+  // part_mode only at min CB size (1-bin intra binarization)
   if (log2 == sps.log2_min_cb)
     cu.part_nxn = !DEC(cb, cx, CTX_PART_MODE + 0);
 
@@ -951,13 +1893,8 @@ bool coding_unit(Ctx& c, Cabac& cb, HevcContexts& cx, int x0, int y0,
   if (!transform_tree(c, cb, cx, cu, x0, y0, x0, y0, log2, 0, 0, 0, 0))
     return false;
 
-  // finalize CU QP (covering area map + qPY_PREV chain)
-  c.qpy_cur = ((c.qpy_pred + c.qp_delta + 52) % 52);
-  int nb = 1 << (log2 - 2);
-  for (int dy = 0; dy < nb; dy++)
-    for (int dx = 0; dx < nb; dx++)
-      c.qpy[((y0 >> 2) + dy) * c.w4 + (x0 >> 2) + dx] = (int8_t)c.qpy_cur;
-  c.qpy_prev = c.qpy_cur;
+  mark_intra();  // pf=0 motion + decoded flags (inter availability)
+  qp_tail();     // finalize CU QP (covering area map + qPY_PREV chain)
   return true;
 }
 
@@ -1048,35 +1985,85 @@ bool parse_slice_header(Ctx& c, BitReader& br, int nal_type,
   const HevcPPS& pps = c.pps;
   for (int i = 0; i < pps.num_extra_slice_header_bits; i++) br.u1();
   sh.slice_type = (int)br.ue();
-  if (sh.slice_type != 2) {
-    c.err = "only I slices supported (HEVC inter is staged)";
+  if (sh.slice_type < 0 || sh.slice_type > 2) {
+    c.err = "bad slice_type";
     return false;
   }
+  sh.nal_type = nal_type;
   if (pps.output_flag_present) br.u1();
   if (nal_type != 19 && nal_type != 20) {  // not IDR: POC + RPS
     sh.poc_lsb = (int)br.u(sps.log2_max_poc_lsb);
     if (!br.u1()) {  // short_term_ref_pic_set_sps_flag == 0
-      std::vector<int> ndp;
-      // re-derive counts for preceding SPS sets is not needed: an
-      // explicit set in the slice header with idx == num_st_rps can
-      // inter-predict only from SPS sets, which we did not retain;
-      // x265 I-only streams use IDR (no RPS here).  Parse the common
-      // standalone case (inter_rps_pred == 0).
-      if (!parse_st_rps(br, 0, 0, ndp, c.err)) return false;
-    } else if (sps.num_st_rps > 1) {
-      int bits = 0;
-      while ((1 << bits) < sps.num_st_rps) bits++;
-      br.u(bits);
+      // explicit set coded in the slice header; it may inter-predict
+      // from the SPS candidate sets (idx == num_st_rps)
+      std::vector<StRps> sets = sps.st_rps;
+      if (!parse_st_rps(br, sps.num_st_rps, sps.num_st_rps, sets, c.err))
+        return false;
+      sh.rps = sets.back();
+    } else {
+      int idx = 0;
+      if (sps.num_st_rps > 1) {
+        int bits = 0;
+        while ((1 << bits) < sps.num_st_rps) bits++;
+        idx = (int)br.u(bits);
+      }
+      if (idx >= (int)sps.st_rps.size()) {
+        c.err = "st_rps idx out of range";
+        return false;
+      }
+      sh.rps = sps.st_rps[idx];
     }
     if (sps.long_term_ref_pics) {
-      c.err = "long-term refs in I slice unsupported";
+      c.err = "long-term refs unsupported";
       return false;
     }
-    if (sps.temporal_mvp) br.u1();
+    if (sps.temporal_mvp) sh.tmvp = br.u1();
   }
   if (sps.sao_enabled) {
     sh.sao_luma = br.u1();
     sh.sao_chroma = br.u1();
+  }
+  if (sh.slice_type != 2) {  // P or B
+    sh.num_ref[0] = pps.num_ref_l0;
+    sh.num_ref[1] = sh.slice_type == 0 ? pps.num_ref_l1 : 0;
+    if (br.u1()) {  // num_ref_idx_active_override
+      sh.num_ref[0] = (int)br.ue() + 1;
+      if (sh.slice_type == 0) sh.num_ref[1] = (int)br.ue() + 1;
+    }
+    if (sh.num_ref[0] > 16 || sh.num_ref[1] > 16) {
+      c.err = "num_ref_idx too large";
+      return false;
+    }
+    // NumPicTotalCurr (no long-term): used entries of the slice RPS
+    int npt = 0;
+    for (int i = 0; i < sh.rps.n_neg + sh.rps.n_pos; i++)
+      npt += sh.rps.used[i];
+    if (pps.lists_modification && npt > 1) {
+      c.err = "ref_pic_lists_modification unsupported";
+      return false;
+    }
+    if (sh.slice_type == 0) sh.mvd_l1_zero = br.u1();
+    if (pps.cabac_init_present) sh.cabac_init = br.u1();
+    if (sh.tmvp) {
+      sh.col_from_l0 = sh.slice_type == 0 ? (bool)br.u1() : true;
+      if ((sh.col_from_l0 && sh.num_ref[0] > 1) ||
+          (!sh.col_from_l0 && sh.num_ref[1] > 1))
+        sh.col_ref_idx = (int)br.ue();
+    }
+    if ((pps.weighted_pred && sh.slice_type == 1) ||
+        (pps.weighted_bipred && sh.slice_type == 0)) {
+      if (!parse_pred_weight_table(c, br, sh)) return false;
+    }
+    sh.max_merge = 5 - (int)br.ue();
+    if (sh.max_merge < 1 || sh.max_merge > 5) {
+      c.err = "bad max_num_merge_cand";
+      return false;
+    }
+    HTRACE("SH P/B type=%d nref=%d/%d tmvp=%d col=%d/%d wp=%d mm=%d "
+           "rps(n=%d/%d dp0=%d)\n",
+           sh.slice_type, sh.num_ref[0], sh.num_ref[1], (int)sh.tmvp,
+           (int)sh.col_from_l0, sh.col_ref_idx, (int)sh.has_wp,
+           sh.max_merge, sh.rps.n_neg, sh.rps.n_pos, sh.rps.delta_poc[0]);
   }
   sh.slice_qp = pps.init_qp + (int)br.se();
   if (pps.slice_chroma_qp_offsets_present) {
@@ -1185,13 +2172,27 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos,
   c.ct_depth.assign((size_t)c.w4 * h4, 0);
   c.ipm.assign((size_t)c.w4 * h4, -1);
   c.qpy.assign((size_t)c.w4 * h4, (int8_t)c.sh.slice_qp);
+  c.mvf.assign((size_t)c.w4 * h4, Ctx::MvInfo());
+  c.dec4.assign((size_t)c.w4 * h4, 0);
+  c.skip4.assign((size_t)c.w4 * h4, 0);
+  c.cbfy4.assign((size_t)c.w4 * h4, 0);
+  c.tub4.assign((size_t)c.w4 * h4, 0);
+  c.pub4.assign((size_t)c.w4 * h4, 0);
   c.qpy_prev = c.sh.slice_qp;
   c.qpy_pred = c.sh.slice_qp;
   c.qp_delta = 0;
   c.is_qp_coded = false;
 
+  // initType (9.3.2.2): I=0; P=1 (2 with cabac_init); B=2 (1 with it)
+  int init_type;
+  if (c.sh.slice_type == 2)
+    init_type = 0;
+  else if (c.sh.slice_type == 1)
+    init_type = c.sh.cabac_init ? 2 : 1;
+  else
+    init_type = c.sh.cabac_init ? 1 : 2;
   HevcContexts cx;
-  cx.init(c.sh.slice_qp, 0);  // initType 0 for I slices
+  cx.init(c.sh.slice_qp, init_type);
   HTRACE("SLICE qp=%d cabac_start_bit=%zu rbsp_bytes=%zu\n", c.sh.slice_qp,
          bitpos, rbsp.size());
   Cabac cb(rbsp.data(), rbsp.size() * 8, bitpos);
@@ -1246,7 +2247,7 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos,
       if (ctbw > 1 && have_sync) {
         cx = sync_cx;
       } else {
-        cx.init(c.sh.slice_qp, 0);
+        cx.init(c.sh.slice_qp, init_type);
       }
       c.qpy_pred = c.sh.slice_qp;
       c.qpy_prev = c.sh.slice_qp;
@@ -1284,6 +2285,117 @@ bool decode_slice(Ctx& c, const std::vector<uint8_t>& rbsp, size_t bitpos,
     }
   }
   return true;
+}
+
+// Deblocking boundary strengths (8.7.2.4) on the 4x4 segment grid.
+// out[(y4 * w4 + x4) * 2 + 0] = bS of the vertical edge at x = 4*x4
+// (nonzero only on 8-aligned columns), [.. + 1] = horizontal edge at
+// y = 4*y4.  Edges exist where a TU or PU boundary lies on the 8-grid.
+void compute_bs(Ctx& c, uint8_t* out) {
+  const int w4 = c.w4, h4 = c.h4;
+  auto mv_close = [](const int16_t* a, const int16_t* b) {
+    return abs(a[0] - b[0]) < 4 && abs(a[1] - b[1]) < 4;
+  };
+  auto bs_pair = [&](int ip, int iq, bool tu_edge) -> int {
+    const Ctx::MvInfo& p = c.mvf[ip];
+    const Ctx::MvInfo& q = c.mvf[iq];
+    if (!p.pf || !q.pf) return 2;  // intra on either side
+    if (tu_edge && (c.cbfy4[ip] || c.cbfy4[iq])) return 1;
+    int32_t pp[2], qq[2];
+    int np = 0, nq = 0;
+    const int16_t* pmv[2];
+    const int16_t* qmv[2];
+    for (int l = 0; l < 2; l++) {
+      if ((p.pf >> l) & 1) {
+        pp[np] = c.ref_pocs[l][p.refidx[l]];
+        pmv[np++] = p.mv[l];
+      }
+      if ((q.pf >> l) & 1) {
+        qq[nq] = c.ref_pocs[l][q.refidx[l]];
+        qmv[nq++] = q.mv[l];
+      }
+    }
+    if (np != nq) return 1;
+    if (np == 1) {
+      if (pp[0] != qq[0]) return 1;
+      return mv_close(pmv[0], qmv[0]) ? 0 : 1;
+    }
+    // both bi-predicted: reference SETS must match
+    bool same_set = (pp[0] == qq[0] && pp[1] == qq[1]) ||
+                    (pp[0] == qq[1] && pp[1] == qq[0]);
+    if (!same_set) return 1;
+    if (pp[0] == pp[1]) {  // same picture in both lists
+      bool straight = mv_close(pmv[0], qmv[0]) && mv_close(pmv[1], qmv[1]);
+      bool crossed = mv_close(pmv[0], qmv[1]) && mv_close(pmv[1], qmv[0]);
+      return (straight || crossed) ? 0 : 1;
+    }
+    if (pp[0] == qq[0])
+      return (mv_close(pmv[0], qmv[0]) && mv_close(pmv[1], qmv[1])) ? 0 : 1;
+    return (mv_close(pmv[0], qmv[1]) && mv_close(pmv[1], qmv[0])) ? 0 : 1;
+  };
+  memset(out, 0, (size_t)h4 * w4 * 2);
+  for (int y4 = 0; y4 < h4; y4++)
+    for (int x4 = 0; x4 < w4; x4++) {
+      int iq = y4 * w4 + x4;
+      if (x4 > 0 && (x4 & 1) == 0) {  // 8-aligned vertical edge
+        bool tu = (c.tub4[iq] & 1) != 0;
+        bool pu = (c.pub4[iq] & 1) != 0;
+        if (tu || pu) out[iq * 2] = (uint8_t)bs_pair(iq - 1, iq, tu);
+      }
+      if (y4 > 0 && (y4 & 1) == 0) {  // 8-aligned horizontal edge
+        bool tu = (c.tub4[iq] & 2) != 0;
+        bool pu = (c.pub4[iq] & 2) != 0;
+        if (tu || pu) out[iq * 2 + 1] = (uint8_t)bs_pair(iq - w4, iq, tu);
+      }
+    }
+}
+
+// Per-picture outputs + DPB insert (compressed motion field for TMVP).
+void finalize_picture(Ctx& c, int span_idx) {
+  HevcOut* o = c.out;
+  if (o->poc) o->poc[span_idx] = c.poc_val;
+  if (o->frame_type) o->frame_type[span_idx] = (uint8_t)c.sh.slice_type;
+  if (o->wp_rows) {
+    int16_t* w = o->wp_rows + (int64_t)span_idx * 32 * 8;
+    memset(w, 0, 32 * 8 * sizeof(int16_t));
+    if (c.sh.has_wp) {
+      for (int l = 0; l < 2; l++)
+        for (int i = 0; i < c.sh.num_ref[l]; i++) {
+          const WpEntry& e = c.sh.wp[l][i];
+          int16_t* r = w + (l * 16 + i) * 8;
+          r[0] = e.lw;
+          r[1] = e.lo;
+          r[2] = e.cw[0];
+          r[3] = e.co[0];
+          r[4] = e.cw[1];
+          r[5] = e.co[1];
+          r[6] = (int16_t)c.sh.luma_log2_denom;
+          r[7] = (int16_t)c.sh.chroma_log2_denom;
+        }
+    }
+  }
+  if (o->bs_map && !c.mvf.empty())
+    compute_bs(c, o->bs_map + (int64_t)span_idx * c.h4 * c.w4 * 2);
+  Ctx::Pic pic;
+  pic.poc = c.poc_val;
+  pic.span_idx = span_idx;
+  pic.w16 = (c.sps.width + 15) >> 4;
+  pic.h16 = (c.sps.height + 15) >> 4;
+  pic.col.assign((size_t)pic.w16 * pic.h16, Ctx::ColMv{});
+  if (!c.mvf.empty()) {
+    for (int y16 = 0; y16 < pic.h16; y16++)
+      for (int x16 = 0; x16 < pic.w16; x16++) {
+        const Ctx::MvInfo& m = c.mvf[(size_t)(y16 << 2) * c.w4 + (x16 << 2)];
+        Ctx::ColMv& cm = pic.col[(size_t)y16 * pic.w16 + x16];
+        cm.pf = m.pf;
+        for (int l = 0; l < 2; l++) {
+          cm.mv[l][0] = m.mv[l][0];
+          cm.mv[l][1] = m.mv[l][1];
+          cm.refpoc[l] = ((m.pf >> l) & 1) ? c.ref_pocs[l][m.refidx[l]] : 0;
+        }
+      }
+  }
+  c.dpb.push_back(std::move(pic));
 }
 
 // hvcC box (ISO 14496-15 8.3.3.1): arrays of parameter-set NALs.
@@ -1399,13 +2511,20 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
   c.out = out;
   c.tu_used = 0;
   c.coef_used = 0;
+  // spans are independent decode units (they start at an IRAP): fresh
+  // DPB and POC bookkeeping per call
+  c.dpb.clear();
+  c.prev_tid0_poc = 0;
+  out->used_pu = 0;
 
   for (int s = 0; s < n_samples; s++) {
     const uint8_t* sample = data + offsets[s];
     size_t size = sizes[s];
     size_t pos = 0;
     out->tu_off[s] = (int32_t)c.tu_used;
+    if (out->pu_off) out->pu_off[s] = (int32_t)out->used_pu;
     bool got_slice = false;
+    bool skipped_rasl = false;
     while (pos + c.nal_length_size <= size) {
       uint64_t nal_len = 0;
       for (int i = 0; i < c.nal_length_size; i++)
@@ -1429,15 +2548,35 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
           c.pps_map[pps.pps_id] = pps;
         }
       } else if (nal_type <= 31) {  // VCL
-        if (got_slice) {
+        if (got_slice || skipped_rasl) {
           c.err = "multiple slices per picture not supported";
           return -1;
         }
+        int tid = (sample[pos + 1] & 7) - 1;
         std::vector<uint32_t> ep_pos;
         auto rbsp = hwhevc::strip_ep(sample + pos + 2, nal_len - 2, &ep_pos);
         hwh264::BitReader br(rbsp.data(), rbsp.size());
         c.sh = hwhevc::HevcSliceHeader();
         if (!hwhevc::parse_slice_header(c, br, nal_type, c.sh)) return -1;
+        if (nal_type == 19 || nal_type == 20) {  // IDR resets POC + DPB
+          c.dpb.clear();
+          c.prev_tid0_poc = 0;
+        }
+        hwhevc::derive_poc(c, nal_type, tid, c.sh.poc_lsb);
+        c.cur_span_idx = s;
+        bool missing_ref = false;
+        if (!hwhevc::build_ref_lists(c, &missing_ref)) {
+          if (missing_ref && (nal_type == 8 || nal_type == 9)) {
+            // RASL after a span-start CRA: its references precede the
+            // span.  Skip — RASL pictures display before the CRA, so a
+            // gather from this span never requests them.
+            skipped_rasl = true;
+            pos += nal_len;
+            continue;
+          }
+          if (missing_ref) c.err = "missing reference picture";
+          return -1;
+        }
         if (!hwhevc::decode_slice(c, rbsp, br.pos(), ep_pos)) {
           // HWANG_HEVC_PARTIAL=1: keep everything decoded so far (debug
           // aid — recon of the partial TU stream localizes a desync)
@@ -1450,6 +2589,13 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
               out->tu_off[r] = (int32_t)c.tu_used;
               out->n_tu[r] = 0;
             }
+            if (out->n_pu) {
+              out->n_pu[s] = (int32_t)(out->used_pu - out->pu_off[s]);
+              for (int r = s + 1; r < n_samples; r++) {
+                out->pu_off[r] = (int32_t)out->used_pu;
+                out->n_pu[r] = 0;
+              }
+            }
             out->used_tu = c.tu_used;
             out->used_coeff = c.coef_used;
             return n_samples;
@@ -1457,14 +2603,20 @@ HW_API int hw_hevc_decode_gop(void* h, const uint8_t* data,
           return -1;
         }
         got_slice = true;
+        hwhevc::finalize_picture(c, s);
       }
       pos += nal_len;
     }
-    if (!got_slice) {
+    if (!got_slice && !skipped_rasl) {
       c.err = "sample without a slice";
       return -1;
     }
+    if (skipped_rasl) {
+      if (out->frame_type) out->frame_type[s] = 3;  // skipped (RASL)
+      if (out->poc) out->poc[s] = INT32_MIN;
+    }
     out->n_tu[s] = (int32_t)(c.tu_used - out->tu_off[s]);
+    if (out->n_pu) out->n_pu[s] = (int32_t)(out->used_pu - out->pu_off[s]);
     if (out->deblock_disabled) out->deblock_disabled[s] = c.sh.deblocking_disabled;
     if (out->qp_map)
       memcpy(out->qp_map + (int64_t)s * c.w4 * c.h4, c.qpy.data(),

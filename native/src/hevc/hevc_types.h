@@ -9,9 +9,8 @@
 // (software_video_decoder.cpp:122-136); this front-end is the part it
 // never built.
 //
-// Scope: 4:2:0, 8-bit, I slices, no tiles/WPP, no scaling lists, no
-// PCM.  Inter slices are staged next (the transport/recon split is
-// codec-agnostic).
+// Scope: 4:2:0, 8-bit, I/P/B slices (merge/AMVP/TMVP, weighted pred),
+// no tiles, no scaling lists, no PCM.
 #pragma once
 
 #include <cstdint>
@@ -19,6 +18,15 @@
 #include <vector>
 
 namespace hwhevc {
+
+// Resolved short-term reference picture set (7.4.8 derivation): delta
+// POCs relative to the current picture, negatives first in decreasing
+// order (-1, -2, ...), then positives in increasing order.
+struct StRps {
+  int n_neg = 0, n_pos = 0;
+  int32_t delta_poc[17] = {0};
+  uint8_t used[17] = {0};
+};
 
 struct HevcSPS {
   bool valid = false;
@@ -39,6 +47,7 @@ struct HevcSPS {
   bool sao_enabled = false;
   bool pcm_enabled = false;
   int num_st_rps = 0;
+  std::vector<StRps> st_rps;          // resolved SPS candidate sets
   bool long_term_ref_pics = false;
   bool temporal_mvp = false;
   bool strong_intra_smoothing = false;
@@ -78,8 +87,18 @@ struct HevcPPS {
   bool slice_header_extension = false;
 };
 
+// Per-(list, refIdx) explicit weighted-prediction parameters
+// (7.3.6.3).  Offsets are at 8-bit range; weights carry the
+// luma/chroma log2 denominators from the slice header.
+struct WpEntry {
+  uint8_t has_luma = 0, has_chroma = 0;
+  int16_t lw = 1, lo = 0;             // luma weight (at denom), offset
+  int16_t cw[2] = {1, 1}, co[2] = {0, 0};
+};
+
 struct HevcSliceHeader {
   bool first_slice = true;
+  int nal_type = 0;
   int pps_id = 0;
   int slice_type = 2;                 // 0=B 1=P 2=I
   int poc_lsb = 0;
@@ -88,6 +107,18 @@ struct HevcSliceHeader {
   bool sao_luma = false, sao_chroma = false;
   bool deblocking_disabled = false;
   int beta_offset = 0, tc_offset = 0;
+  // --- inter state ---
+  StRps rps;                          // resolved RPS for this picture
+  int num_ref[2] = {0, 0};            // num_ref_idx_lX_active
+  bool mvd_l1_zero = false;
+  bool cabac_init = false;
+  bool tmvp = false;                  // slice_temporal_mvp_enabled
+  bool col_from_l0 = true;
+  int col_ref_idx = 0;
+  int max_merge = 5;
+  bool has_wp = false;                // pred_weight_table present
+  int luma_log2_denom = 0, chroma_log2_denom = 0;
+  WpEntry wp[2][16];
   // WPP substream byte sizes (entry_point_offset_minus1 + 1, one per
   // CTB row after the first), counted in ESCAPED slice-data bytes
   std::vector<uint32_t> entry_offsets;
@@ -116,6 +147,34 @@ struct HevcOut {
                               // (type, 4 resolved offsets, band_pos/eo_class)
   int64_t cap_tu = 0, cap_coeff = 0;    // capacities (in)
   int64_t used_tu = 0, used_coeff = 0;  // totals (out)
+
+  // --- inter outputs (optional; null = I-only contract) ---
+  // Prediction units in decode order with FINAL derived motion
+  // (merge/AMVP/TMVP resolved on host).  References are identified by
+  // their decode index within the span (spans start at IRAP, so every
+  // reference is span-local).
+  int32_t* n_pu = nullptr;      // [F]
+  int32_t* pu_off = nullptr;    // [F]
+  uint16_t* pu_x = nullptr;     // luma coords
+  uint16_t* pu_y = nullptr;
+  uint8_t* pu_w = nullptr;      // luma sizes 4..64
+  uint8_t* pu_h = nullptr;
+  uint8_t* pu_flags = nullptr;  // bit0 = L0 used, bit1 = L1 used
+  uint8_t* pu_ref0 = nullptr;   // span decode index of the L0 ref
+  uint8_t* pu_ref1 = nullptr;
+  int16_t* pu_mv = nullptr;     // [cap_pu * 4]: mv0x mv0y mv1x mv1y (q-pel)
+  uint8_t* pu_wp0 = nullptr;    // weight-table row index (list 0) or 255
+  uint8_t* pu_wp1 = nullptr;
+  uint8_t* frame_type = nullptr;  // [F]: 0=B 1=P 2=I
+  int32_t* poc = nullptr;         // [F] PicOrderCntVal
+  // Weighted-prediction rows, [F * 32 * 8] int16: row r = list*16+ref:
+  // (lw, lo, cw0, co0, cw1, co1, luma_log2, chroma_log2)
+  int16_t* wp_rows = nullptr;
+  // Deblocking boundary strengths on the 8x8 edge grid,
+  // [F * h8 * w8 * 2] (vertical edge of each 8x8, then horizontal)
+  uint8_t* bs_map = nullptr;
+  int64_t cap_pu = 0;
+  int64_t used_pu = 0;
 };
 
 }  // namespace hwhevc

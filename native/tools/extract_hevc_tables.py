@@ -37,12 +37,15 @@ LAYOUT = [
     ("MERGE_FLAG", 20, 1),
     ("MERGE_IDX", 21, 1),
     ("INTER_PRED_IDC", 22, 5),
-    ("REF_IDX", 27, 2),
-    ("MVP_FLAG", 29, 1),
-    ("NO_RESIDUAL_DATA", 30, 1),
+    # lavc keeps per-list slots for ref_idx / mvd flags but decodes both
+    # lists through the L0 offsets (spec shares these contexts):
+    ("REF_IDX_L0", 27, 2),
+    ("REF_IDX_L1", 29, 2),          # unused copy (same init values)
     ("ABS_MVD_GREATER0", 31, 1),
     ("ABS_MVD_GREATER1", 32, 1),
-    # 33..36: cu_qp_offset / misc (unused by the I-slice decoder)
+    ("ABS_MVD_COPY_L1", 33, 2),     # unused per-list copy pair
+    ("MVP_FLAG", 35, 1),
+    ("NO_RESIDUAL_DATA", 36, 1),
     ("SPLIT_TRANSFORM_FLAG", 37, 3),
     ("CBF_LUMA", 40, 2),
     ("CBF_CB_CR", 42, 5),
@@ -63,6 +66,15 @@ LAYOUT = [
 # spec-published values to cross-check the located table (element, type,
 # values) — a transcription error in the anchor would fail here
 CHECKS = [
+    ("MERGE_FLAG", 1, [110]),
+    ("MERGE_IDX", 1, [122]),
+    ("INTER_PRED_IDC", 1, [95, 79, 63, 31, 31]),
+    ("REF_IDX_L0", 1, [153, 153]),
+    ("ABS_MVD_GREATER0", 1, [140]),
+    ("ABS_MVD_GREATER0", 2, [169]),
+    ("ABS_MVD_GREATER1", 1, [198]),
+    ("MVP_FLAG", 1, [168]),
+    ("NO_RESIDUAL_DATA", 1, [79]),
     ("SAO_TYPE_IDX", 1, [185]),
     ("SAO_TYPE_IDX", 2, [160]),
     ("SPLIT_CU_FLAG", 1, [107, 139, 126]),
