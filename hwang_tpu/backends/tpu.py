@@ -122,8 +122,13 @@ class HevcSpanDecoder:
             Y, U, V = decode_gop_frames(t)
         except UnsupportedStream as e:
             raise HwangError(str(e)) from e
-        # I-only: decode order == display order
-        return Y, U, V, t.n_frames, np.arange(t.n_frames)
+        # decode -> display mapping via POC (B-frame reorder; I-only
+        # spans have monotonically increasing POC so perm is identity)
+        if t.poc is not None:
+            perm = np.argsort(t.poc[: t.n_frames], kind="stable")
+        else:
+            perm = np.arange(t.n_frames)
+        return Y, U, V, t.n_frames, perm
 
 
 class TpuVideoDecoder(VideoDecoderInterface):

@@ -65,6 +65,18 @@ def edge_maps(t, frame_idx: int):
     return ver, hor
 
 
+def bs_maps(t, frame_idx: int):
+    """Boundary strengths on the 4x4 segment grid: (bs_v, bs_h), each
+    [h4, w4] int32 in {0, 1, 2}.  Computed by the host entropy decoder
+    (8.7.2.4, native compute_bs) for every frame; intra frames carry 2
+    on all transform edges, inter frames the MV/cbf-derived values."""
+    if getattr(t, "bs_map", None) is not None:
+        m = np.asarray(t.bs_map[frame_idx], np.int32)
+        return m[..., 0], m[..., 1]
+    ver, hor = edge_maps(t, frame_idx)
+    return ver.astype(np.int32) * 2, hor.astype(np.int32) * 2
+
+
 def _clip3(lo, hi, v):
     return np.minimum(np.maximum(v, lo), hi)
 
@@ -131,9 +143,11 @@ def deblock_frame(y, cb, cr, t, frame_idx: int):
     beta_off2 = int(t.dbf[frame_idx, 0]) * 2
     tc_off2 = int(t.dbf[frame_idx, 1]) * 2
     cqpo = (int(t.dbf[frame_idx, 2]), int(t.dbf[frame_idx, 3]))
-    ver, hor = edge_maps(t, frame_idx)
+    bs_v, bs_h = bs_maps(t, frame_idx)
+    ver, hor = bs_v > 0, bs_h > 0
 
     def luma_pass(plane, edges, transpose):
+        bs_m = (bs_h.T if transpose else bs_v)
         pl = plane.astype(np.int32)
         if transpose:
             pl = pl.T
@@ -148,9 +162,11 @@ def deblock_frame(y, cb, cr, t, frame_idx: int):
                     continue
                 qpl = (qp.T if transpose else qp)[y4, (x - 1) >> 2]
                 qpq = (qp.T if transpose else qp)[y4, x >> 2]
+                bs = int(bs_m[y4, x >> 2])
                 qavg = (int(qpl) + int(qpq) + 1) >> 1
                 beta = int(BETA_TABLE[min(max(qavg + beta_off2, 0), 51)])
-                tc = int(TC_TABLE[min(max(qavg + 2 + tc_off2, 0), 53)])
+                tc = int(TC_TABLE[min(max(
+                    qavg + 2 * (bs - 1) + tc_off2, 0), 53)])
                 if beta == 0:
                     continue
                 p = pl[r:r + 4, x - 4:x][:, ::-1]  # p[row, i] = col x-1-i
@@ -162,6 +178,7 @@ def deblock_frame(y, cb, cr, t, frame_idx: int):
         return pl.T if transpose else pl
 
     def chroma_pass(plane, edges, transpose, off):
+        bs_m = (bs_h.T if transpose else bs_v)
         pl = plane.astype(np.int32)
         if transpose:
             pl = pl.T
@@ -169,8 +186,9 @@ def deblock_frame(y, cb, cr, t, frame_idx: int):
         h, w = pl.shape  # chroma dims
         for x in range(8, w - 1, 8):     # chroma 8 = luma 16
             for y4 in range(0, h >> 2):  # 4-row chroma segments
-                # edge flags live on the LUMA 4x4 grid
-                if not edges[y4 * 2, (x * 2) >> 2]:
+                # edge flags live on the LUMA 4x4 grid; chroma filters
+                # only at bS == 2
+                if bs_m[y4 * 2, (x * 2) >> 2] != 2:
                     continue
                 r = y4 * 4
                 if r + 4 > h:
@@ -242,24 +260,27 @@ def deblock_params(t, frame_idx: int):
     beta_off2 = int(t.dbf[frame_idx, 0]) * 2
     tc_off2 = int(t.dbf[frame_idx, 1]) * 2
     cqpo = (int(t.dbf[frame_idx, 2]), int(t.dbf[frame_idx, 3]))
-    ver, hor = edge_maps(t, frame_idx)
+    bs_v, bs_h = bs_maps(t, frame_idx)
 
-    def luma(edges, qpm, beta_out, tc_out, nseg, nedge):
-        # edge e is at sample 8*(e+1); P block = 4x4 col 2e+1, Q = 2e+2
+    def luma(bs, qpm, beta_out, tc_out, nseg, nedge):
+        # edge e is at sample 8*(e+1); P block = 4x4 col 2e+1, Q = 2e+2;
+        # luma filters at bS >= 1 with tc Q = qavg + 2*(bS-1) (8.7.2.5.3)
         for e in range(nedge):
             qavg = (qpm[:nseg, 2 * e + 1] + qpm[:nseg, 2 * e + 2] + 1) >> 1
-            on = edges[:nseg, 2 * e + 2]
+            b = bs[:nseg, 2 * e + 2]
+            on = b > 0
             qb = np.clip(qavg + beta_off2, 0, 51)
-            qt = np.clip(qavg + 2 + tc_off2, 0, 53)
+            qt = np.clip(qavg + 2 * (np.maximum(b, 1) - 1) + tc_off2, 0, 53)
             beta_out[:nseg, e] = np.where(on, BETA_TABLE[qb], 0)
             tc_out[:nseg, e] = np.where(on, TC_TABLE[qt], 0)
 
-    luma(ver, qp, out["lv_beta"], out["lv_tc"], h4, K)
-    luma(hor.T, qp.T, out["lh_beta"].T, out["lh_tc"].T, w4, Kh)
+    luma(bs_v, qp, out["lv_beta"], out["lv_tc"], h4, K)
+    luma(bs_h.T, qp.T, out["lh_beta"].T, out["lh_tc"].T, w4, Kh)
 
-    def chroma(edges, qpm, tc_out, nseg, nedge):
+    def chroma(bs, qpm, tc_out, nseg, nedge):
         # edge e at chroma sample 8*(e+1) = luma 16*(e+1):
-        # luma P col 4x4 = 4e+3, Q = 4e+4; luma row = 2*chroma segment
+        # luma P col 4x4 = 4e+3, Q = 4e+4; luma row = 2*chroma segment;
+        # chroma filters only at bS == 2 (8.7.2.3)
         for e in range(nedge):
             for ci in (0, 1):
                 qavg = (qpm[: 2 * nseg : 2, 4 * e + 3]
@@ -267,12 +288,12 @@ def deblock_params(t, frame_idx: int):
                 qpi = np.clip(qavg + cqpo[ci], 0, 57)
                 qpc = np.array([chroma_qp_from_luma(int(v)) for v in qpi],
                                np.int32)
-                on = edges[: 2 * nseg : 2, 4 * e + 4]
+                on = bs[: 2 * nseg : 2, 4 * e + 4] == 2
                 qt = np.clip(qpc + 2 + tc_off2, 0, 53)
                 tc_out[:nseg, e, ci] = np.where(on, TC_TABLE[qt], 0)
 
-    chroma(ver, qp, out["cv_tc"], hc4, Kc)
-    chroma(hor.T, qp.T,
+    chroma(bs_v, qp, out["cv_tc"], hc4, Kc)
+    chroma(bs_h.T, qp.T,
            np.swapaxes(out["ch_tc"], 0, 1), wc4, Kch)
     return out
 

@@ -226,8 +226,14 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def prep_plane_sequences_lv(t, strong: bool):
-    """Level-batched (luma, chroma) PlanePrepLv for all frames."""
+def prep_plane_sequences_lv(t, strong: bool, skip_inter: bool = False):
+    """Level-batched (luma, chroma) PlanePrepLv for all frames.
+
+    skip_inter: inter TUs (mode 255) are excluded from the slot arrays
+    (their prediction+residual is applied by the inter pre-pass) but
+    still mark decode-order availability and hold dependency level 0,
+    so intra TUs read them correctly.
+    """
     seqs_l = [[] for _ in range(t.n_frames)]
     seqs_c = [[] for _ in range(2 * t.n_frames)]
     for f in range(t.n_frames):
@@ -236,12 +242,14 @@ def prep_plane_sequences_lv(t, strong: bool):
             c = int(t.tu_cidx[i])
             (seqs_l[f] if c == 0 else seqs_c[2 * f + c - 1]).append(i)
     W, H = t.width, t.height
-    luma = _prep_sequences_lv(t, seqs_l, H, W, True, strong)
-    chroma = _prep_sequences_lv(t, seqs_c, H // 2, W // 2, False, strong)
+    luma = _prep_sequences_lv(t, seqs_l, H, W, True, strong, skip_inter)
+    chroma = _prep_sequences_lv(t, seqs_c, H // 2, W // 2, False, strong,
+                                skip_inter)
     return luma, chroma
 
 
-def _prep_sequences_lv(t, seqs, h, w, is_luma, strong) -> PlanePrepLv:
+def _prep_sequences_lv(t, seqs, h, w, is_luma, strong,
+                       skip_inter=False) -> PlanePrepLv:
     F = len(seqs)
     w4 = (w + 3) >> 2
     h4 = (h + 3) >> 2
@@ -259,6 +267,9 @@ def _prep_sequences_lv(t, seqs, h, w, is_luma, strong) -> PlanePrepLv:
         for i in seq:
             n = 1 << int(t.tu_log2[i])
             x0, y0 = int(t.tu_x[i]), int(t.tu_y[i])
+            if skip_inter and int(t.tu_mode[i]) == 255:
+                levels.append(0)  # inter: level 0, not a slot
+                continue
             lv = _tu_level(lvl4, w4, h4, x0, y0, n)
             ny = min(n, h - y0)
             nx = min(n, w - x0)
@@ -318,6 +329,13 @@ def _prep_sequences_lv(t, seqs, h, w, is_luma, strong) -> PlanePrepLv:
             mode = int(t.tu_mode[i])
             cidx = int(t.tu_cidx[i])
             qp = int(t.tu_qp[i])
+            if skip_inter and mode == 255:
+                ny = min(n, h - y0)
+                nx = min(n, w - x0)
+                done.reshape(h4, w4)[
+                    y0 >> 2:(y0 + ny + 3) >> 2, x0 >> 2:(x0 + nx + 3) >> 2
+                ] = 1
+                continue
             lv = per_seq[f][k] - 1
             if n == 32:
                 s = slot_b.get(lv, 0)
@@ -359,6 +377,166 @@ def _prep_sequences_lv(t, seqs, h, w, is_luma, strong) -> PlanePrepLv:
                 y0 >> 2:(y0 + ny + 3) >> 2, x0 >> 2:(x0 + nx + 3) >> 2
             ] = 1
     return p
+
+
+# ---------------------------------------------------------------------------
+# Inter-GOP prep: everything the frame-sequential device decode needs
+# beyond the intra level arrays — per-4x4-block motion maps, batched
+# inter-residual classes, and the reference-ring schedule.
+# ---------------------------------------------------------------------------
+
+MC_MARGIN = 8  # edge-replicated pad on ring planes (8-tap reach is 4)
+
+
+@dataclasses.dataclass
+class GopInterPrep:
+    F: int
+    H: int
+    W: int
+    R: int                   # reference ring slots (+1 write-off slot)
+    luma: PlanePrepLv        # intra TUs only (skip_inter)
+    chroma: PlanePrepLv
+    # inter residual classes: list of dicts with keys
+    #   n, mi, x0 [F,N], y0 [F,N], qmul [F,N], qsh [F,N],
+    #   coeff [F,N,n*n] int16, mask [F,N]  (chroma adds comp [F,N])
+    res_l: list
+    res_c: list
+    # per-4x4 motion maps [F, h4, w4]
+    pf: np.ndarray           # uint8: bit0 L0, bit1 L1 (0 = intra/none)
+    slot0: np.ndarray        # int32 ring slot
+    slot1: np.ndarray
+    mv: np.ndarray           # [F, h4, w4, 4] int16: mv0x mv0y mv1x mv1y
+    wp0: np.ndarray          # int32 row into wp (list*16+ref), 255 = none
+    wp1: np.ndarray
+    wp: np.ndarray           # [F, 32, 8] int16
+    write_slot: np.ndarray   # [F] int32 (R = discard)
+    any_inter: bool
+
+
+def _res_classes(t, entries, h, w, sizes, chroma):
+    """Batched residual classes from inter TU entries (cbf=1 only)."""
+    out = []
+    F = t.n_frames
+    for n in sizes:
+        per_f = [[] for _ in range(F)]
+        for (f, i) in entries:
+            if (1 << int(t.tu_log2[i])) == n:
+                per_f[f].append(i)
+        N = max((len(v) for v in per_f), default=0)
+        if N == 0:
+            continue
+        N = _round_up(N, 2)
+        cls = {
+            "n": n,
+            "mi": (tables.m_index(n, 1) if n != 32 else -1),  # DCT always
+            "x0": np.zeros((F, N), np.int32),
+            "y0": np.zeros((F, N), np.int32),
+            "qmul": np.zeros((F, N), np.int32),
+            "qsh": np.zeros((F, N), np.int32),
+            "coeff": np.zeros((F, N, n * n), np.int16),
+            "mask": np.zeros((F, N), np.int32),
+        }
+        if chroma:
+            cls["comp"] = np.zeros((F, N), np.int32)
+        for f in range(F):
+            for s, i in enumerate(per_f[f]):
+                lg = int(t.tu_log2[i])
+                qp = int(t.tu_qp[i])
+                cls["x0"][f, s] = int(t.tu_x[i])
+                cls["y0"][f, s] = int(t.tu_y[i])
+                cls["qmul"][f, s] = 16 * int(tables.LEVEL_SCALE[qp % 6])
+                cls["qsh"][f, s] = (lg + 3) - (qp // 6)
+                off = int(t.tu_coef_off[i])
+                cls["coeff"][f, s] = t.coeff[off:off + n * n]
+                cls["mask"][f, s] = 1
+                if chroma:
+                    cls["comp"][f, s] = int(t.tu_cidx[i]) - 1
+        out.append(cls)
+    return out
+
+
+def prep_gop_inter(t, strong: bool) -> GopInterPrep:
+    F = t.n_frames
+    H, W = t.height, t.width
+    h4, w4 = (H + 3) >> 2, (W + 3) >> 2
+    luma, chroma = prep_plane_sequences_lv(t, strong, skip_inter=True)
+
+    # inter residual entries (cbf == 1, mode == 255)
+    ent_l, ent_c = [], []
+    for f in range(F):
+        lo = int(t.tu_off[f])
+        for i in range(lo, lo + int(t.n_tu[f])):
+            if int(t.tu_mode[i]) != 255 or not t.tu_cbf[i]:
+                continue
+            (ent_l if int(t.tu_cidx[i]) == 0 else ent_c).append((f, i))
+    res_l = _res_classes(t, ent_l, H, W, (4, 8, 16, 32), False)
+    res_c = _res_classes(t, ent_c, H // 2, W // 2, (4, 8, 16), True)
+
+    # per-4x4 motion maps
+    pf = np.zeros((F, h4, w4), np.uint8)
+    slot0 = np.zeros((F, h4, w4), np.int32)
+    slot1 = np.zeros((F, h4, w4), np.int32)
+    mv = np.zeros((F, h4, w4, 4), np.int16)
+    wp0 = np.full((F, h4, w4), 255, np.int32)
+    wp1 = np.full((F, h4, w4), 255, np.int32)
+
+    # ring schedule: a frame is live from its decode until its last use
+    last_use = {}
+    for f in range(F):
+        lo = int(t.pu_off[f])
+        for i in range(lo, lo + int(t.n_pu[f])):
+            fl = int(t.pu_flags[i])
+            if fl & 1:
+                last_use[int(t.pu_ref0[i])] = f
+            if fl & 2:
+                last_use[int(t.pu_ref1[i])] = f
+    slot_of = {}
+    free = []
+    next_slot = 0
+    write_slot = np.zeros(F, np.int32)
+    for f in range(F):
+        for r, lu in list(last_use.items()):
+            if lu < f and r in slot_of:
+                free.append(slot_of.pop(r))
+        if f in last_use:
+            if free:
+                s = free.pop()
+            else:
+                s = next_slot
+                next_slot += 1
+            slot_of[f] = s
+            write_slot[f] = s
+        else:
+            write_slot[f] = -1  # resolved to the write-off slot below
+        lo = int(t.pu_off[f])
+        for i in range(lo, lo + int(t.n_pu[f])):
+            x4a = int(t.pu_x[i]) >> 2
+            y4a = int(t.pu_y[i]) >> 2
+            x4b = x4a + (int(t.pu_w[i]) >> 2)
+            y4b = y4a + (int(t.pu_h[i]) >> 2)
+            fl = int(t.pu_flags[i])
+            pf[f, y4a:y4b, x4a:x4b] = fl
+            if fl & 1:
+                slot0[f, y4a:y4b, x4a:x4b] = slot_of[int(t.pu_ref0[i])]
+                mv[f, y4a:y4b, x4a:x4b, 0] = t.pu_mv[i, 0]
+                mv[f, y4a:y4b, x4a:x4b, 1] = t.pu_mv[i, 1]
+                wp0[f, y4a:y4b, x4a:x4b] = int(t.pu_wp0[i])
+            if fl & 2:
+                slot1[f, y4a:y4b, x4a:x4b] = slot_of[int(t.pu_ref1[i])]
+                mv[f, y4a:y4b, x4a:x4b, 2] = t.pu_mv[i, 2]
+                mv[f, y4a:y4b, x4a:x4b, 3] = t.pu_mv[i, 3]
+                wp1[f, y4a:y4b, x4a:x4b] = int(t.pu_wp1[i])
+    R = max(next_slot, 1)
+    write_slot[write_slot < 0] = R  # write-off slot
+
+    return GopInterPrep(
+        F=F, H=H, W=W, R=R, luma=luma, chroma=chroma,
+        res_l=res_l, res_c=res_c,
+        pf=pf, slot0=slot0, slot1=slot1, mv=mv, wp0=wp0, wp1=wp1,
+        wp=np.asarray(t.wp_rows, np.int16),
+        write_slot=write_slot,
+        any_inter=bool(pf.any()),
+    )
 
 
 def prep_plane_sequences(t, round_steps: int = 32):

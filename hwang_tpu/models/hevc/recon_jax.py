@@ -315,17 +315,41 @@ def _step_lv(consts, consts32, Hp, Wp, has_big, rows4, xs):
     return rows4, None
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "has_big"))
-def _decode_core_lv(consts, consts32, xs, h, w, has_big):
+def _run_lv(consts, consts32, xs, rows4, h, w, has_big):
+    """Level scan over a (possibly pre-initialized) rows4 plane state."""
     Hp = h + MARGIN_TL4 + MARGIN_BR4
     Wp = w + MARGIN_TL4 + MARGIN_BR4
     F = xs["x0"].shape[1]
-    rows4 = jnp.zeros((F * Hp * (Wp // 4) + 1, 4), jnp.int32)
     step = functools.partial(_step_lv, consts, consts32, Hp, Wp, has_big)
     rows4, _ = jax.lax.scan(step, rows4, xs)
     plane = rows4[:-1].reshape(F, Hp, Wp)
     out = plane[:, MARGIN_TL4:MARGIN_TL4 + h, MARGIN_TL4:MARGIN_TL4 + w]
     return out.astype(jnp.uint8)
+
+
+def _rows4_zeros(F, h, w):
+    Hp = h + MARGIN_TL4 + MARGIN_BR4
+    Wp = w + MARGIN_TL4 + MARGIN_BR4
+    return jnp.zeros((F * Hp * (Wp // 4) + 1, 4), jnp.int32)
+
+
+def _rows4_from(init):
+    """[F, h, w] int32 plane -> rows4 state with margins."""
+    F, h, w = init.shape
+    Hp = h + MARGIN_TL4 + MARGIN_BR4
+    Wp = w + MARGIN_TL4 + MARGIN_BR4
+    pad = jnp.zeros((F, Hp, Wp), jnp.int32)
+    pad = pad.at[:, MARGIN_TL4:MARGIN_TL4 + h,
+                 MARGIN_TL4:MARGIN_TL4 + w].set(init)
+    rows4 = pad.reshape(F * Hp * (Wp // 4), 4)
+    return jnp.concatenate([rows4, jnp.zeros((1, 4), jnp.int32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "has_big"))
+def _decode_core_lv(consts, consts32, xs, h, w, has_big):
+    F = xs["x0"].shape[1]
+    return _run_lv(consts, consts32, xs, _rows4_zeros(F, h, w), h, w,
+                   has_big)
 
 
 def decode_planes_lv(p) -> jax.Array:
@@ -542,15 +566,15 @@ def _sao_jax(y, c, sao, ctb_log2):
 
 def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
-    device, coded size (apply t.crop for display)."""
+    device, coded size (apply t.crop for display).  Frames come back in
+    DECODE order — map display positions through t.poc when the span
+    has B-frame reorder."""
     from .deblock_ref import deblock_params
-    from .prep import UnsupportedStream, prep_plane_sequences_lv
+    from .prep import prep_plane_sequences_lv
 
     if t.n_pu is not None and int(np.asarray(t.n_pu).sum()) > 0:
-        # inter (P/B) frames: host front-end + numpy recon support them
-        # (test_hevc_inter.py); the device recon's inter stage is staged
-        # next — reject so the backend takes the audited SOFTWARE path
-        raise UnsupportedStream("HEVC inter frames: device recon staged")
+        # inter (P/B) span: frame-sequential path with a reference ring
+        return decode_gop_frames_seq(t)
 
     strong = bool(getattr(t, "strong_smoothing", 1))
     luma, chroma = prep_plane_sequences_lv(t, strong)
@@ -565,3 +589,363 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     if bool(np.asarray(t.sao[..., 0]).any()):
         y, c = _sao_jax(y, c, jnp.asarray(t.sao, jnp.int32), t.ctb_log2)
     return y, c[0::2], c[1::2]
+
+
+# ---------------------------------------------------------------------------
+# Inter (P/B) GOP decode: a lax.scan over FRAMES carrying a reference
+# ring of precomputed subpel planes.  Per frame: dense MC gathers +
+# weighted combination seed the plane state, a batched residual image
+# adds inter-TU residuals, the intra level scan fills intra CUs, then
+# deblock (host bs_map) + SAO run and the filtered frame's subpel
+# planes enter the ring at its scheduled slot.
+#
+# Motion compensation follows the H.264 path's design (ops/mc.py): all
+# 16 quarter-pel luma planes are precomputed per reference (8-tap
+# separable, 14-bit int16 — bi-prediction combines UNROUNDED
+# intermediates, 8.5.3.3.3), so prediction is ONE gathered element per
+# pixel per list.  Chroma keeps 8 horizontally-filtered (U, V) planes
+# and blends 4 gathered rows with the vertical 4-tap on the fly.
+# ---------------------------------------------------------------------------
+
+from .prep import MC_MARGIN  # noqa: E402
+
+_LF_NP = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], np.int32)
+_CF_NP = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], np.int32)
+
+
+def _subpel_luma(y_u8):
+    """[H, W] uint8 -> [16, Hp, Wp] int16 14-bit subpel planes.
+
+    Plane p = fy*4 + fx holds, at [p, y+m, x+m], the exact 8.5.3.3.3
+    14-bit prediction for base (x, y) at that fraction: the horizontal
+    stage Hx' (fx == 0: ref << 6) feeds the vertical taps with a final
+    >> 6 — for fx == 0 the << 6 factors out exactly, so one uniform
+    formula covers all 16 fractions."""
+    m = MC_MARGIN
+    ext = m + 4  # margin + tap reach (offsets -3..+4)
+    R = jnp.pad(y_u8.astype(jnp.int32), ((ext, ext), (ext, ext)),
+                mode="edge")
+    He, We = R.shape
+
+    def hstage(fx):
+        if fx == 0:
+            return R << 6
+        f = _LF_NP[fx]
+        return sum(int(f[t]) * R[:, t:We - 7 + t] for t in range(8))
+
+    # align all h-planes to the same x window: for fx>0 the output col c
+    # corresponds to base x = c + 3 - ext; fx==0 col c -> x = c - ext.
+    hx = []
+    for fx in range(4):
+        a = hstage(fx)
+        if fx == 0:
+            a = a[:, 3:We - 4]  # align with the filtered planes' window
+        hx.append(a)
+    # hx[fx][y, c]: base x = c + 3 - ext, full y range (He rows)
+    planes = []
+    for fy in range(4):
+        for fx in range(4):
+            a = hx[fx]
+            if fy == 0:
+                p = a[3:He - 4, :]  # already at 14-bit scale
+            else:
+                f = _LF_NP[fy]
+                p = sum(int(f[t]) * a[t:He - 7 + t, :] for t in range(8))
+                p = p >> 6
+            planes.append(p)
+    H, W = y_u8.shape
+    # crop to [Hp, Wp] = [H + 2m, W + 2m]: base (x, y) from -m to +m
+    out = jnp.stack(planes)  # [16, He-7, We-7]; base y = r + 3 - ext
+    a0 = ext - 3 - m
+    out = out[:, a0:a0 + H + 2 * m, a0:a0 + W + 2 * m]
+    return out.astype(jnp.int16)
+
+
+def _subpel_chroma(u_u8, v_u8):
+    """Two [Hc, Wc] uint8 -> [8, Hcp, Wcp, 2] int16: horizontally
+    filtered (U, V) planes per eighth-pel fx (fx == 0: ref << 6)."""
+    m = MC_MARGIN
+    ext = m + 2  # margin + tap reach (offsets -1..+2)
+    c = jnp.stack([u_u8, v_u8], axis=-1).astype(jnp.int32)
+    R = jnp.pad(c, ((ext, ext), (ext, ext), (0, 0)), mode="edge")
+    He, We = R.shape[:2]
+    planes = []
+    for fx in range(8):
+        if fx == 0:
+            a = (R << 6)[:, 1:We - 2]
+        else:
+            f = _CF_NP[fx]
+            a = sum(int(f[t]) * R[:, t:We - 3 + t] for t in range(4))
+        planes.append(a)
+    Hc, Wc = u_u8.shape
+    out = jnp.stack(planes)  # [8, He, We-3]; base x = c + 1 - ext
+    a0 = ext - 1 - m
+    out = out[:, ext - m:ext - m + Hc + 2 * m, a0:a0 + Wc + 2 * m]
+    return out.astype(jnp.int16)
+
+
+def _rep4(a):
+    return jnp.repeat(jnp.repeat(a, 4, axis=-2), 4, axis=-1)
+
+
+def _rep2i(a):
+    return jnp.repeat(jnp.repeat(a, 2, axis=-2), 2, axis=-1)
+
+
+def _mc_lists(ring_y, ring_c, mx, H, W):
+    """Raw 14-bit predictions for both lists.
+
+    Returns (py [2, H, W], pc [2, Hc, Wc, 2]) int32."""
+    Rs = ring_y.shape[0]
+    Hp, Wp = H + 2 * MC_MARGIN, W + 2 * MC_MARGIN
+    Hc, Wc = H // 2, W // 2
+    Hcp, Wcp = Hc + 2 * MC_MARGIN, Wc + 2 * MC_MARGIN
+    m = MC_MARGIN
+    yflat = ring_y.reshape(-1)
+    cflat = ring_c.reshape(-1, 2)
+    cft = jnp.asarray(_CF_NP, jnp.int32)
+    outs_y, outs_c = [], []
+    for lst in range(2):
+        slot = mx["slot0"] if lst == 0 else mx["slot1"]   # [h4, w4]
+        mvx = mx["mv"][..., 2 * lst + 0].astype(jnp.int32)
+        mvy = mx["mv"][..., 2 * lst + 1].astype(jnp.int32)
+        # luma (pixel grid)
+        slot_p = _rep4(slot)
+        mvx_p = _rep4(mvx)
+        mvy_p = _rep4(mvy)
+        ys = jnp.clip(
+            jnp.arange(H)[:, None] + (mvy_p >> 2) + m, 0, Hp - 1)
+        xs = jnp.clip(
+            jnp.arange(W)[None, :] + (mvx_p >> 2) + m, 0, Wp - 1)
+        frac = (mvy_p & 3) * 4 + (mvx_p & 3)
+        idx = ((slot_p * 16 + frac) * Hp + ys) * Wp + xs
+        outs_y.append(yflat[idx.reshape(-1)].reshape(H, W).astype(jnp.int32))
+        # chroma (chroma-pixel grid; luma mv in 1/8 chroma units)
+        slot_c = _rep2i(slot)
+        mvx_c = _rep2i(mvx)
+        mvy_c = _rep2i(mvy)
+        fx = mvx_c & 7
+        fy = mvy_c & 7
+        yc = jnp.arange(Hc)[:, None] + (mvy_c >> 3) + m
+        xc = jnp.clip(jnp.arange(Wc)[None, :] + (mvx_c >> 3) + m,
+                      0, Wcp - 1)
+        base = (slot_c * 8 + fx) * Hcp
+        acc = jnp.zeros((Hc, Wc, 2), jnp.int32)
+        vt = cft[fy]                                     # [Hc, Wc, 4]
+        for t in range(4):
+            row = jnp.clip(yc - 1 + t, 0, Hcp - 1)
+            g = cflat[((base + row) * Wcp + xc).reshape(-1)].reshape(
+                Hc, Wc, 2).astype(jnp.int32)
+            acc = acc + vt[..., t:t + 1] * g
+        outs_c.append(acc >> 6)
+    return jnp.stack(outs_y), jnp.stack(outs_c)
+
+
+def _wp_params(wp, row_map, cols):
+    """Per-4x4 weight params: wp [32, 8] int32, row_map [h4, w4]
+    (255 = default) -> list of [h4, w4] for the requested columns."""
+    safe = jnp.clip(row_map, 0, 31)
+    got = wp[safe]                                       # [h4, w4, 8]
+    return [got[..., c] for c in cols]
+
+
+def _combine_uni_bi(p, pf, is_wp, w_maps):
+    """Weighted sample prediction (8.5.3.3.4) for one component grid.
+
+    p: [2, ...] int32 raw 14-bit preds.  pf: per-pixel pred flags.
+    w_maps: (w0, o0, w1, o1, lwd) per-pixel maps; lwd = denom + 6.
+    With default weights the explicit formulas reduce exactly to the
+    default ones, so is_wp only gates table lookups, not exactness.
+    """
+    w0, o0, w1, o1, lwd = w_maps
+    p_uni = jnp.where(pf == 2, p[1], p[0])
+    wu = jnp.where(pf == 2, w1, w0)
+    ou = jnp.where(pf == 2, o1, o0)
+    uni_def = (p_uni + 32) >> 6
+    uni_wp = ((p_uni * wu + jnp.left_shift(1, lwd - 1)) >> lwd) + ou
+    bi_def = (p[0] + p[1] + 64) >> 7
+    bi_wp = (p[0] * w0 + p[1] * w1
+             + jnp.left_shift(o0 + o1 + 1, lwd)) >> (lwd + 1)
+    uni = jnp.where(is_wp, uni_wp, uni_def)
+    bi = jnp.where(is_wp, bi_wp, bi_def)
+    return jnp.clip(jnp.where(pf == 3, bi, uni), 0, 255)
+
+
+def _residual_images(res_classes, F, h, w, two_comp):
+    """Batched inter-TU residuals -> dense [F, (2,) h, w] int32 image.
+
+    One dequant + two transform matmuls per size class over all frames
+    at once (no scan), then a flat masked scatter — inter TUs never
+    overlap."""
+    from .ref_recon import DCT
+
+    total = F * (2 if two_comp else 1) * h * w
+    img = jnp.zeros(total + 1, jnp.int32)
+    for cls in res_classes:
+        n = cls["n"]
+        M = jnp.asarray(DCT[n].astype(np.int32))
+        d = _dequant_split(
+            jnp.asarray(cls["coeff"]),
+            jnp.asarray(cls["qmul"])[..., None],
+            jnp.asarray(cls["qsh"])[..., None],
+        ).reshape(F, -1, n, n)
+        e = jnp.clip((jnp.einsum("rk,fnrc->fnkc", M, d) + 64) >> 7,
+                     -32768, 32767)
+        r = jnp.clip((jnp.einsum("fnkc,cj->fnkj", e, M) + 2048) >> 12,
+                     -32768, 32767)
+        x0 = jnp.asarray(cls["x0"])[:, :, None, None]
+        y0 = jnp.asarray(cls["y0"])[:, :, None, None]
+        ar = jnp.arange(n, dtype=jnp.int32)
+        fidx = jnp.arange(F, dtype=jnp.int32)[:, None, None, None]
+        plane = fidx
+        if two_comp:
+            plane = fidx * 2 + jnp.asarray(cls["comp"])[:, :, None, None]
+        idx = (plane * h + y0 + ar[None, None, :, None]) * w \
+            + x0 + ar[None, None, None, :]
+        idx = jnp.where(
+            jnp.asarray(cls["mask"])[:, :, None, None] == 1, idx, total)
+        img = img.at[idx.reshape(-1)].set(r.reshape(-1), mode="drop")
+    shape = (F, 2, h, w) if two_comp else (F, h, w)
+    return img[:-1].reshape(shape)
+
+
+def _seq_step(consts, consts32, H, W, has_big, ctb_log2, carry, xs):
+    ring_y, ring_c = carry
+    Hc, Wc = H // 2, W // 2
+    py, pc = _mc_lists(ring_y, ring_c, xs, H, W)
+    pf4 = xs["pf"].astype(jnp.int32)
+    wp = xs["wp"].astype(jnp.int32)
+    is_wp4 = (xs["wp0"] != 255) & (pf4 > 0)
+
+    w0l, o0l, ld = _wp_params(wp, xs["wp0"], [0, 1, 6])
+    w1l, o1l, _ = _wp_params(wp, xs["wp1"], [0, 1, 6])
+    lwd = jnp.clip(ld + 6, 6, 14)
+    y_pred = _combine_uni_bi(
+        py, _rep4(pf4), _rep4(is_wp4),
+        (_rep4(w0l), _rep4(o0l), _rep4(w1l), _rep4(o1l), _rep4(lwd)))
+
+    cw0 = _wp_params(wp, xs["wp0"], [2, 3, 4, 5, 7])
+    cw1 = _wp_params(wp, xs["wp1"], [2, 3, 4, 5, 7])
+    cwd = jnp.clip(cw0[4] + 6, 6, 14)
+    pfc = _rep2i(pf4)
+    iwc = _rep2i(is_wp4)
+    c_pred = []
+    for comp in range(2):
+        c_pred.append(_combine_uni_bi(
+            pc[..., comp], pfc, iwc,
+            (_rep2i(cw0[2 * comp]), _rep2i(cw0[2 * comp + 1]),
+             _rep2i(cw1[2 * comp]), _rep2i(cw1[2 * comp + 1]),
+             _rep2i(cwd))))
+
+    inter_y = _rep4(pf4) > 0
+    inter_c = pfc > 0
+    inity = jnp.where(inter_y, jnp.clip(y_pred + xs["resy"], 0, 255), 0)
+    initc = jnp.stack([
+        jnp.where(inter_c, jnp.clip(c_pred[0] + xs["resc"][0], 0, 255), 0),
+        jnp.where(inter_c, jnp.clip(c_pred[1] + xs["resc"][1], 0, 255), 0),
+    ])
+
+    y_rec = _run_lv(consts, consts32, xs["lv_l"], _rows4_from(inity[None]),
+                    H, W, has_big)
+    c_rec = _run_lv(consts, consts32, xs["lv_c"], _rows4_from(initc),
+                    Hc, Wc, False)
+
+    y_rec, c_rec = _deblock_jax(y_rec, c_rec, xs["prm"])
+    y_rec, c_rec = _sao_jax(y_rec, c_rec, xs["sao"][None], ctb_log2)
+
+    sub_y = _subpel_luma(y_rec[0])
+    sub_c = _subpel_chroma(c_rec[0], c_rec[1])
+    s = xs["write_slot"]
+    ring_y = jax.lax.dynamic_update_slice(ring_y, sub_y[None],
+                                          (s, 0, 0, 0))
+    ring_c = jax.lax.dynamic_update_slice(ring_c, sub_c[None],
+                                          (s, 0, 0, 0, 0))
+    return (ring_y, ring_c), (y_rec[0], c_rec[0], c_rec[1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "r", "has_big", "ctb_log2"))
+def _decode_seq_core(consts, consts32, xs, h, w, r, has_big, ctb_log2):
+    m = MC_MARGIN
+    Hp, Wp = h + 2 * m, w + 2 * m
+    Hcp, Wcp = h // 2 + 2 * m, w // 2 + 2 * m
+    ring_y = jnp.zeros((r + 1, 16, Hp, Wp), jnp.int16)
+    ring_c = jnp.zeros((r + 1, 8, Hcp, Wcp, 2), jnp.int16)
+    step = functools.partial(_seq_step, consts, consts32, h, w, has_big,
+                             ctb_log2)
+    _, (Y, U, V) = jax.lax.scan(step, (ring_y, ring_c), xs)
+    return Y, U, V
+
+
+def decode_gop_frames_seq(t) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Frame-sequential inter-capable GOP decode (P/B spans)."""
+    from .deblock_ref import deblock_params
+    from .prep import prep_gop_inter
+
+    strong = bool(getattr(t, "strong_smoothing", 1))
+    g = prep_gop_inter(t, strong)
+    F, H, W = g.F, g.H, g.W
+    Hc, Wc = H // 2, W // 2
+
+    resy = _residual_images(g.res_l, F, H, W, False)
+    resc = _residual_images(g.res_c, F, Hc, Wc, True)
+
+    def fm(a):  # [T, F, ...] -> [F, T, 1, ...]
+        return jnp.asarray(np.moveaxis(a, 1, 0)[:, :, None])
+
+    def fmc(a):  # [T, 2F, ...] -> [F, T, 2, ...]
+        T = a.shape[0]
+        return jnp.asarray(
+            np.moveaxis(a.reshape((T, F, 2) + a.shape[2:]), 1, 0))
+
+    lv_l = {k: fm(getattr(g.luma, k)) for k in (
+        "x0", "y0", "subst", "widx", "si", "filt", "mi", "qmul", "qsh",
+        "dcadd", "dcshift", "mask", "coeff")}
+    has_big = g.luma.coeffb.shape[2] > 0
+    if has_big:
+        for k in ("x0b", "y0b", "substb", "modeb", "filtb", "qmulb",
+                  "qshb", "maskb", "coeffb"):
+            lv_l[k] = fm(getattr(g.luma, k))
+    lv_c = {k: fmc(getattr(g.chroma, k)) for k in (
+        "x0", "y0", "subst", "widx", "si", "filt", "mi", "qmul", "qsh",
+        "dcadd", "dcshift", "mask", "coeff")}
+
+    per = [deblock_params(t, f) for f in range(F)]
+    prm = {k: jnp.asarray(np.stack([p[k] for p in per]))[:, None]
+           for k in per[0]}
+    # prm arrays get a per-frame leading axis of 1 inside the scan:
+    # _deblock_jax expects [F=1, ...]
+
+    xs = {
+        "lv_l": lv_l,
+        "lv_c": lv_c,
+        "pf": jnp.asarray(g.pf),
+        "slot0": jnp.asarray(g.slot0),
+        "slot1": jnp.asarray(g.slot1),
+        "mv": jnp.asarray(g.mv),
+        "wp0": jnp.asarray(g.wp0),
+        "wp1": jnp.asarray(g.wp1),
+        "wp": jnp.asarray(g.wp, jnp.int32),
+        "write_slot": jnp.asarray(g.write_slot),
+        "resy": resy,
+        "resc": resc,
+        "prm": prm,
+        "sao": jnp.asarray(t.sao, jnp.int32),
+    }
+    Y, U, V = _decode_seq_core(_consts(), _consts32(), xs, H, W, g.R,
+                               has_big, int(t.ctb_log2))
+    return Y, U, V

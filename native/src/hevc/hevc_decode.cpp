@@ -1680,9 +1680,23 @@ bool emit_cover_tus(Ctx& c, int x0, int y0, int log2) {
   int L = log2 > 5 ? 5 : log2;
   int s = 1 << log2;
   for (int dy = 0; dy < s; dy += 1 << L)
-    for (int dx = 0; dx < s; dx += 1 << L)
+    for (int dx = 0; dx < s; dx += 1 << L) {
       if (!emit_tu(c, x0 + dx, y0 + dy, L, 0, 255, c.qpy_cur, 0, nullptr))
         return false;
+      // residual-free CUs still have (implicit) transform-block
+      // boundaries for deblocking (8.7.2.2 infers the split at the
+      // 32x32 transform ceiling); mark them like transform_unit does
+      int bx0 = (x0 + dx) >> 2, by0 = (y0 + dy) >> 2, nb = 1 << (L - 2);
+      for (int ty = 0; ty < nb; ty++)
+        for (int tx = 0; tx < nb; tx++) {
+          int i = (by0 + ty) * c.w4 + bx0 + tx;
+          uint8_t b = 0;
+          if (tx == 0) b |= 1;
+          if (ty == 0) b |= 2;
+          c.tub4[i] |= b;
+          c.cbfy4[i] = 0;
+        }
+    }
   int Cl = (log2 - 1) > 4 ? 4 : log2 - 1;
   int cs = s >> 1;
   for (int dy = 0; dy < cs; dy += 1 << Cl)
