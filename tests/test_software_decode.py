@@ -120,20 +120,24 @@ def test_multiple_retrieves_same_decoder(small_h264):
     assert np.array_equal(b[1], oracle[70])
 
 
-def test_tpu_decoder_falls_back_for_hevc(small_hevc):
-    """TPU decoder type on an HEVC stream transparently uses SOFTWARE."""
+def test_tpu_decoder_decodes_hevc_natively(small_hevc):
+    """TPU decoder type decodes HEVC (incl. inter) on the device path:
+    no fallback warning, YUV bit-exact vs the oracle (the RGB epilogue
+    is exact-integer BT.601, which differs from swscale by <= 3)."""
     import warnings
 
     from hwang_tpu import Decoder, VideoDecoderType
     from hwang_tpu.utils.fixtures import oracle_decode_all
 
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        with Decoder(small_hevc, decoder_type=VideoDecoderType.TPU) as dec:
+        warnings.simplefilter("error")  # a fallback warning = failure
+        with Decoder(small_hevc, decoder_type=VideoDecoderType.TPU,
+                     output_format="yuv420") as dec:
             frames = dec.retrieve([0, 10])
-    oracle = oracle_decode_all(small_hevc)
-    assert np.array_equal(frames[0], oracle[0])
-    assert np.array_equal(frames[1], oracle[10])
+    oracle = oracle_decode_all(small_hevc, fmt="yuv")
+    for got, idx in zip(frames, (0, 10)):
+        truth = np.concatenate([p.ravel() for p in oracle[idx]])
+        assert np.array_equal(got.ravel(), truth)
 
 
 def test_tpu_decoder_handles_cabac_bframes(bframes_h264):
