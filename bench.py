@@ -220,6 +220,43 @@ def _hevc_metrics(result, iters=3):
         f" (first iter {t_first:.1f}s)")
 
 
+def _hevc_inter_metrics(result, iters=2):
+    """Informational HEVC INTER decode rate: a 480p x265 full-default
+    P/B clip (B+b-pyramid, tmvp, weightp, deblock+SAO) through the
+    frame-sequential device path (subpel reference ring).  Lands in
+    extra['hevc']['fps_480p_pb']."""
+    from hwang_tpu.backends.tpu import HevcSpanDecoder
+    from hwang_tpu.mp4_index import index_video
+    from hwang_tpu.utils.fixtures import fixture
+
+    n_frames = 24
+    path = fixture(
+        "bench_hevc_854x480_pb24", n_frames, 854, 480, codec="libx265",
+        profile="main", gop_size=250, crf=28, seed=0,
+        extra_opts="no-open-gop=1:frame-threads=1",
+    )
+    vi = index_video(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = HevcSpanDecoder(vi.metadata_bytes)
+    best = float("inf")
+    t_first = None
+    for _ in range(iters):
+        t0 = time.time()
+        out = dec.decode_span(data, vi.sample_offsets, vi.sample_sizes)
+        device_sync()
+        dt = time.time() - t0
+        del out
+        if t_first is None:
+            t_first = dt
+        best = min(best, dt)
+    result["extra"].setdefault("hevc", {})["fps_480p_pb"] = round(
+        n_frames / best, 2)
+    result["extra"]["hevc"]["pb_warm_first_s"] = round(t_first, 2)
+    log(f"  hevc 480p P/B x265-defaults: {n_frames/best:.1f} fps"
+        f" (first iter {t_first:.1f}s)")
+
+
 def _run_tpu(paths, rows, out_size, iters=4, budget=False):
     """Returns (fps, best_seconds, profiler_report, stage_budget_ms)."""
     from hwang_tpu.pipeline import ClipBatchDecoder
@@ -614,33 +651,8 @@ def main():
         except Exception as e:
             log(f"[seek] FAILED: {type(e).__name__}: {e}")
 
-    # config3 — shuffled 1080p sampling (the other primary row)
-    if left() > 150:
-        try:
-            c3 = _run_config("config3", _CONFIGS["config3"], None, iters=3,
-                             ff_iters=1)
-            extra["config3"] = c3
-            if result is None:
-                result = {
-                    "metric": "frames/sec/chip shuffle gather 1x24 "
-                              "@1920x1088 h264 YUV/RGB full-res (config3)",
-                    "value": c3["fps"], "unit": "frames/s",
-                    "vs_baseline": c3["vs_ffmpeg_1core"], "extra": extra,
-                }
-            _RESULT = result
-            _emit(result)
-        except Exception as e:
-            log(f"[config3] FAILED: {type(e).__name__}: {e}")
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-            extra["config3"] = {"error": str(e)[:200]}
-    else:
-        log("[config3] skipped: deadline budget exhausted")
-        extra["config3"] = {"skipped": "deadline"}
-
-    # HEVC informational row (720p I, x265 defaults incl. 32x32 TUs) —
-    # cheap when its executables are in the warm cache
+    # HEVC informational rows (720p I + 480p P/B, x265 defaults) —
+    # cheap when their executables are in the warm cache
     if result is not None and left() > 180:
         try:
             _hevc_metrics(result)
@@ -648,6 +660,14 @@ def main():
         except Exception as e:
             log(f"[hevc] FAILED: {type(e).__name__}: {e}")
             result["extra"]["hevc"] = {"error": str(e)[:160]}
+    if result is not None and left() > 150:
+        try:
+            _hevc_inter_metrics(result)
+            _emit(result)
+        except Exception as e:
+            log(f"[hevc-pb] FAILED: {type(e).__name__}: {e}")
+            result["extra"].setdefault("hevc", {})["pb_error"] = \
+                str(e)[:160]
 
     # config4 — the r1-r3-comparable batched-dataloader headline
     if left() > 120:
@@ -674,6 +694,37 @@ def main():
     else:
         log("[config4] skipped: deadline budget exhausted")
         extra["config4"] = {"skipped": "deadline"}
+
+    # config3 — shuffled 1080p sampling (the other primary row).  LAST:
+    # its frame-windowed shuffle spans touch ~6 large (70-100 MB)
+    # executables, and on a fresh TPU worker session each first touch
+    # costs minutes EVEN ON A CACHE HIT (the relay worker re-processes
+    # loaded executables; measured 429 s warm-cache/cold-worker vs 42 s
+    # warm-worker for identical hits) — so it must not be able to starve
+    # anything else.
+    if left() > 150:
+        try:
+            c3 = _run_config("config3", _CONFIGS["config3"], None, iters=3,
+                             ff_iters=1)
+            extra["config3"] = c3
+            if result is None:
+                result = {
+                    "metric": "frames/sec/chip shuffle gather 1x24 "
+                              "@1920x1088 h264 YUV/RGB full-res (config3)",
+                    "value": c3["fps"], "unit": "frames/s",
+                    "vs_baseline": c3["vs_ffmpeg_1core"], "extra": extra,
+                }
+            _RESULT = result
+            _emit(result)
+        except Exception as e:
+            log(f"[config3] FAILED: {type(e).__name__}: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            extra["config3"] = {"error": str(e)[:200]}
+    else:
+        log("[config3] skipped: deadline budget exhausted")
+        extra["config3"] = {"skipped": "deadline"}
 
     if result is None:
         # nothing landed: leave _RESULT as the mini (or None) and let the
