@@ -237,16 +237,33 @@ def test_tpu_hevc_big_ctu_bit_exact(tmp_path, ctu):
     _assert_yuv_exact(p, rows, out)
 
 
-def test_tpu_hevc_unsupported_falls_back(tmp_path):
-    """Default x265 settings (deblock+SAO on, inter slices) are outside
-    the TPU HEVC envelope: the decode must fail over to SOFTWARE with the
-    audit warning and still return correct frames."""
+def test_tpu_hevc_defaults_native_and_multislice_falls_back(tmp_path):
+    """Default x265 settings (deblock+SAO, inter, tmvp) now decode
+    NATIVELY on the TPU path (round 4); multi-slice pictures remain
+    outside the envelope and must fail over to SOFTWARE with the audit
+    warning while still returning correct frames."""
+    import warnings
+
     p = str(tmp_path / "hevc_full.mp4")
     encode_video(p, 8, 96, 80, codec="libx265", profile="main", gop_size=8)
     rows = [0, 5]
-    with pytest.warns(UserWarning, match="falling back to SOFTWARE"):
-        with Decoder(p, decoder_type=VideoDecoderType.TPU) as dec:
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
+        with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                     output_format="yuv420") as dec:
             out = dec.retrieve(rows)
-    oracle = oracle_decode_all(p)
+    oracle = oracle_decode_all(p, fmt="yuv")
     for got, r in zip(out, rows):
-        assert np.array_equal(got, oracle[r])
+        truth = np.concatenate([pl.ravel() for pl in oracle[r]])
+        assert np.array_equal(got.ravel(), truth)
+
+    # multi-slice: still SOFTWARE with the audited warning
+    p2 = str(tmp_path / "hevc_slices.mp4")
+    encode_video(p2, 6, 128, 96, codec="libx265", profile="main",
+                 gop_size=6, extra_opts="slices=2:frame-threads=1")
+    with pytest.warns(UserWarning, match="falling back to SOFTWARE"):
+        with Decoder(p2, decoder_type=VideoDecoderType.TPU) as dec:
+            out2 = dec.retrieve([0, 4])
+    oracle2 = oracle_decode_all(p2)
+    assert np.array_equal(out2[0], oracle2[0])
+    assert np.array_equal(out2[1], oracle2[4])
