@@ -118,6 +118,17 @@ class HevcSpanDecoder:
             t = self.entropy.decode_gop(data, sample_offsets, sample_sizes)
         except ValueError as e:
             raise HwangError(str(e)) from e
+        # Open-GOP CRA spans: RASL pictures reference frames before the
+        # span and are undecodable here (frame_type == 3 marks them
+        # skipped).  Returning them as black frames would silently place
+        # wrong pixels at the first display positions — take the audited
+        # SOFTWARE fallback instead (libavcodec drops RASL outputs, so
+        # the fallback keeps sample->frame alignment correct).
+        if t.frame_type is not None and np.any(
+                np.asarray(t.frame_type[: t.n_frames]) == 3):
+            raise HwangError(
+                "open-GOP span with skipped RASL pictures: falling back "
+                "(undecodable leading pictures)")
         try:
             Y, U, V = decode_gop_frames(t)
         except UnsupportedStream as e:

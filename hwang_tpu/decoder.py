@@ -124,6 +124,25 @@ class Decoder:
                 raise
             import warnings
 
+            if "RASL" in str(e):
+                # Open-GOP span whose leading CRA has RASL pictures: their
+                # references live in the PREVIOUS GOP.  Starting the span
+                # one keyframe earlier makes them decodable natively (the
+                # skip in the front-end is reference-driven) — and is the
+                # only correct route: libavcodec DROPS undecodable RASL
+                # outputs, so the SOFTWARE fallback would misalign every
+                # frame of the span.
+                try:
+                    spans = self.build_spans(unique_rows, trim=False,
+                                             extend_back=True)
+                    self._automata.initialize(
+                        spans, self.video_index.metadata_bytes)
+                    total = sum(len(s.valid_frames) for s in spans)
+                    frames = self._automata.get_frames(total)
+                    by_row = dict(zip(unique_rows, frames))
+                    return [by_row[r] for r in rows]
+                except Exception as e2:  # pragma: no cover - CRA@0 etc.
+                    e = e2
             warnings.warn(
                 f"TPU decode failed for this stream ({e}); "
                 "falling back to SOFTWARE"
@@ -144,14 +163,27 @@ class Decoder:
         return [by_row[r] for r in rows]
 
     def build_spans(self, sorted_rows: Sequence[int],
-                    trim: bool = True) -> list[EncodedData]:
+                    trim: bool = True,
+                    extend_back: bool = False) -> list[EncodedData]:
         """Plan spans and read only their byte ranges from the file.
 
         Parity: python/hwang/decoder.py:32-63 (offsets rebased to the span
         buffer, keyframes filtered to the span).
+
+        extend_back=True starts every span one keyframe EARLIER than the
+        planner chose — used for open-GOP streams where a span-leading
+        CRA's RASL pictures reference the previous GOP.
         """
         vi = self.video_index
         intervals = slice_into_video_intervals(vi, sorted_rows)
+        if extend_back:
+            import bisect
+
+            kp = [int(k) for k in vi.keyframe_indices]
+            intervals = [
+                ((kp[max(bisect.bisect_left(kp, start) - 1, 0)], end), valid)
+                for (start, end), valid in intervals
+            ]
         spans: list[EncodedData] = []
         kf_set = set(int(k) for k in vi.keyframe_indices)
         for (start, end), valid in intervals:

@@ -829,18 +829,26 @@ def _seq_step(consts, consts32, H, W, has_big, ctb_log2, carry, xs):
     py, pc = _mc_lists(ring_y, ring_c, xs, H, W)
     pf4 = xs["pf"].astype(jnp.int32)
     wp = xs["wp"].astype(jnp.int32)
-    is_wp4 = (xs["wp0"] != 255) & (pf4 > 0)
+    # Explicit WP is flagged per list (emit_pu sets pu_wp0 only for
+    # L0-using PUs, pu_wp1 only for L1): gate on the ACTIVE list's row
+    # (a uni-L1 PU in a weightb stream has wp0 == 255 but wp1 set) and
+    # take the weight denom from that row too — row 255 would clip to a
+    # possibly-uninitialized table entry.
+    row_u4 = jnp.where(pf4 == 2, xs["wp1"], xs["wp0"]).astype(jnp.int32)
+    is_wp4 = (row_u4 != 255) & (pf4 > 0)
 
-    w0l, o0l, ld = _wp_params(wp, xs["wp0"], [0, 1, 6])
-    w1l, o1l, _ = _wp_params(wp, xs["wp1"], [0, 1, 6])
+    w0l, o0l = _wp_params(wp, xs["wp0"], [0, 1])
+    w1l, o1l = _wp_params(wp, xs["wp1"], [0, 1])
+    (ld,) = _wp_params(wp, row_u4, [6])
     lwd = jnp.clip(ld + 6, 6, 14)
     y_pred = _combine_uni_bi(
         py, _rep4(pf4), _rep4(is_wp4),
         (_rep4(w0l), _rep4(o0l), _rep4(w1l), _rep4(o1l), _rep4(lwd)))
 
-    cw0 = _wp_params(wp, xs["wp0"], [2, 3, 4, 5, 7])
-    cw1 = _wp_params(wp, xs["wp1"], [2, 3, 4, 5, 7])
-    cwd = jnp.clip(cw0[4] + 6, 6, 14)
+    cw0 = _wp_params(wp, xs["wp0"], [2, 3, 4, 5])
+    cw1 = _wp_params(wp, xs["wp1"], [2, 3, 4, 5])
+    (cd,) = _wp_params(wp, row_u4, [7])
+    cwd = jnp.clip(cd + 6, 6, 14)
     pfc = _rep2i(pf4)
     iwc = _rep2i(is_wp4)
     c_pred = []

@@ -1370,12 +1370,25 @@ bool emit_pu(Ctx& c, int xPb, int yPb, int nW, int nH, const PuMotion& pu) {
   o->pu_ref1[i] = 0;
   o->pu_wp0[i] = 255;
   o->pu_wp1[i] = 255;
+  // pu_ref* are uint8 span decode indices: a reference past sample 255
+  // would silently wrap and feed the wrong frame's pixels into MC.
+  // Spans that long (keyint > 256) must take the SOFTWARE fallback.
   if (pu.pf & 1) {
-    o->pu_ref0[i] = (uint8_t)c.dpb[c.ref_dpb[0][pu.refidx[0]]].span_idx;
+    int span_idx = c.dpb[c.ref_dpb[0][pu.refidx[0]]].span_idx;
+    if (span_idx > 255) {
+      c.err = "inter reference span index exceeds 255 (span too long)";
+      return false;
+    }
+    o->pu_ref0[i] = (uint8_t)span_idx;
     if (wp_on) o->pu_wp0[i] = (uint8_t)(0 * 16 + pu.refidx[0]);
   }
   if (pu.pf & 2) {
-    o->pu_ref1[i] = (uint8_t)c.dpb[c.ref_dpb[1][pu.refidx[1]]].span_idx;
+    int span_idx = c.dpb[c.ref_dpb[1][pu.refidx[1]]].span_idx;
+    if (span_idx > 255) {
+      c.err = "inter reference span index exceeds 255 (span too long)";
+      return false;
+    }
+    o->pu_ref1[i] = (uint8_t)span_idx;
     if (wp_on) o->pu_wp1[i] = (uint8_t)(16 + pu.refidx[1]);
   }
   o->pu_mv[i * 4 + 0] = pu.mv[0][0];

@@ -74,6 +74,8 @@ struct HwEncoder {
   SwsContext *sws = nullptr;
   AVFrame *yuv = nullptr;
   AVPacket *pkt = nullptr;
+  uint8_t *rgb_staging = nullptr;  // padded copy: swscale SIMD overreads
+  uint8_t *sws_dst = nullptr;      // padded planes: swscale overWRITES too
   int width = 0, height = 0;
   int64_t next_pts = 0;
   char err[512] = {0};
@@ -188,7 +190,10 @@ HW_API void *hw_enc_open(const char *path, int width, int height, int fps,
   e->yuv->format = AV_PIX_FMT_YUV420P;
   e->yuv->width = width;
   e->yuv->height = height;
-  av_frame_get_buffer(e->yuv, 0);
+  // align=64: this libswscale's SIMD output loops write past narrow
+  // (width < 64) default-aligned chroma rows — observed glibc heap
+  // corruption at 48x48 with align=0.
+  av_frame_get_buffer(e->yuv, 64);
   e->pkt = av_packet_alloc();
   e->sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
                           AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
@@ -204,10 +209,31 @@ HW_API const char *hw_enc_error(void *handle) {
 HW_API int hw_enc_write_rgb(void *handle, const uint8_t *rgb) {
   auto *e = static_cast<HwEncoder *>(handle);
   av_frame_make_writable(e->yuv);
-  const uint8_t *src[1] = {rgb};
+  // swscale's SIMD row loops read past width*3 bytes on the last row of
+  // a tightly-packed caller buffer (observed SEGV under ASAN at 48x48);
+  // stage through an AV_INPUT_BUFFER_PADDING_SIZE-padded copy.
+  size_t nbytes = (size_t)e->height * e->width * 3;
+  if (!e->rgb_staging)
+    e->rgb_staging =
+        (uint8_t *)av_malloc(nbytes + AV_INPUT_BUFFER_PADDING_SIZE);
+  memcpy(e->rgb_staging, rgb, nbytes);
+  memset(e->rgb_staging + nbytes, 0, AV_INPUT_BUFFER_PADDING_SIZE);
+  const uint8_t *src[1] = {e->rgb_staging};
   int src_stride[1] = {3 * e->width};
-  sws_scale(e->sws, src, src_stride, 0, e->height, e->yuv->data,
-            e->yuv->linesize);
+  // This libswscale also WRITES past the last chroma row at narrow
+  // widths (glibc heap corruption at 48x48, bypassing swscale fixes it):
+  // give it generously padded private planes, then copy the real rows.
+  int ls0 = e->yuv->linesize[0], ls1 = e->yuv->linesize[1];
+  int h = e->height, hc = h / 2;
+  size_t p0 = (size_t)ls0 * (h + 16);
+  size_t p1 = (size_t)ls1 * (hc + 16);
+  if (!e->sws_dst) e->sws_dst = (uint8_t *)av_malloc(p0 + 2 * p1 + 64);
+  uint8_t *dst[3] = {e->sws_dst, e->sws_dst + p0, e->sws_dst + p0 + p1};
+  int dst_stride[3] = {ls0, ls1, ls1};
+  sws_scale(e->sws, src, src_stride, 0, e->height, dst, dst_stride);
+  memcpy(e->yuv->data[0], dst[0], (size_t)ls0 * h);
+  memcpy(e->yuv->data[1], dst[1], (size_t)ls1 * hc);
+  memcpy(e->yuv->data[2], dst[2], (size_t)ls1 * hc);
   e->yuv->pts = e->next_pts++;
   e->yuv->pkt_duration = 1;
   return enc_write_packets(e, false);
@@ -239,6 +265,8 @@ HW_API int hw_enc_close(void *handle) {
   }
   if (e->fmt && e->fmt->pb) avio_closep(&e->fmt->pb);
   if (e->sws) sws_freeContext(e->sws);
+  av_freep(&e->rgb_staging);
+  av_freep(&e->sws_dst);
   av_frame_free(&e->yuv);
   av_packet_free(&e->pkt);
   avcodec_free_context(&e->codec);

@@ -138,3 +138,25 @@ def test_x265_defaults_nofilter(tmp_path):
         frame_fn=_fade_frame,
     )
     assert_exact(p)
+
+
+def test_long_span_ref_index_guard(tmp_path):
+    """A span past 256 samples would wrap the uint8 pu_ref* span index
+    and silently feed the wrong reference frame.  The front-end must
+    FAIL the decode instead (-> audited SOFTWARE fallback upstream)."""
+    # 64x64: this image's libx265 heap-corrupts on width-48 encodes
+    # (system-library bug, bisected; independent of our RGB/YUV feed)
+    p = _mk(tmp_path, "longspan", 260, 64, 64, "bframes=0:ref=1:keyint=300",
+            frame_fn=lambda i, w, h, seed=0: np.full(
+                (h, w, 3), (i * 7) % 255, np.uint8))
+    with open(p, "rb") as f:
+        idx = index_video(f)
+        f.seek(idx.sample_offsets[0])
+        nb = int(idx.sample_offsets[-1] + idx.sample_sizes[-1]
+                 - idx.sample_offsets[0])
+        data = f.read(nb)
+    offs = [int(o - idx.sample_offsets[0]) for o in idx.sample_offsets]
+    sizes = [int(s) for s in idx.sample_sizes]
+    dec = HevcEntropyDecoder(idx.metadata_bytes)
+    with pytest.raises(ValueError, match="span"):
+        dec.decode_gop(data, offs, sizes)

@@ -87,6 +87,15 @@ def test_weightp_device(tmp_path):
     assert_device_exact(p)
 
 
+def test_weightb_device(tmp_path):
+    """Explicit WP in B slices: uni-directional L1 PUs carry weights in
+    pu_wp1 only (pu_wp0 == 255) — the device path must gate weighted
+    prediction per list, not on wp0 alone."""
+    p = _mk(tmp_path, "wb", 16, 128, 96,
+            "bframes=3:ref=2:weightb=1:b-adapt=0", frame_fn=_fade_frame)
+    assert_device_exact(p)
+
+
 @pytest.mark.slow
 def test_x265_full_defaults_device(tmp_path):
     """Everything x265 defaults pick (ctu64, TU32, B/b-pyramid, tmvp,

@@ -267,3 +267,37 @@ def test_tpu_hevc_defaults_native_and_multislice_falls_back(tmp_path):
     oracle2 = oracle_decode_all(p2)
     assert np.array_equal(out2[0], oracle2[0])
     assert np.array_equal(out2[1], oracle2[4])
+
+
+def test_tpu_hevc_open_gop_rasl_extends_span(tmp_path):
+    """A gather span starting at an open-GOP CRA contains RASL pictures
+    whose references precede the span.  The TPU path must NOT return
+    them as silent black frames: it retries with the span extended one
+    keyframe back, which makes the RASLs decodable natively (the
+    SOFTWARE path can't be used here — libavcodec silently DROPS
+    undecodable RASL outputs and misaligns the whole span)."""
+    import warnings
+
+    p = str(tmp_path / "hevc_ogop.mp4")
+    encode_video(p, 24, 96, 80, codec="libx265", profile="main",
+                 gop_size=8,
+                 extra_opts="open-gop=1:bframes=3:b-adapt=0:"
+                            "frame-threads=1")
+    with open(p, "rb") as f:
+        from hwang_tpu import index_video
+        idx = index_video(f)
+    # only meaningful if the encode actually produced a non-IDR keyframe
+    # mid-stream (open GOP); request a frame right after the 2nd keyframe
+    kfs = list(idx.keyframe_indices)
+    if len(kfs) < 2:
+        pytest.skip("encoder produced a single GOP")
+    rows = [int(kfs[1]) + 1, int(kfs[1]) + 3]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # extension must not warn/fallback
+        with Decoder(p, decoder_type=VideoDecoderType.TPU,
+                     output_format="yuv420") as dec:
+            out = dec.retrieve(rows)
+    oracle = oracle_decode_all(p, fmt="yuv")
+    for got, r in zip(out, rows):
+        truth = np.concatenate([pl.ravel() for pl in oracle[r]])
+        assert np.array_equal(got.ravel(), truth), f"row {r}"
