@@ -288,8 +288,14 @@ class H264EntropyDecoder:
         F = len(sample_offsets)
         M = self.mb_width * self.mb_height
 
+        # recycled mmap-backed buffers: per-span malloc of the ~200 MB
+        # SoA on a pool thread hits glibc's per-thread-arena mmap path
+        # and pays fresh-page faults + munmap on every span (4-12x
+        # entropy slowdown, timeline-measured — see native.pool_array)
+        from ...native import pool_array
+
         def z(shape, dtype):
-            return np.zeros(shape, dtype)
+            return pool_array(shape, dtype, fill=0)
 
         t = GopTensors(
             n_frames=F,
@@ -298,8 +304,8 @@ class H264EntropyDecoder:
             crop=self.crop,
             frame_type=z(F, np.uint8),
             poc=z(F, np.int32),
-            ref_map=np.full((F, 16), -1, np.int32),
-            ref_map_l1=np.full((F, 16), -1, np.int32),
+            ref_map=pool_array((F, 16), np.int32, fill=-1),
+            ref_map_l1=pool_array((F, 16), np.int32, fill=-1),
             mb_kind=z((F, M), np.uint8),
             qp=z((F, M), np.int8),
             cbp=z((F, M), np.uint8),
@@ -307,27 +313,27 @@ class H264EntropyDecoder:
             i16_mode=z((F, M), np.int8),
             chroma_mode=z((F, M), np.int8),
             mv=z((F, M, 16, 2), np.int16),
-            refidx=np.full((F, M, 4), -1, np.int8),
+            refidx=pool_array((F, M, 4), np.int8, fill=-1),
             mv_l1=z((F, M, 16, 2), np.int16),
-            refidx_l1=np.full((F, M, 4), -1, np.int8),
+            refidx_l1=pool_array((F, M, 4), np.int8, fill=-1),
             luma_dc=z((F, M, 16), np.int16),
             # np.empty for the three big buffers: their calloc memset
             # was 27% of the 1080p entropy wall (gprofng).  AC blocks
             # are zeroed per-MB by the native decoder (cache-warm);
             # ipcm content is mb_kind==4-gated everywhere.
-            luma_ac=np.empty((F, M, 16, 16), np.int16),
+            luma_ac=pool_array((F, M, 16, 16), np.int16),
             chroma_dc=z((F, M, 2, 4), np.int16),
-            chroma_ac=np.empty((F, M, 2, 4, 16), np.int16),
+            chroma_ac=pool_array((F, M, 2, 4, 16), np.int16),
             nnz=z((F, M, 24), np.uint8),
             deblock_idc=z((F, M), np.uint8),
             alpha_off=z((F, M), np.int8),
             beta_off=z((F, M), np.int8),
             avail=z((F, M), np.uint8),
-            ipcm=np.empty((F, M, 384), np.uint8),
+            ipcm=pool_array((F, M, 384), np.uint8),
             pred_weights=z((F, 16, 8), np.int16),
             weight_flag=z(F, np.uint8),
             pred_weights_l1=z((F, 16, 8), np.int16),
-            ring_slot=np.full(F, -1, np.int16),
+            ring_slot=pool_array(F, np.int16, fill=-1),
             frame_is_ref=z(F, np.uint8),
             transform8=z((F, M), np.uint8),
             sparse_counts=z(4, np.int64),

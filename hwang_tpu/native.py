@@ -162,6 +162,72 @@ def get_lib() -> ctypes.CDLL:
     return _lib
 
 
+# ---------------------------------------------------------------------------
+# Recycling buffer pool for the big decode SoA arrays.
+#
+# _retain_big_allocations() fixes the main arena, but the pipeline's
+# entropy decode runs on POOL THREADS, whose glibc arenas serve any
+# request over the 64 MB per-heap limit straight from mmap regardless of
+# mallopt — so every 1080p span paid fresh-page faults + kernel zeroing
+# on its ~200 MB SoA and munmap TLB shootdowns on free.  Measured on the
+# config2 spans: 11.2 s (9.2 s sys) with churn vs 1.5 s with reuse.
+# Spans share shapes, so an explicit mmap-backed freelist recycles
+# perfectly: pages stay resident, later spans write warm memory.
+# ---------------------------------------------------------------------------
+
+_pool_lock = __import__("threading").Lock()
+_pool: dict[int, list] = {}
+_pool_bytes = 0
+_POOL_CAP = 12 << 30  # stop caching beyond this (plenty on this host)
+
+
+def _pool_return(n: int, mm) -> None:
+    global _pool_bytes
+    with _pool_lock:
+        if _pool_bytes + n <= _POOL_CAP:
+            _pool.setdefault(n, []).append(mm)
+            _pool_bytes += n
+            return
+    mm.close()
+
+
+def pool_array(shape, dtype, fill=None):
+    """A numpy array on a recycled anonymous mmap.
+
+    `fill=None` leaves contents undefined (np.empty semantics — reused
+    buffers carry stale bytes); otherwise the array is filled.  The
+    backing buffer returns to the pool when the array (and every view of
+    it — views keep the base ndarray alive) is garbage-collected.
+    """
+    import mmap as _mmap
+    import weakref
+
+    import numpy as np
+
+    dt = np.dtype(dtype)
+    total = 1
+    for s in (shape if isinstance(shape, tuple) else (shape,)):
+        total *= int(s)
+    n = max(total * dt.itemsize, 1)
+    # round to 64 KB classes so near-miss shapes still reuse
+    n = (n + 0xFFFF) & ~0xFFFF
+    global _pool_bytes
+    with _pool_lock:
+        free = _pool.get(n)
+        if free:
+            mm = free.pop()
+            _pool_bytes -= n
+        else:
+            mm = None
+    if mm is None:
+        mm = _mmap.mmap(-1, n)
+    a = np.frombuffer(mm, dtype=dt, count=total).reshape(shape)
+    weakref.finalize(a, _pool_return, n, mm)
+    if fill is not None:
+        a.fill(fill)
+    return a
+
+
 def as_u8p(arr):
     """View bytes / a contiguous numpy uint8 array as (uint8*, owner).
 

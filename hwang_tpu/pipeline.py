@@ -324,12 +324,27 @@ class ClipBatchDecoder:
                 chunked.append((fpad, cqo, part, sz - len(part)))
                 pos += sz
 
-        # entropy decode streams through the pool in chunk order; the
-        # result() waits below only block on the not-yet-overlapped tail
+        # entropy decode streams through the pool in chunk order with a
+        # bounded lookahead: submitting every span up front lets the
+        # worker run arbitrarily far ahead of pack, holding all spans'
+        # SoA tensors live at once — at 1080p that working set (~200 MB
+        # per span) turns into a kernel page-fault/zeroing storm that
+        # slows the entropy thread itself 4-12x (timeline-measured: the
+        # same spans decode in 1.6 s standalone vs 13 s in-pipeline).
+        # Two chunks of lookahead keeps the pipe full and the arena
+        # reusable.
         futures = {}
-        for _, _, idxs, _ in chunked:
-            for i in idxs:
-                futures[i] = self._pool.submit(host_decode, jobs[i])
+        _submitted: set[int] = set()
+        _ahead = max(2, int(os.environ.get("HWANG_ENTROPY_AHEAD", "2")))
+
+        def submit_through(ci):
+            for _, _, aidx, _ in chunked[: ci + 1]:
+                for i in aidx:
+                    if i not in _submitted:
+                        _submitted.add(i)
+                        futures[i] = self._pool.submit(host_decode, jobs[i])
+
+        submit_through(_ahead - 1)
 
         # H2D uploads also run on the pool: the relay transfer is
         # network-bound while pack is CPU-bound, so uploading chunk i
@@ -368,17 +383,17 @@ class ClipBatchDecoder:
             sel_b, sel_f, idxl = [], [], []
             for k, i in enumerate(idxs):
                 # display -> decode mapping within the span (B reordering)
-                t = tensors[i]
-                perm = np.argsort(t.poc[: t.n_frames], kind="stable")
+                perm = poc_perm[i]
                 for row in jobs[i].valid:
                     sel_b.append(k)
                     sel_f.append(int(perm[row - jobs[i].start]))
                     idxl.append((jobs[i].clip, row))
             # one combined transfer (the relay charges fixed latency
             # per transfer, so two tiny uploads cost two round trips)
-            sel = jnp.asarray(
-                np.stack([sel_b, sel_f]).astype(np.int32)
-            )
+            with prof.span("epilogue_sel_upload"):
+                sel = jnp.asarray(
+                    np.stack([sel_b, sel_f]).astype(np.int32)
+                )
             sb, sf = sel[0], sel[1]
             y = Ys[sb, sf, top : top + H, left : left + W]
             u = Us[sb, sf, top // 2 : (top + H + 1) // 2,
@@ -458,11 +473,24 @@ class ClipBatchDecoder:
                     stream_fetches.append(
                         (self._xfer_pool.submit(np.asarray, frames), idxl))
 
-        for fpad, cqo, idxs, pad_b in chunked:
+        poc_perm: dict[int, np.ndarray] = {}
+        for ci, (fpad, cqo, idxs, pad_b) in enumerate(chunked):
+            submit_through(ci + _ahead)
             with prof.span("entropy_wait"):
                 for i in idxs:
                     if i not in tensors:
-                        tensors[i] = futures[i].result()
+                        # poll rather than block: dispatch any staged
+                        # chunk whose upload completed while entropy of
+                        # this chunk still runs (a blocking result() left
+                        # chunk 0 staged for seconds — timeline-measured)
+                        while True:
+                            flush_staged(wait=False)
+                            try:
+                                tensors[i] = futures[i].result(timeout=0.05)
+                                del futures[i]
+                                break
+                            except concurrent.futures.TimeoutError:
+                                continue
             prof.increment("spans_decoded", len(idxs))
             prof.increment(
                 "frames_decoded", sum(tensors[i].n_frames for i in idxs)
@@ -470,6 +498,9 @@ class ClipBatchDecoder:
             span_tensors = (
                 [tensors[i] for i in idxs] + [tensors[idxs[-1]]] * pad_b
             )
+            for i in idxs:
+                t = tensors.pop(i)
+                poc_perm[i] = np.argsort(t.poc[: t.n_frames], kind="stable")
             if self.mesh is not None:
                 from .parallel.sharding import (
                     decode_gop_packed_sharded,
@@ -534,13 +565,16 @@ class ClipBatchDecoder:
             stacked = np.concatenate(outs) if len(outs) > 1 else outs[0]
             return stacked, index
 
-        for chunk, res in zip(chunked, results):
-            frames, idxl = chunk_epilogue(chunk, res)
-            out_frames.append(frames)
-            index.extend(idxl)
-        stacked = jnp.concatenate(out_frames) if len(out_frames) > 1 else out_frames[0]
+        with prof.span("epilogue"):
+            for chunk, res in zip(chunked, results):
+                frames, idxl = chunk_epilogue(chunk, res)
+                out_frames.append(frames)
+                index.extend(idxl)
+            stacked = (jnp.concatenate(out_frames) if len(out_frames) > 1
+                       else out_frames[0])
         if to_host:
-            stacked = np.asarray(stacked)
+            with prof.span("d2h_fetch"):
+                stacked = np.asarray(stacked)
         return stacked, index
 
     def _decode_host(self, jobs, out_size, output, to_host):

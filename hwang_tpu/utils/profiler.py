@@ -31,6 +31,9 @@ class Profiler:
         self._lock = threading.Lock()
         self.intervals: dict[str, list[float]] = collections.defaultdict(list)
         self.counters: dict[str, int] = collections.defaultdict(int)
+        # (t_start, t_end, name, thread) tuples for timeline dumps —
+        # overlap debugging needs WHEN, not just how long
+        self.events: list[tuple[float, float, str, str]] = []
 
     @contextlib.contextmanager
     def span(self, name: str):
@@ -38,13 +41,32 @@ class Profiler:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
             with self._lock:
-                self.intervals[name].append(dt)
+                self.intervals[name].append(t1 - t0)
+                self.events.append(
+                    (t0, t1, name, threading.current_thread().name))
 
     def add_interval(self, name: str, seconds: float) -> None:
+        t1 = time.perf_counter()
         with self._lock:
             self.intervals[name].append(seconds)
+            self.events.append(
+                (t1 - seconds, t1, name, threading.current_thread().name))
+
+    def timeline(self) -> str:
+        """Events relative to the earliest span start, sorted by start —
+        the overlap picture the aggregate report can't show."""
+        with self._lock:
+            evs = sorted(self.events)
+        if not evs:
+            return "(no events)"
+        t0 = evs[0][0]
+        return "\n".join(
+            f"{a - t0:8.3f} .. {b - t0:8.3f}  ({(b - a) * 1e3:7.1f}ms) "
+            f"{name:28s} [{thr}]"
+            for a, b, name, thr in evs
+        )
 
     def increment(self, name: str, n: int = 1) -> None:
         with self._lock:
@@ -54,6 +76,7 @@ class Profiler:
         with self._lock:
             self.intervals.clear()
             self.counters.clear()
+            self.events.clear()
 
     def totals(self) -> dict[str, float]:
         """Interval sums in seconds (for machine-readable stage budgets)."""
