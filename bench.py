@@ -121,19 +121,25 @@ def _fixture_paths(cfg, tag):
     ]
 
 
-def _ffmpeg_baseline(paths, rows, iters=2):
-    """Single-thread libavcodec decoding the same gather (frames/s)."""
+def _ffmpeg_baseline(paths, rows, iters=3):
+    """Single-thread libavcodec decoding the same gather (frames/s).
+
+    MEDIAN of >= 3 runs: the r03->r04 yardstick swung 1450 -> 1194 fps
+    (21% of the reported ratio) on host contention; a best-of-2 is noise
+    on a 1-core box.  Returns (fps_median, [per-run fps])."""
     from hwang_tpu import Decoder
 
     n_total = sum(len(r) for r in rows)
-    ff_time = float("inf")
-    for _ in range(iters):
+    times = []
+    for _ in range(max(iters, 3)):
         t0 = time.time()
         for p, r in zip(paths, rows):
             with Decoder(p, num_devices=1) as d:
                 d.retrieve(r)
-        ff_time = min(ff_time, time.time() - t0)
-    return n_total / ff_time
+        times.append(time.time() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    return n_total / med, [round(n_total / t, 1) for t in times]
 
 
 def _entropy_ceiling(paths, rows):
@@ -350,15 +356,22 @@ def _p50_seek(paths, gop, k=5, route="host"):
     prev = os.environ.get("HWANG_ROUTER")
     os.environ["HWANG_ROUTER"] = "off" if route == "device" else "auto"
     try:
+        # kept-warm decoder: one instance serving many seeks is the real
+        # usage pattern (reference analog: one DecoderAutomata reused
+        # across get_frames calls); constructing per request measured
+        # index parse + codec open, not seek
+        single = ClipBatchDecoder([paths[0]])
+        row = gop - 1
+        single.decode([[row]])  # warm (executable load / codec open)
+        device_sync()
         lat = []
         for i in range(k):
-            single = ClipBatchDecoder([paths[i % len(paths)]])
-            row = gop - 1
             t0 = time.time()
-            single.decode([[row]])
-            device_sync()
+            single.decode([[row - (i % 2)]])  # alternate rows (same GOP,
+            device_sync()                     # same bucket): no result
+                                              # caching could hide work
             lat.append(time.time() - t0)
-            single.close()
+        single.close()
         lat.sort()
         return lat[len(lat) // 2] * 1e3
     finally:
@@ -381,11 +394,13 @@ def _run_config(name, cfg, out_size, budget=False, iters=4, ff_iters=2):
     if report:
         log("  host stages:\n" + "\n".join(
             "    " + ln for ln in report.splitlines()))
-    ff_fps = _ffmpeg_baseline(paths, rows, iters=ff_iters)
-    log(f"  ffmpeg 1-thread: {ff_fps:.1f} fps  (ratio {fps/ff_fps:.3f})")
+    ff_fps, ff_runs = _ffmpeg_baseline(paths, rows, iters=ff_iters)
+    log(f"  ffmpeg 1-thread: {ff_fps:.1f} fps median of {ff_runs}"
+        f"  (ratio {fps/ff_fps:.3f})")
     return {
         "fps": round(fps, 2),
         "ffmpeg_1core_fps": round(ff_fps, 1),
+        "ffmpeg_runs_fps": ff_runs,
         "vs_ffmpeg_1core": round(fps / ff_fps, 3),
         "stage_budget_ms": stage,
     }

@@ -110,6 +110,29 @@ class Decoder:
         spans = self.build_spans(unique_rows, trim=trim)
         if not spans:
             return []
+        if self._decoder_type == VideoDecoderType.TPU:
+            # Early feature probe (first slice header per sample, host,
+            # microseconds): decide SOFTWARE fallback BEFORE dispatching
+            # a device decode that the decode-time failover would throw
+            # away (SP/SI slices and HEVC multi-slice pictures are not
+            # detectable from the avcC/hvcC at configure time).  The
+            # decode-time retry below stays as the correctness net.
+            reason = self._probe_fallback_features(spans)
+            if reason is not None:
+                import warnings
+
+                warnings.warn(
+                    f"TPU decode path unavailable for this stream "
+                    f"({reason}, span probe); falling back to SOFTWARE"
+                )
+                self._automata.close()
+                self._decoder_type = VideoDecoderType.SOFTWARE
+                self._automata = DecoderAutomata.make_instance(
+                    self._device, self._num_devices,
+                    VideoDecoderType.SOFTWARE,
+                    output_format=self._output_format,
+                )
+                spans = self.build_spans(unique_rows, trim=False)
         try:
             self._automata.initialize(spans, self.video_index.metadata_bytes)
             total = sum(len(s.valid_frames) for s in spans)
@@ -161,6 +184,89 @@ class Decoder:
             frames = self._automata.get_frames(total)
         by_row = dict(zip(unique_rows, frames))
         return [by_row[r] for r in rows]
+
+    def _probe_fallback_features(self, spans) -> Optional[str]:
+        """Cheap host scan of each sample's NAL headers / first slice
+        header for features the TPU codec rejects only at decode time:
+        H.264 SP/SI slices, HEVC multi-slice pictures and dependent
+        slice segments.  Returns a reason string or None."""
+        from .backends.interface import codec_name_for_format
+
+        vi = self.video_index
+        try:
+            codec = codec_name_for_format(vi.format)
+        except Exception:
+            return None
+        meta = bytes(vi.metadata_bytes or b"")
+
+        def ue(bits):
+            """(value, bits_consumed) of one Exp-Golomb from a bit list."""
+            lz = 0
+            i = 0
+            while i < len(bits) and bits[i] == 0:
+                lz += 1
+                i += 1
+            i += 1
+            v = 0
+            for _ in range(lz):
+                if i >= len(bits):
+                    return None, i
+                v = (v << 1) | bits[i]
+                i += 1
+            return (1 << lz) - 1 + v, i
+
+        def head_bits(nal, skip_bytes, n=10):
+            """First n bytes of RBSP after the NAL header, de-escaped,
+            as a bit list."""
+            raw = nal[skip_bytes:skip_bytes + n + 2]
+            rbsp = bytearray()
+            zeros = 0
+            for b in raw:
+                if zeros >= 2 and b == 3:
+                    zeros = 0
+                    continue
+                rbsp.append(b)
+                zeros = zeros + 1 if b == 0 else 0
+            out = []
+            for b in rbsp[:n]:
+                for k in range(7, -1, -1):
+                    out.append((b >> k) & 1)
+            return out
+
+        if codec == "h264":
+            nls = ((meta[4] & 3) + 1) if len(meta) > 4 else 4
+        elif codec == "hevc":
+            nls = ((meta[21] & 3) + 1) if len(meta) > 21 else 4
+        else:
+            return None
+        for sp in spans:
+            data = sp.encoded_video
+            for off, size in zip(sp.sample_offsets, sp.sample_sizes):
+                p, end = int(off), int(off) + int(size)
+                vcl_seen = 0
+                while p + nls <= end:
+                    ln = int.from_bytes(data[p:p + nls], "big")
+                    p += nls
+                    if ln <= 0 or p + ln > end:
+                        break
+                    nal = data[p:p + ln]
+                    p += ln
+                    if codec == "h264":
+                        nt = nal[0] & 0x1F
+                        if nt in (1, 5):
+                            bits = head_bits(nal, 1)
+                            _, i = ue(bits)            # first_mb_in_slice
+                            st, _ = ue(bits[i:])       # slice_type
+                            if st in (3, 4, 8, 9):
+                                return f"SP/SI slice (slice_type {st})"
+                            break  # first VCL per sample suffices
+                    else:
+                        nt = (nal[0] >> 1) & 0x3F
+                        if nt <= 31:                   # VCL NAL
+                            vcl_seen += 1
+                            if vcl_seen > 1:
+                                return "multi-slice HEVC picture"
+        return None
 
     def build_spans(self, sorted_rows: Sequence[int],
                     trim: bool = True,

@@ -132,6 +132,22 @@ def _declare(lib):
         i64p, c.POINTER(c.c_uint8), c.c_int64, c.c_int64,
         i64p,
     ]
+    u8p = c.POINTER(c.c_uint8)
+    u16p = c.POINTER(c.c_uint16)
+    lib.hw_h264_coeff_tokens.restype = c.c_int64
+    lib.hw_h264_coeff_tokens.argtypes = [
+        i64p, i16p, c.c_int64, u16p, c.c_int64,
+        c.POINTER(c.c_int32), i16p, c.c_int64, i64p,
+    ]
+    lib.hw_h264_delta_encode.restype = c.c_int64
+    lib.hw_h264_delta_encode.argtypes = [
+        i64p, c.c_int64, u8p, c.c_int64, u16p, u8p, c.c_int64,
+    ]
+    lib.hw_h264_mv_delta8.restype = c.c_int64
+    lib.hw_h264_mv_delta8.argtypes = [
+        i16p, c.c_int64, c.c_int64, c.POINTER(c.c_int8),
+        i64p, i16p, c.c_int64,
+    ]
     _declared = True
 
 

@@ -140,27 +140,47 @@ def bucket_size(n: int, min_bucket: int = 1024) -> int:
 def delta_encode_pad(pos, vals, min_bucket=1024):
     """Delta-encode sorted positions to the uint16 grammar above, pad to
     a half-step bucket (so stream growth rarely recompiles), and keep
-    `vals` aligned (zeros at escape/pad slots)."""
-    pos = np.asarray(pos, np.int64)
+    `vals` aligned (zeros at escape/pad slots).  The encode itself runs
+    natively (hw_h264_delta_encode) — the numpy diff/cumsum/scatter
+    chain was a top pack_gop_batch cost at 1080p."""
+    import ctypes
+
+    from ...native import get_lib
+    from .entropy import _declare
+
+    pos = np.ascontiguousarray(pos, np.int64)
     k = len(pos)
-    gap = np.diff(pos, prepend=-1)
-    if k and gap.min() < 1:
+    vals = np.ascontiguousarray(vals)
+    elem = vals.dtype.itemsize * (
+        int(np.prod(vals.shape[1:])) if vals.ndim > 1 else 1
+    )
+    lib = get_lib()
+    _declare(lib)
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def pu8(a):
+        return ctypes.cast(ctypes.c_void_p(a.ctypes.data),
+                           ctypes.POINTER(ctypes.c_uint8))
+
+    def pu16(a):
+        return ctypes.cast(ctypes.c_void_p(a.ctypes.data),
+                           ctypes.POINTER(ctypes.c_uint16))
+
+    n = int(lib.hw_h264_delta_encode(p64(pos), k, None, elem,
+                                     None, None, 0)) if k else 0
+    if n < 0:
         raise ValueError("sparse positions must be strictly increasing")
-    esc = (gap - 1) // _ESC_ADV  # escapes needed before each entry
-    n_esc = int(esc.sum())
-    n = k + n_esc
     kpad = bucket_size(n, min_bucket)
     out = np.zeros(kpad, np.uint16)
-    val_p = np.zeros((kpad,) + np.asarray(vals).shape[1:],
-                     np.asarray(vals).dtype)
-    if n_esc == 0:
-        out[:k] = gap
-        val_p[:k] = vals
-    else:
-        out[:n] = _ESC
-        dst = np.arange(k) + np.cumsum(esc)
-        out[dst] = gap - esc * _ESC_ADV  # remainder in [1, 0xFFFE]
-        val_p[dst] = vals
+    val_p = np.zeros((kpad,) + vals.shape[1:], vals.dtype)
+    if k:
+        r = lib.hw_h264_delta_encode(
+            p64(pos), k, pu8(vals), elem, pu16(out), pu8(val_p), kpad
+        )
+        if r != n:
+            raise RuntimeError("hw_h264_delta_encode overflow")
     return out, val_p
 
 
@@ -217,6 +237,56 @@ def coeff_encode_pad(pos, vals, min_bucket=1024):
         dst = np.arange(k) + np.cumsum(esc)
         out[dst] = tok | (gap - esc * _CW_ADV).astype(np.uint16)
     return out
+
+
+def coeff_tokens_pad(pos, vals, total, min_bucket=1024):
+    """Native one-pass encode of the combined-token stream PLUS the wide
+    (|v| > 7) absolute side stream: returns (tokens, big_pos, big_val)
+    padded to buckets.  Replaces the numpy where/diff/cumsum chain in
+    pack_gop_batch (hw_h264_coeff_tokens)."""
+    import ctypes
+
+    from ...native import get_lib
+    from .entropy import _declare
+
+    pos = np.ascontiguousarray(pos, np.int64)
+    vals = np.ascontiguousarray(vals, np.int16)
+    k = len(pos)
+    lib = get_lib()
+    _declare(lib)
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def p16(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def pu16(a):
+        return ctypes.cast(ctypes.c_void_p(a.ctypes.data),
+                           ctypes.POINTER(ctypes.c_uint16))
+
+    nbig = ctypes.c_int64(0)
+    n = int(lib.hw_h264_coeff_tokens(
+        p64(pos), p16(vals), k, None, 0, None, None, 0,
+        ctypes.byref(nbig))) if k else 0
+    if n < 0:
+        raise ValueError("sparse positions must be strictly increasing")
+    kpad = bucket_size(n, min_bucket)
+    tok = np.zeros(kpad, np.uint16)
+    kb = bucket_size(int(nbig.value), 64)
+    big_pos = np.full(kb, total, np.int32)
+    big_val = np.zeros(kb, np.int16)
+    if k:
+        r = lib.hw_h264_coeff_tokens(
+            p64(pos), p16(vals), k, pu16(tok), kpad,
+            p32(big_pos), p16(big_val), kb, ctypes.byref(nbig)
+        )
+        if r != n:
+            raise RuntimeError("hw_h264_coeff_tokens overflow")
+    return tok, big_pos, big_val
 
 
 def decode_coeff_tokens(tokens, total):
@@ -572,14 +642,22 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
 
     def _mv_delta8(base16):
         """[B, F, M, 2] int16 absolute -> int8 raster deltas + overflow
-        exceptions (true int16 delta; device scatters before cumsum)."""
-        d = base16.astype(np.int32).copy()
-        d[:, :, 1:] -= base16[:, :, :-1].astype(np.int32)
-        exc = (np.abs(d) > 127).any(-1)
-        d8 = np.where(exc[..., None], 0, d).astype(np.int8)
-        bi, fi, mi = np.nonzero(exc)
-        epos = (bi.astype(np.int64) * F + fi) * M + mi
-        evals = d[exc].astype(np.int16)
+        exceptions (true int16 delta; device scatters before cumsum).
+        Native pass (hw_h264_mv_delta8)."""
+        base16 = np.ascontiguousarray(base16)
+        groups = B * F
+        ne = int(lib.hw_h264_mv_delta8(
+            p16(base16), groups, M, None, None, None, 0))
+        d8 = np.empty((B, F, M, 2), np.int8)
+        epos = np.empty(ne, np.int64)
+        evals = np.empty((ne, 2), np.int16)
+        r = lib.hw_h264_mv_delta8(
+            p16(base16), groups, M,
+            d8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            epos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            p16(evals), ne)
+        if r != ne:
+            raise RuntimeError("hw_h264_mv_delta8 overflow")
         pp, vv = delta_encode_pad(epos, evals, min_bucket=64)
         return d8, pp, vv
 
@@ -590,11 +668,9 @@ def pack_gop_batch(tensors, pad_frames: int, force: dict | None = None,
     total_coeff = B * F * M * _COEFF_BLOCKS * 16
     # 4-bit value diet: quantized residual levels are almost all in
     # [-8, 7]; the rare wide value ships in a tiny absolute-position
-    # side stream whose scatter runs AFTER the main one (overwrite wins)
-    big = (vals < -8) | (vals > 7)
-    big_pos_p, big_val_p = sparse_pad_abs(pos[big], vals[big], total_coeff,
-                                          min_bucket=64)
-    tok_p = coeff_encode_pad(pos, np.where(big, 0, vals))
+    # side stream whose scatter runs AFTER the main one (overwrite wins).
+    # One native pass emits tokens + the big side stream together.
+    tok_p, big_pos_p, big_val_p = coeff_tokens_pad(pos, vals, total_coeff)
     mpos_p, mval_p = delta_encode_pad(mpos, mvals, min_bucket=256)
     i4pos_p, i4val_p = delta_encode_pad(i4pos, i4vals, min_bucket=64)
     if any_b:

@@ -148,6 +148,7 @@ class ClipBatchDecoder:
         # pool so an in-flight upload never queues behind entropy work
         # (io_threads is clamped to core count, often 1 on this host)
         self._xfer_pool = concurrent.futures.ThreadPoolExecutor(2)
+        self._host_decs: dict[int, object] = {}  # latency-route decoders
 
     # ------------------------------------------------------------------
     def _plan(self, rows_per_clip) -> list[_SpanJob]:
@@ -592,11 +593,21 @@ class ClipBatchDecoder:
         with prof.span("host_route"):
             for job in jobs:
                 vi = self.indexes[job.clip]
-                dec = SoftwareVideoDecoder(output_format="yuv420")
-                dec.configure(
-                    FrameInfo(vi.frame_width, vi.frame_height, vi.format),
-                    vi.metadata_bytes,
-                )
+                # kept-warm decoder per clip: seek-class requests arrive
+                # one at a time, and codec open + context setup was a
+                # measurable slice of p50 seek latency; spans start at
+                # keyframes so a flush()ed decoder is equivalent to a
+                # fresh one (the reference reused its decoder across
+                # spans the same way, decoder_automata.cpp:192-226)
+                dec = self._host_decs.get(job.clip)
+                if dec is None:
+                    dec = SoftwareVideoDecoder(output_format="yuv420")
+                    dec.configure(
+                        FrameInfo(vi.frame_width, vi.frame_height,
+                                  vi.format),
+                        vi.metadata_bytes,
+                    )
+                    self._host_decs[job.clip] = dec
                 want = {r - job.start for r in job.valid}
                 got: dict[int, np.ndarray] = {}
                 emitted = 0
@@ -616,7 +627,6 @@ class ClipBatchDecoder:
                     drain()
                 dec.flush()
                 drain()
-                dec.close()
                 prof.increment("spans_decoded", 1)
                 prof.increment("frames_decoded", emitted)
                 H, W = vi.frame_height, vi.frame_width
@@ -645,3 +655,9 @@ class ClipBatchDecoder:
     def close(self):
         self._pool.shutdown(wait=False)
         self._xfer_pool.shutdown(wait=False)
+        for d in self._host_decs.values():
+            try:
+                d.close()
+            except Exception:
+                pass
+        self._host_decs.clear()

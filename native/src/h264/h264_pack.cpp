@@ -186,3 +186,125 @@ HW_API int hw_h264_pack_clip(
   counts[3] = ni4;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Stream encoders: the numpy passes that turned the sparse (pos, val)
+// streams into the upload grammars (combined coefficient tokens, uint16
+// delta positions, int8 mv-base deltas) were the largest remaining
+// Python-side pack cost (~60% of pack_gop_batch at 1080p).  Same
+// grammars, one cache-friendly pass each; see packed.py for the decode
+// side.
+// ---------------------------------------------------------------------------
+
+// Combined coefficient tokens: token = (val4 << 12) | gap12 with
+// gap12 == 0xFFF an escape advancing 0xFFE and val4 == 0 meaning
+// "position only" (the wide value rides the absolute big stream).
+// Count mode: out == NULL; returns the token count n and sets
+// *nbig_out.  Fill mode: writes out[0..n) (caller zero-pads to bucket),
+// big_pos/big_val[0..nbig).  Returns -1 on capacity overflow.
+HW_API int64_t hw_h264_coeff_tokens(
+    const int64_t* pos, const int16_t* val, int64_t k,
+    uint16_t* out, int64_t cap,
+    int32_t* big_pos, int16_t* big_val, int64_t big_cap,
+    int64_t* nbig_out) {
+  const bool count_only = out == nullptr;
+  int64_t n = 0, nb = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < k; i++) {
+    int64_t gap = pos[i] - prev;
+    if (gap < 1) return -2;  // not strictly increasing
+    prev = pos[i];
+    int64_t esc = (gap - 1) / 0xFFE;
+    if (count_only) {
+      n += esc + 1;
+    } else {
+      if (n + esc + 1 > cap) return -1;
+      for (int64_t e = 0; e < esc; e++) out[n++] = 0xFFF;
+      gap -= esc * 0xFFE;
+      int v = val[i];
+      uint16_t v4;
+      if (v < -8 || v > 7) {
+        if (nb >= big_cap) return -1;
+        big_pos[nb] = (int32_t)pos[i];
+        big_val[nb] = (int16_t)v;
+        v4 = 0;
+        nb++;
+      } else {
+        v4 = (uint16_t)(v & 0xF);
+      }
+      out[n++] = (uint16_t)((v4 << 12) | (uint16_t)gap);
+    }
+    if (count_only) {
+      int v = val[i];
+      if (v < -8 || v > 7) nb++;
+    }
+  }
+  if (nbig_out) *nbig_out = nb;
+  return n;
+}
+
+// uint16 delta-position encode (escape 0xFFFF advances 0xFFE2... no:
+// 0xFFFE), values kept aligned with emitted entries (zeros at escape
+// slots).  elem = bytes per value row.  Count mode: out_pos == NULL;
+// returns n.  Fill mode returns -1 on overflow.
+HW_API int64_t hw_h264_delta_encode(
+    const int64_t* pos, int64_t k, const uint8_t* vals, int64_t elem,
+    uint16_t* out_pos, uint8_t* out_val, int64_t cap) {
+  const bool count_only = out_pos == nullptr;
+  int64_t n = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < k; i++) {
+    int64_t gap = pos[i] - prev;
+    if (gap < 1) return -2;  // not strictly increasing
+    prev = pos[i];
+    int64_t esc = (gap - 1) / 0xFFFE;
+    if (count_only) {
+      n += esc + 1;
+      continue;
+    }
+    if (n + esc + 1 > cap) return -1;
+    for (int64_t e = 0; e < esc; e++) out_pos[n++] = 0xFFFF;
+    gap -= esc * 0xFFFE;
+    if (vals) memcpy(out_val + n * elem, vals + i * elem, (size_t)elem);
+    out_pos[n++] = (uint16_t)gap;
+  }
+  return n;
+}
+
+// int8 raster mv-base deltas: base [G, M, 2] int16 (G = B*F groups),
+// deltas along M per group, first entry absolute.  |delta| > 127 (either
+// component) emits 0 in d8 and an exception (absolute position, true
+// int16 delta pair).  Count mode: d8 == NULL; returns the exception
+// count.  Fill mode returns -1 on overflow.
+HW_API int64_t hw_h264_mv_delta8(
+    const int16_t* base, int64_t groups, int64_t m,
+    int8_t* d8, int64_t* exc_pos, int16_t* exc_val, int64_t cap) {
+  const bool count_only = d8 == nullptr;
+  int64_t ne = 0;
+  for (int64_t g = 0; g < groups; g++) {
+    const int16_t* b = base + g * m * 2;
+    int8_t* d = d8 ? d8 + g * m * 2 : nullptr;
+    int px = 0, py = 0;
+    for (int64_t i = 0; i < m; i++) {
+      int dx = b[2 * i] - px;
+      int dy = b[2 * i + 1] - py;
+      px = b[2 * i];
+      py = b[2 * i + 1];
+      if (dx > 127 || dx < -127 || dy > 127 || dy < -127) {
+        if (!count_only) {
+          if (ne >= cap) return -1;
+          exc_pos[ne] = g * m + i;
+          exc_val[2 * ne] = (int16_t)dx;
+          exc_val[2 * ne + 1] = (int16_t)dy;
+          d[2 * i] = 0;
+          d[2 * i + 1] = 0;
+        }
+        ne++;
+      } else if (!count_only) {
+        d[2 * i] = (int8_t)dx;
+        d[2 * i + 1] = (int8_t)dy;
+      }
+    }
+  }
+  return ne;
+}
