@@ -564,11 +564,48 @@ def _sao_jax(y, c, sao, ctb_log2):
     return yn.astype(jnp.uint8), cn.astype(jnp.uint8)
 
 
+def _prep_xs_host(p) -> dict:
+    """PlanePrep -> host dict in the _run_lv key layout (numpy, no
+    device transfers — the fused transport ships everything at once)."""
+    xs = {k: np.asarray(getattr(p, k)) for k in (
+        "x0", "y0", "subst", "widx", "si", "filt", "mi", "qmul", "qsh",
+        "dcadd", "dcshift", "mask", "coeff")}
+    if p.coeffb.shape[2] > 0:
+        for k in ("x0b", "y0b", "substb", "modeb", "filtb", "qmulb",
+                  "qshb", "maskb", "coeffb"):
+            xs[k] = np.asarray(getattr(p, k))
+    return xs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "layout", "treedef", "hl", "wl", "hc", "wc", "has_big", "ctb_log2",
+    "do_db", "do_sao"))
+def _decode_gop_i_fused(consts, consts32, buf, layout, treedef, hl, wl,
+                        hc, wc, has_big, ctb_log2, do_db, do_sao):
+    from ...utils.fuse import unfuse_tree
+
+    luma_xs, chroma_xs, prm, sao = unfuse_tree(buf, layout, treedef)
+    F = luma_xs["x0"].shape[1]
+    y = _run_lv(consts, consts32, luma_xs, _rows4_zeros(F, hl, wl),
+                hl, wl, has_big)
+    c = _run_lv(consts, consts32, chroma_xs,
+                _rows4_zeros(2 * F, hc, wc), hc, wc, False)
+    if do_db:
+        y, c = _deblock_jax(y, c, prm)
+    if do_sao:
+        y, c = _sao_jax(y, c, sao.astype(jnp.int32), ctb_log2)
+    return y, c
+
+
 def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full-GOP decode: returns (Y [F,H,W], Cb [F,H/2,W/2], Cr) uint8 on
     device, coded size (apply t.crop for display).  Frames come back in
     DECODE order — map display positions through t.poc when the span
-    has B-frame reorder."""
+    has B-frame reorder.
+
+    Transport: ONE fused host->device upload and ONE jit for the whole
+    span (decode + deblock + SAO) — the per-array transfers this
+    replaces paid the relay's fixed latency dozens of times per span."""
     from .deblock_ref import deblock_params
     from .prep import prep_plane_sequences_lv
 
@@ -576,18 +613,25 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
         # inter (P/B) span: frame-sequential path with a reference ring
         return decode_gop_frames_seq(t)
 
+    from ...utils.fuse import fuse_tree
+
     strong = bool(getattr(t, "strong_smoothing", 1))
     luma, chroma = prep_plane_sequences_lv(t, strong)
-    y = decode_planes_lv(luma)
-    c = decode_planes_lv(chroma)
-    if not bool(np.asarray(t.deblock_disabled).all()):
-        prm = {}
+    do_db = not bool(np.asarray(t.deblock_disabled).all())
+    do_sao = bool(np.asarray(t.sao[..., 0]).any())
+    prm = {}
+    if do_db:
         per = [deblock_params(t, f) for f in range(t.n_frames)]
         for k in per[0]:
-            prm[k] = jnp.asarray(np.stack([p[k] for p in per]))
-        y, c = _deblock_jax(y, c, prm)
-    if bool(np.asarray(t.sao[..., 0]).any()):
-        y, c = _sao_jax(y, c, jnp.asarray(t.sao, jnp.int32), t.ctb_log2)
+            prm[k] = np.stack([p[k] for p in per])
+    blob, layout, treedef = fuse_tree(
+        (_prep_xs_host(luma), _prep_xs_host(chroma), prm,
+         np.asarray(t.sao)))
+    dbuf = jax.device_put(blob)
+    y, c = _decode_gop_i_fused(
+        _consts(), _consts32(), dbuf, layout, treedef, luma.h, luma.w,
+        chroma.h, chroma.w, luma.coeffb.shape[2] > 0, int(t.ctb_log2),
+        do_db, do_sao)
     return y, c[0::2], c[1::2]
 
 
@@ -899,25 +943,48 @@ def _decode_seq_core(consts, consts32, xs, h, w, r, has_big, ctb_log2):
     return Y, U, V
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "layout", "treedef", "h", "w", "r", "has_big", "ctb_log2",
+    "ns_l", "ns_c"))
+def _decode_seq_fused(consts, consts32, buf, layout, treedef, h, w, r,
+                      has_big, ctb_log2, ns_l, ns_c):
+    from ...utils.fuse import unfuse_tree
+
+    tree = unfuse_tree(buf, layout, treedef)
+    xs = tree["xs"]
+    F = xs["pf"].shape[0]
+    Hc, Wc = h // 2, w // 2
+    xs = dict(xs)
+    # transform sizes are static (they select DCT matrices) — rejoin
+    # them with their fused class dicts
+    res_l = [dict(c, n=n) for c, n in zip(tree["res_l"], ns_l)]
+    res_c = [dict(c, n=n) for c, n in zip(tree["res_c"], ns_c)]
+    xs["resy"] = _residual_images(res_l, F, h, w, False)
+    xs["resc"] = _residual_images(res_c, F, Hc, Wc, True)
+    return _decode_seq_core(consts, consts32, xs, h, w, r, has_big,
+                            ctb_log2)
+
+
 def decode_gop_frames_seq(t) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Frame-sequential inter-capable GOP decode (P/B spans)."""
+    """Frame-sequential inter-capable GOP decode (P/B spans).
+
+    Transport: all per-span arrays (level tables, motion fields, deblock
+    params, residual classes) fuse into ONE host->device upload and ONE
+    jit — the residual images build on device from the shipped sparse
+    classes instead of via eager per-class transfers."""
     from .deblock_ref import deblock_params
     from .prep import prep_gop_inter
 
     strong = bool(getattr(t, "strong_smoothing", 1))
     g = prep_gop_inter(t, strong)
     F, H, W = g.F, g.H, g.W
-    Hc, Wc = H // 2, W // 2
-
-    resy = _residual_images(g.res_l, F, H, W, False)
-    resc = _residual_images(g.res_c, F, Hc, Wc, True)
 
     def fm(a):  # [T, F, ...] -> [F, T, 1, ...]
-        return jnp.asarray(np.moveaxis(a, 1, 0)[:, :, None])
+        return np.ascontiguousarray(np.moveaxis(a, 1, 0)[:, :, None])
 
     def fmc(a):  # [T, 2F, ...] -> [F, T, 2, ...]
         T = a.shape[0]
-        return jnp.asarray(
+        return np.ascontiguousarray(
             np.moveaxis(a.reshape((T, F, 2) + a.shape[2:]), 1, 0))
 
     lv_l = {k: fm(getattr(g.luma, k)) for k in (
@@ -933,27 +1000,37 @@ def decode_gop_frames_seq(t) -> tuple[jax.Array, jax.Array, jax.Array]:
         "dcadd", "dcshift", "mask", "coeff")}
 
     per = [deblock_params(t, f) for f in range(F)]
-    prm = {k: jnp.asarray(np.stack([p[k] for p in per]))[:, None]
-           for k in per[0]}
+    prm = {k: np.stack([p[k] for p in per])[:, None] for k in per[0]}
     # prm arrays get a per-frame leading axis of 1 inside the scan:
     # _deblock_jax expects [F=1, ...]
 
     xs = {
         "lv_l": lv_l,
         "lv_c": lv_c,
-        "pf": jnp.asarray(g.pf),
-        "slot0": jnp.asarray(g.slot0),
-        "slot1": jnp.asarray(g.slot1),
-        "mv": jnp.asarray(g.mv),
-        "wp0": jnp.asarray(g.wp0),
-        "wp1": jnp.asarray(g.wp1),
-        "wp": jnp.asarray(g.wp, jnp.int32),
-        "write_slot": jnp.asarray(g.write_slot),
-        "resy": resy,
-        "resc": resc,
+        "pf": np.asarray(g.pf),
+        "slot0": np.asarray(g.slot0),
+        "slot1": np.asarray(g.slot1),
+        "mv": np.asarray(g.mv),
+        "wp0": np.asarray(g.wp0),
+        "wp1": np.asarray(g.wp1),
+        "wp": np.asarray(g.wp, np.int32),
+        "write_slot": np.asarray(g.write_slot),
         "prm": prm,
-        "sao": jnp.asarray(t.sao, jnp.int32),
+        "sao": np.asarray(t.sao, np.int32),
     }
-    Y, U, V = _decode_seq_core(_consts(), _consts32(), xs, H, W, g.R,
-                               has_big, int(t.ctb_log2))
+    from ...utils.fuse import fuse_tree
+
+    ns_l = tuple(int(c["n"]) for c in g.res_l)
+    ns_c = tuple(int(c["n"]) for c in g.res_c)
+    _static = ("n", "mi")  # python ints (select DCT tables) — not leaves
+    res_l = [{k: v for k, v in c.items() if k not in _static}
+             for c in g.res_l]
+    res_c = [{k: v for k, v in c.items() if k not in _static}
+             for c in g.res_c]
+    blob, layout, treedef = fuse_tree(
+        {"xs": xs, "res_l": res_l, "res_c": res_c})
+    dbuf = jax.device_put(blob)
+    Y, U, V = _decode_seq_fused(_consts(), _consts32(), dbuf, layout,
+                                treedef, H, W, g.R, has_big,
+                                int(t.ctb_log2), ns_l, ns_c)
     return Y, U, V

@@ -290,39 +290,67 @@ class ClipBatchDecoder:
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         ramp = os.environ.get("HWANG_CHUNK_RAMP", "1") == "1"
         for (fpad, cqo), idxs in buckets.items():
-            # Physical-HBM chunk cap.  Per (clip, frame): coeff_all int16
-            # [M*416] (~1.23x tiling pad) + mv/nnz/i4/u8 side tensors +
-            # YUV output ~= 1700 B/MB; per clip: the (R+1)-slot paired-word
-            # reference ring ~= 49 kB/MB-col + per-step transients.
-            # Rounded DOWN to a power of two so the pow2 batch padding
-            # below can never exceed the cap (at 1080p the old cap of 3
-            # padded up to 4 and the padding itself OOMed the chip).
-            # Frame-window size first (mirrors the dispatch-side rule
-            # below): the caps below must bound the WINDOWED working set
-            # M*fw*B — capping with the logical chunk's fpad instead
-            # halved the 1080p batch (B=2 windows where B=4 is proven).
-            # The sharded path never windows, so it caps at fpad.
-            fw = fpad
+            # Per-bucket (frame window, batch) choice.  Hard limits:
+            #  - physical HBM: per (clip, frame) coeff_all int16 [M*416]
+            #    (~1.23x tiling pad) + side tensors + YUV ~= 1700 B/MB;
+            #    per clip the (R+1)-slot paired-word reference ring
+            #    ~= 49 kB/MB-col (HWANG_HBM_BUDGET, default 6.5 GB)
+            #  - remote-compile size: the relay's compile helper is
+            #    OOM-killed past ~1.1-2M MB-frames of M*fw*B working set
+            #    (1080p F=64 B=4 dies; F=32 B=4 / F=8 B=16 compile)
+            # Within those, PREFER small windows with a large clip batch:
+            # the wavefront kernels' sequential in-kernel steps cost
+            # near-fixed overhead per step, so total device time tracks
+            # (decoded frames / B) x steps-per-frame — at 1080p F=8 B=16
+            # runs the same frames in a quarter of the scan steps of
+            # F=32 B=4 (measured: deblock+intra dominate 1080p decode).
+            # The sharded path never windows, so it evaluates fpad only.
+            fcap = int(os.environ.get("HWANG_FWIN_CAP_MBF", 300_000))
+            ccap = int(os.environ.get("HWANG_COMPILE_CAP_MBF", 1_100_000))
+            budget = float(os.environ.get("HWANG_HBM_BUDGET", 6.5e9))
+            fw0 = fpad
             if self.mesh is None:
-                fcap = int(os.environ.get("HWANG_FWIN_CAP_MBF", 300_000))
-                while fw > 8 and M * fw > fcap:
-                    fw //= 2
-            max_b = max(1, min(64, int(
-                6e9 // (M * (fw * 1700 + 66000)))))
-            max_b = 1 << (max_b.bit_length() - 1)
-            # Remote-compile size cap: the relay's compile helper is
-            # OOM-killed (SIGKILL) compiling 1080p executables past
-            # ~2M MB-frames of working set (observed: F=64 b=4 at 8160
-            # MBs dies deterministically; F=32 b=4 compiles fine).  Keep
-            # the largest program inside the proven envelope.
-            cap = int(os.environ.get("HWANG_COMPILE_CAP_MBF", 1_100_000))
-            while max_b > 1 and M * fw * max_b > cap:
-                max_b //= 2
+                while fw0 > 8 and M * fw0 > fcap:
+                    fw0 //= 2
+
+            def caps_for(fw):
+                b = max(1, min(64, int(budget // (M * (fw * 1700
+                                                       + 66000)))))
+                b = 1 << (b.bit_length() - 1)
+                while b > 1 and M * fw * b > ccap:
+                    b //= 2
+                return b
+
+            n = len(idxs)
+            cands = {fw0}
+            if self.mesh is None:
+                f = fw0
+                while f > 8:
+                    f //= 2
+                    cands.add(f)
+
+            def cost(fw):
+                b = caps_for(fw)
+                chunks = -(-n // b)
+                windows = -(-fpad // fw)
+                # scan steps dominate; tie-break: fewer windows (each
+                # window is a pack + upload + dispatch).  >2 windows is
+                # forbidden outright: it would compile the win_mid
+                # executable variant — every distinct 1080p-class
+                # executable costs 15-25 min of relay compile AND
+                # minutes of worker-session load on every fresh bench
+                # process, which round 4 measured as the bench-deadline
+                # hazard.
+                penalty = 1_000_000 if windows > 2 else 0
+                return (chunks * windows * fw + penalty, windows, -b)
+
+            fw = min(cands, key=cost)
+            max_b = caps_for(fw)
             # sharded decode needs every chunk to divide the mesh
             pos = 0
             for sz in plan_chunk_sizes(len(idxs), max_b, n_dev, ramp):
                 part = idxs[pos : pos + sz]
-                chunked.append((fpad, cqo, part, sz - len(part)))
+                chunked.append((fpad, cqo, part, sz - len(part), fw))
                 pos += sz
 
         # entropy decode streams through the pool in chunk order with a
@@ -339,7 +367,7 @@ class ClipBatchDecoder:
         _ahead = max(2, int(os.environ.get("HWANG_ENTROPY_AHEAD", "2")))
 
         def submit_through(ci):
-            for _, _, aidx, _ in chunked[: ci + 1]:
+            for _, _, aidx, _, _ in chunked[: ci + 1]:
                 for i in aidx:
                     if i not in _submitted:
                         _submitted.add(i)
@@ -379,7 +407,7 @@ class ClipBatchDecoder:
             """Fused selection for one chunk: one gather for all requested
             frames, then the RGB/resize (or YUV flatten) epilogue over the
             stack.  Returns (device frames, [(clip, row)] index)."""
-            fpad, cqo, idxs, pad_b = chunk
+            fpad, cqo, idxs, pad_b, _fw = chunk
             Ys, Us, Vs = res
             sel_b, sel_f, idxl = [], [], []
             for k, i in enumerate(idxs):
@@ -475,7 +503,7 @@ class ClipBatchDecoder:
                         (self._xfer_pool.submit(np.asarray, frames), idxl))
 
         poc_perm: dict[int, np.ndarray] = {}
-        for ci, (fpad, cqo, idxs, pad_b) in enumerate(chunked):
+        for ci, (fpad, cqo, idxs, pad_b, fw) in enumerate(chunked):
             submit_through(ci + _ahead)
             with prof.span("entropy_wait"):
                 for i in idxs:
@@ -516,14 +544,9 @@ class ClipBatchDecoder:
                         batch, self.mesh, mb_w, mb_h, cqo, self.n_refs
                     ))
             else:
-                # frame-window the chunk when the executable would exceed
-                # the compile-size envelope (the relay's compile helper
-                # is SIGKILLed on 1080p F=64 programs; F=32 compiles) —
-                # windows chain the reference ring across jit calls
-                fw = fpad
-                fcap = int(os.environ.get("HWANG_FWIN_CAP_MBF", 300_000))
-                while fw > 8 and M * fw > fcap:
-                    fw //= 2
+                # frame-window the chunk per the bucket's (fw, B) choice
+                # above — windows chain the reference ring across jit
+                # calls
                 with prof.span("pack"):
                     if fw >= fpad:
                         batch = pack_gop_batch(span_tensors, fpad,
