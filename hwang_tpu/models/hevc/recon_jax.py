@@ -577,24 +577,38 @@ def _prep_xs_host(p) -> dict:
     return xs
 
 
+# The I path keeps ONE upload but FOUR stage jits that each unfuse the
+# same device blob (XLA dead-code-eliminates the leaves a stage doesn't
+# read): one monolithic program (lv-luma + lv-chroma + deblock + SAO)
+# exceeded the relay compile helper's memory (SIGKILL) at 720p.
 @functools.partial(jax.jit, static_argnames=(
-    "layout", "treedef", "hl", "wl", "hc", "wc", "has_big", "ctb_log2",
-    "do_db", "do_sao"))
-def _decode_gop_i_fused(consts, consts32, buf, layout, treedef, hl, wl,
-                        hc, wc, has_big, ctb_log2, do_db, do_sao):
+    "layout", "treedef", "h", "w", "has_big", "which"))
+def _i_lv_fused(consts, consts32, buf, layout, treedef, h, w, has_big,
+                which):
     from ...utils.fuse import unfuse_tree
 
-    luma_xs, chroma_xs, prm, sao = unfuse_tree(buf, layout, treedef)
-    F = luma_xs["x0"].shape[1]
-    y = _run_lv(consts, consts32, luma_xs, _rows4_zeros(F, hl, wl),
-                hl, wl, has_big)
-    c = _run_lv(consts, consts32, chroma_xs,
-                _rows4_zeros(2 * F, hc, wc), hc, wc, False)
-    if do_db:
-        y, c = _deblock_jax(y, c, prm)
-    if do_sao:
-        y, c = _sao_jax(y, c, sao.astype(jnp.int32), ctb_log2)
-    return y, c
+    tree = unfuse_tree(buf, layout, treedef)
+    xs = tree[0] if which == 0 else tree[1]
+    n_seq = xs["x0"].shape[1]  # luma: F; chroma: 2F (U/V interleaved)
+    return _run_lv(consts, consts32, xs, _rows4_zeros(n_seq, h, w), h, w,
+                   has_big)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "treedef"))
+def _i_db_fused(y, c, buf, layout, treedef):
+    from ...utils.fuse import unfuse_tree
+
+    prm = unfuse_tree(buf, layout, treedef)[2]
+    return _deblock_jax(y, c, prm)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "treedef",
+                                             "ctb_log2"))
+def _i_sao_fused(y, c, buf, layout, treedef, ctb_log2):
+    from ...utils.fuse import unfuse_tree
+
+    sao = unfuse_tree(buf, layout, treedef)[3]
+    return _sao_jax(y, c, sao.astype(jnp.int32), ctb_log2)
 
 
 def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -628,10 +642,14 @@ def decode_gop_frames(t) -> tuple[jax.Array, jax.Array, jax.Array]:
         (_prep_xs_host(luma), _prep_xs_host(chroma), prm,
          np.asarray(t.sao)))
     dbuf = jax.device_put(blob)
-    y, c = _decode_gop_i_fused(
-        _consts(), _consts32(), dbuf, layout, treedef, luma.h, luma.w,
-        chroma.h, chroma.w, luma.coeffb.shape[2] > 0, int(t.ctb_log2),
-        do_db, do_sao)
+    y = _i_lv_fused(_consts(), _consts32(), dbuf, layout, treedef,
+                    luma.h, luma.w, luma.coeffb.shape[2] > 0, 0)
+    c = _i_lv_fused(_consts(), _consts32(), dbuf, layout, treedef,
+                    chroma.h, chroma.w, False, 1)
+    if do_db:
+        y, c = _i_db_fused(y, c, dbuf, layout, treedef)
+    if do_sao:
+        y, c = _i_sao_fused(y, c, dbuf, layout, treedef, int(t.ctb_log2))
     return y, c[0::2], c[1::2]
 
 

@@ -4,16 +4,26 @@ The relay to the TPU charges ~0.5 s of fixed latency per transfer; a
 decode call that ships a dict of 40 small arrays pays it 40 times.  This
 is the generic twin of models/h264/packed.fuse_packed: flatten any
 pytree of numpy arrays into ONE uint8 blob + a hashable layout, upload
-once, and slice/bitcast it back on-device INSIDE the consumer jit (free
-under XLA — static offsets).
+once, and rebuild the leaves on-device INSIDE the consumer jit.
 
     blob, layout, treedef = fuse_tree(tree)     # host
     dbuf = jax.device_put(blob)                 # one transfer
     tree = unfuse_tree(dbuf, layout, treedef)   # inside jit
 
 Layout and treedef are hashable — pass them as static jit arguments.
-int64 leaves are narrowed to int32 (x64 is disabled on the device side);
-bool leaves ship as uint8 and come back as bool.
+
+Representation notes (all learned the hard way on this backend):
+- Multi-byte dtypes ship as per-byte PLANES (little-endian), rebuilt
+  with shifts: any reshape/bitcast whose trailing dim is the itemsize
+  (2 or 4) gets lane-padded to 128 on TPU — a 32-64x physical blowup
+  that OOM'd compiles on big leaves.
+- Large mostly-zero integer leaves (>= sparse_min_bytes, density <=
+  sparse_max_density) ship SPARSE as a uint16 delta-position stream
+  (packed.delta_encode_pad grammar) + values, rebuilt by one device
+  scatter.  The HEVC level-padded prep tensors are ~95% zeros.
+- int64/uint64 narrow to 32 bits (x64 is disabled device-side); bool
+  ships as uint8 and comes back as bool.  Scalars round-trip with
+  their 0-d shape.
 """
 
 from __future__ import annotations
@@ -22,18 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_UNSIGNED = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
 
 def fuse_tree(tree, sparse_min_bytes: float = 4e6,
               sparse_max_density: float = 0.25):
-    """-> (blob uint8 [N], layout tuple, treedef).  Leaves must be
-    numpy-convertible arrays (or scalars).
-
-    Large mostly-zero leaves (>= sparse_min_bytes with nonzero density
-    <= sparse_max_density) ship SPARSE: a uint16 delta-position stream
-    (packed.delta_encode_pad grammar) + the nonzero values, rebuilt by a
-    device scatter in unfuse_tree.  The HEVC prep tensors are
-    level-padded ~95% zeros — dense they were 300+ MB per 8-frame span
-    through a ~77 MB/s relay."""
+    """-> (blob uint8 [N], layout tuple, treedef)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     bufs: list[np.ndarray] = []
     layout = []
@@ -45,11 +49,21 @@ def fuse_tree(tree, sparse_min_bytes: float = 4e6,
         if pad:
             bufs.append(np.zeros(pad, np.uint8))
             off += pad
-        b = np.atleast_1d(a).view(np.uint8).reshape(-1)
+        b = np.atleast_1d(np.ascontiguousarray(a)).view(np.uint8)
+        b = b.reshape(-1)
         o = off
         bufs.append(b)
         off += b.size
         return o
+
+    def emit_planes(a):
+        """Per-byte planes of a contiguous array (little-endian)."""
+        it = a.dtype.itemsize
+        if it == 1:
+            return (emit(a),)
+        pb = np.atleast_1d(a).view(np.uint8).reshape(-1, it)
+        return tuple(emit(np.ascontiguousarray(pb[:, j]))
+                     for j in range(it))
 
     for leaf in leaves:
         a = np.asarray(leaf)
@@ -60,9 +74,8 @@ def fuse_tree(tree, sparse_min_bytes: float = 4e6,
             a = a.astype(np.uint32)
         elif orig_bool:
             a = a.astype(np.uint8)
-        shape = a.shape  # before ascontiguousarray (it promotes 0-d to 1-d)
+        shape = a.shape
         a = np.ascontiguousarray(a)
-        a = a.reshape(shape)
         name = "bool" if orig_bool else a.dtype.name
         if (a.nbytes >= sparse_min_bytes and a.ndim >= 1
                 and a.dtype.kind in "iu"):
@@ -73,32 +86,34 @@ def fuse_tree(tree, sparse_min_bytes: float = 4e6,
 
                 dpos, vals = delta_encode_pad(nz, flat[nz],
                                               min_bucket=256)
-                o_pos = emit(dpos)
-                o_val = emit(np.ascontiguousarray(vals))
+                o_pos = emit_planes(dpos)
+                o_val = emit_planes(np.ascontiguousarray(vals))
                 layout.append(
-                    ("sp", a.shape, name, o_pos, len(dpos), o_val))
+                    ("sp", shape, name, o_pos, len(dpos), o_val))
                 continue
-        layout.append((emit(a), a.shape, name))
-    blob = (np.concatenate(bufs) if bufs
-            else np.zeros(0, np.uint8))
+        layout.append(("d", shape, name, emit_planes(a)))
+    blob = (np.concatenate(bufs) if bufs else np.zeros(0, np.uint8))
     return blob, tuple(layout), treedef
+
+
+def _assemble(buf, offs, shape, dtype):
+    """Per-byte planes at `offs` -> array of `dtype`/`shape` (device)."""
+    dt = np.dtype(dtype)
+    n = int(np.prod(shape, dtype=np.int64))
+    it = dt.itemsize
+    u = np.dtype(_UNSIGNED[it])
+    acc = buf[offs[0]:offs[0] + n].astype(u)
+    for j in range(1, it):
+        acc = acc | (buf[offs[j]:offs[j] + n].astype(u) << (8 * j))
+    if dt.kind in ("i", "f"):
+        acc = jax.lax.bitcast_convert_type(acc, jnp.dtype(dt))
+    elif dt != u:
+        acc = acc.astype(jnp.dtype(dt))
+    return acc.reshape(shape)
 
 
 def unfuse_tree(buf: jnp.ndarray, layout, treedef):
     """Device-side inverse (layout/treedef static under jit)."""
-    def read(off, shape, dt):
-        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
-        seg = buf[off:off + n]
-        if dt.itemsize > 1:
-            seg = jax.lax.bitcast_convert_type(
-                seg.reshape(tuple(shape) + (dt.itemsize,)),
-                jnp.dtype(dt))
-        else:
-            if dt != np.uint8:
-                seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))
-            seg = seg.reshape(shape)
-        return seg
-
     leaves = []
     for ent in layout:
         if ent[0] == "sp":
@@ -107,16 +122,17 @@ def unfuse_tree(buf: jnp.ndarray, layout, treedef):
 
             dt = np.dtype(dtype)
             total = int(np.prod(shape, dtype=np.int64))
-            dpos = read(o_pos, (k,), np.dtype(np.uint16))
-            vals = read(o_val, (k,), dt)
+            dpos = _assemble(buf, o_pos, (k,), np.uint16)
+            vals = _assemble(buf, o_val, (k,), dt)
             pos = decode_delta_positions(dpos, total)
             dense = jnp.zeros(total + 1, jnp.dtype(dt))
             dense = dense.at[pos].set(vals)
             leaves.append(dense[:-1].reshape(shape))
             continue
-        off, shape, dtype = ent
+        _, shape, dtype, offs = ent
         as_bool = dtype == "bool"
-        seg = read(off, shape, np.dtype("uint8" if as_bool else dtype))
+        seg = _assemble(buf, offs, shape,
+                        np.dtype("uint8" if as_bool else dtype))
         if as_bool:
             seg = seg.astype(jnp.bool_)
         leaves.append(seg)
