@@ -14,7 +14,6 @@ Jobs run in filename order; each job's stdout/stderr + traceback land in
 between jobs.  Stop with a job containing `RAW_EXIT = True`.
 """
 
-import io
 import contextlib
 import os
 import sys
@@ -56,17 +55,18 @@ def main():
         path = os.path.join(JOBS, j)
         with open(path) as f:
             src = f.read()
-        buf = io.StringIO()
         t0 = time.time()
-        try:
-            with contextlib.redirect_stdout(buf), \
-                    contextlib.redirect_stderr(buf):
-                exec(compile(src, j, "exec"), ns)
-        except BaseException:
-            buf.write(traceback.format_exc())
-        buf.write(f"\n[job {j} done in {time.time()-t0:.1f}s]\n")
-        with open(path[:-3] + ".out", "w") as f:
-            f.write(buf.getvalue())
+        # stream output live to <job>.live so long jobs are observable;
+        # the .out file appears only on completion (pollers key on it)
+        with open(path[:-3] + ".live", "w", buffering=1) as buf:
+            try:
+                with contextlib.redirect_stdout(buf), \
+                        contextlib.redirect_stderr(buf):
+                    exec(compile(src, j, "exec"), ns)
+            except BaseException:
+                buf.write(traceback.format_exc())
+            buf.write(f"\n[job {j} done in {time.time()-t0:.1f}s]\n")
+        os.replace(path[:-3] + ".live", path[:-3] + ".out")
         os.replace(path, path + ".done")
         print(f"ran {j} ({time.time()-t0:.1f}s)", flush=True)
         if ns.get("RAW_EXIT"):
